@@ -1,0 +1,49 @@
+"""similaritysearchbyrdf_tpu — a TPU-native Dynamic Partition Forest.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of the
+Random Draw Forest / Dynamic Partition Forest ANN engine (the reference
+Scala/JVM system described in SURVEY.md): LSH compound hashing (angle and
+p-stable families), a forest of data-adaptively deepening bucket tables,
+content-based partitioning with multiple-step search, multi-probe candidate
+expansion, exact top-k re-ranking, mesh-sharded distribution, and persistent
+indexes.
+"""
+
+from .config import RDFConfig, TableConfig, PStableConfig, from_hocon_dict, from_hocon_file
+from .vectors import (
+    DenseBatch,
+    SparseBatch,
+    load_dense_file,
+    load_sparse_file,
+    load_ground_truth,
+    sparse_batch_from_rows,
+)
+from .models.families import HashModel, generate_model, save_model_file, load_model_file
+from .index.forest import RDFForest, ForestState, fit_dense, query_dense
+from .index.bucket_table import KeyLayout, BucketTables
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RDFConfig",
+    "TableConfig",
+    "PStableConfig",
+    "from_hocon_dict",
+    "from_hocon_file",
+    "DenseBatch",
+    "SparseBatch",
+    "load_dense_file",
+    "load_sparse_file",
+    "load_ground_truth",
+    "sparse_batch_from_rows",
+    "HashModel",
+    "generate_model",
+    "save_model_file",
+    "load_model_file",
+    "RDFForest",
+    "ForestState",
+    "fit_dense",
+    "query_dense",
+    "KeyLayout",
+    "BucketTables",
+]

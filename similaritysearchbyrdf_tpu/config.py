@@ -1,0 +1,272 @@
+"""Configuration system for the TPU-native Dynamic Partition Forest.
+
+Mirrors the reference's Typesafe-Config (HOCON) key space (the full `mclab.*`
+namespace is enumerated in the reference at
+`src/test/scala/mclab/TestSettings.scala:6-60`) as typed dataclasses, without
+the reference's global-static mutation on construction (`LSH.scala:23-24`),
+which SURVEY.md flags as a design to avoid.
+
+Two entry points:
+  * :class:`RDFConfig` — the typed config used by the whole framework.
+  * :func:`from_hocon_dict` / :func:`parse_hocon` — accept the reference's flat
+    `mclab.*` key-value space (e.g. parsed from a `.conf` file) so existing
+    reference configs can drive the TPU build unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Any, Dict, Optional
+
+
+# ---------------------------------------------------------------------------
+# Typed configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+    """Per-table-family structure knobs.
+
+    Mirrors `mclab.lshTable.*` / `mclab.dataTable.*`
+    (reference `TestSettings.scala:29-37`, applied in
+    `DensevectorRDFInit.setupTable`, `DensevectorRDFInit.scala:37-43`).
+    """
+
+    bucket_overflow: int = 500   # mclab.*.bufferOverflow  (split threshold)
+    bucket_bits: int = 28        # mclab.*.bucketBits      (BUCKET_LENGTH)
+    dir_node_size: int = 32      # mclab.*.dirNodeSize     (trie fan-out)
+    chain_length: int = 32       # mclab.*.chainLength     (hash bits per table)
+
+    @property
+    def seg_bits(self) -> int:
+        """Top-of-hash segment bits: 32 - BUCKET_LENGTH
+        (ref `RandomDrawTreeMap.java:435-438`)."""
+        return 32 - self.bucket_bits
+
+    @property
+    def bits_per_level(self) -> int:
+        """log2(dirNodeSize) bits consumed per trie level
+        (ref `RandomDrawTreeMap.java:446-453`)."""
+        return self.dir_node_size.bit_length() - 1
+
+    @property
+    def max_tree_level(self) -> int:
+        """MAX_TREE_LEVEL = (32 - seg_bits)/bits_per_level - 1
+        (ref `RandomDrawTreeMap.java:456`)."""
+        return self.bucket_bits // self.bits_per_level - 1
+
+    def __post_init__(self) -> None:
+        if self.dir_node_size not in (32, 64, 128):
+            # ref exits on bad node size (`RandomDrawTreeMap.java:461-464`);
+            # we raise instead.
+            raise ValueError(
+                f"dir_node_size must be one of 32/64/128, got {self.dir_node_size}"
+            )
+        if not (0 < self.bucket_bits <= 32):
+            raise ValueError(f"bucket_bits must be in (0,32], got {self.bucket_bits}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PStableConfig:
+    """p-stable (E2LSH) family parameters: H(v)=floor((a.v+b)/W)
+    (ref `PStableHashFamily.scala:24-57`, keys `mclab.lsh.family.pstable.*`)."""
+
+    mu: float = 0.0
+    sigma: float = 1.0
+    w: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class RDFConfig:
+    """Top-level configuration (the `mclab.lsh.*` key space)."""
+
+    # --- hash family (ref `LSH.scala:29-53`) ---
+    family_name: str = "angle"            # mclab.lsh.name: angle | pStable
+    family_size: int = 100                # mclab.lsh.familySize
+    vector_dim: int = 100                 # mclab.lsh.vectorDim
+    table_num: int = 10                   # mclab.lsh.tableNum
+    permutation_num: int = 3              # mclab.lsh.permutationNum
+    generate_by_pulling: bool = True      # mclab.lsh.generateByPulling
+    is_orthogonal: bool = True            # mclab.lsh.IsOrthogonal
+    generate_method: str = "default"      # mclab.lsh.generateMethod: default|fromfile
+    family_file_path: Optional[str] = None        # mclab.lsh.familyFilePath
+    partition_family_file_path: Optional[str] = None  # mclab.lsh.partitionFamilyFilePath
+    type_of_index: str = "original"       # mclab.lsh.typeOfIndex:
+    #   original | sampling | continueBitsCount | angleNewMethod
+    #   (ref `LSH.scala:110-120`)
+    sampling_seed: int = 88387            # hardcoded in ref `LSH.scala:21`
+    pstable: PStableConfig = dataclasses.field(default_factory=PStableConfig)
+    feature_data_format: str = "dense"    # mclab.lsh.featureDataFormat: dense|sparse
+
+    # --- partitioning (ref `utils/Partitioner.scala:27-65`) ---
+    partition_bits: int = 3               # mclab.lsh.partitionBits
+    num_data_partitions: int = 2          # mclab.dataTable.numPartitions
+
+    # --- table structure ---
+    lsh_table: TableConfig = dataclasses.field(default_factory=TableConfig)
+    data_table: TableConfig = dataclasses.field(default_factory=TableConfig)
+
+    # --- query / eval ---
+    top_k: int = 10                       # mclab.lsh.topK
+    similarity_threshold: float = 0.0     # mclab.lsh.similarityThreshold
+
+    # --- persistence (ref §3.5) ---
+    working_dir_root: str = "PersistIndex"  # mclab.lsh.workingDirRoot
+    ram_threshold: int = 2 ** 31 - 1        # mclab.lsh.ramThreshold
+
+    # --- threads in the reference; batch-shape knobs on TPU ---
+    # The reference's insertThreadNum/queryThreadNum become batching knobs:
+    # TPU processes all tables at once, so these only control host chunking.
+    fit_batch_size: int = 8192            # vectors hashed per device step
+    query_batch_size: int = 256           # queries per device step
+
+    # --- TPU-specific static-shape caps (SURVEY.md §7 hard part (b)) ---
+    max_candidates: int = 4096            # per-query flattened candidate cap
+    sparse_nnz_pad: int = 128             # padded nnz for sparse batches
+
+    # --- reproducibility ---
+    seed: int = 31258                     # mclab.lsh.seed1
+
+    @property
+    def total_tables(self) -> int:
+        """L = tableNum * permutationNum — the forest width
+        (ref `DensevectorRDFInit.scala:107`)."""
+        return self.table_num * self.permutation_num
+
+    @property
+    def num_partitions(self) -> int:
+        """Sub-indexes per table = 2**partitionBits
+        (ref `utils/Partitioner.scala:28`)."""
+        return 1 << self.partition_bits
+
+    def replace(self, **kw: Any) -> "RDFConfig":
+        return dataclasses.replace(self, **kw)
+
+    # -- serialization -----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "RDFConfig":
+        d = json.loads(s)
+        d["pstable"] = PStableConfig(**d.get("pstable", {}))
+        d["lsh_table"] = TableConfig(**d.get("lsh_table", {}))
+        d["data_table"] = TableConfig(**d.get("data_table", {}))
+        return RDFConfig(**d)
+
+
+# ---------------------------------------------------------------------------
+# HOCON-compatible loading (the reference's flat mclab.* key space)
+# ---------------------------------------------------------------------------
+
+_KEY_MAP = {
+    "mclab.lsh.name": "family_name",
+    "mclab.lsh.familySize": "family_size",
+    "mclab.lsh.vectorDim": "vector_dim",
+    "mclab.lsh.tableNum": "table_num",
+    "mclab.lsh.permutationNum": "permutation_num",
+    "mclab.lsh.generateByPulling": "generate_by_pulling",
+    "mclab.lsh.IsOrthogonal": "is_orthogonal",
+    "mclab.lsh.generateMethod": "generate_method",
+    "mclab.lsh.familyFilePath": "family_file_path",
+    "mclab.lsh.partitionFamilyFilePath": "partition_family_file_path",
+    "mclab.lsh.typeOfIndex": "type_of_index",
+    "mclab.lsh.featureDataFormat": "feature_data_format",
+    "mclab.lsh.partitionBits": "partition_bits",
+    "mclab.dataTable.numPartitions": "num_data_partitions",
+    "mclab.lsh.topK": "top_k",
+    "mclab.lsh.similarityThreshold": "similarity_threshold",
+    "mclab.lsh.workingDirRoot": "working_dir_root",
+    "mclab.lsh.ramThreshold": "ram_threshold",
+    "mclab.lsh.seed1": "seed",
+}
+
+_TABLE_KEY_MAP = {
+    "bufferOverflow": "bucket_overflow",
+    "bucketBits": "bucket_bits",
+    "dirNodeSize": "dir_node_size",
+    "chainLength": "chain_length",
+}
+
+_PSTABLE_KEY_MAP = {
+    "mclab.lsh.family.pstable.mu": "mu",
+    "mclab.lsh.family.pstable.sigma": "sigma",
+    "mclab.lsh.family.pstable.w": "w",
+}
+
+
+def _coerce(value: str) -> Any:
+    v = value.strip().strip('"')
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def parse_hocon(text: str) -> Dict[str, Any]:
+    """Parse the flat `key = value` subset of HOCON the reference uses
+    (`TestSettings.scala:6-60`). Comments (#, //) and blank lines are skipped.
+    """
+    out: Dict[str, Any] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or line.startswith("//"):
+            continue
+        m = re.match(r"^([A-Za-z0-9_.\-]+)\s*[=:]\s*(.+)$", line)
+        if not m:
+            continue
+        out[m.group(1)] = _coerce(m.group(2))
+    return out
+
+
+def from_hocon_dict(conf: Dict[str, Any], base: Optional[RDFConfig] = None) -> RDFConfig:
+    """Build an :class:`RDFConfig` from a flat `mclab.*` dict, mirroring how
+    the reference front-ends read Typesafe Config
+    (`DensevectorRDFInit.scala:50-70`)."""
+    base = base or RDFConfig()
+    kw: Dict[str, Any] = {}
+    for hk, field in _KEY_MAP.items():
+        if hk in conf:
+            kw[field] = conf[hk]
+    ps = {f: conf[hk] for hk, f in _PSTABLE_KEY_MAP.items() if hk in conf}
+    if ps:
+        kw["pstable"] = dataclasses.replace(base.pstable, **ps)
+    for table, field in (("lshTable", "lsh_table"), ("dataTable", "data_table")):
+        tk = {
+            dst: conf[f"mclab.{table}.{src}"]
+            for src, dst in _TABLE_KEY_MAP.items()
+            if f"mclab.{table}.{src}" in conf
+        }
+        if tk:
+            kw[field] = dataclasses.replace(getattr(base, field), **tk)
+    return base.replace(**kw)
+
+
+def from_hocon_file(path: str, base: Optional[RDFConfig] = None) -> RDFConfig:
+    with open(path, "r") as f:
+        return from_hocon_dict(parse_hocon(f.read()), base)
+
+
+def partition_config(conf: RDFConfig) -> RDFConfig:
+    """Synthesize the partitioner LSH config exactly as the reference does
+    when building each lshTable's `LocalitySensitivePartitioner`
+    (`DensevectorRDFInit.scala:63-70`): vectorDim=32 (the hash bits),
+    tableNum=1, chainLength=partitionBits."""
+    return conf.replace(
+        vector_dim=32,
+        table_num=1,
+        permutation_num=1,
+        lsh_table=dataclasses.replace(conf.lsh_table, chain_length=conf.partition_bits),
+        generate_method="default",
+        type_of_index="original",
+    )

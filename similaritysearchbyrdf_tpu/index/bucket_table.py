@@ -1,0 +1,323 @@
+"""Array-encoded bucket tables: the Dynamic Partition Forest without pointers.
+
+The reference's `RandomDrawTreeMap` (`RandomDrawTreeMap.java`, 2.8k LoC of
+trie descent, copy-on-write dir nodes and striped locks) exists to map a
+32-bit hash to a *data-adaptively sized bucket* of vector ids. Its observable
+structure (derived from the put/search paths, `putInner:1662-1790`,
+`search:1005-1050`):
+
+  * seg      = top `32-BUCKET_LENGTH` bits of the hash (`:1663`)
+  * the trie consumes `log2(dirNodeSize)`-bit slots starting at level
+    MAX_TREE_LEVEL and walking DOWN: slot = (h >>> (bits*level)) & mask
+    (`:1671`). With the canonical 28/32 config the consumed bits are
+    [0, 25) — bits 25-27 of the hash are never consumed.
+  * a bucket (linked-node chain) holds every point sharing the consumed
+    prefix; a chain splits one level deeper when an insert finds it at
+    >= BUCKET_OVERFLOW and level >= 1 (`:1719-1768`).
+
+Flattened TPU encoding, per table:
+
+  key[i]  = partition ‖ seg ‖ trie-bits   (uint32, right-aligned)
+  sorted ascending → every (prefix, depth) bucket is a contiguous range.
+  Leaf buckets are computed at build time by the overflow rule (smallest
+  depth whose prefix population <= BUCKET_OVERFLOW, capped at the deepest
+  level) and stored as three arrays: the bucket's minimal key, its start
+  offset, and its prefix shift. A query probe then needs ONE binary search +
+  a masked prefix-equality check — no locks, no recids (SURVEY.md §7.2).
+
+Divergence from the reference (documented per SURVEY.md §7 hard part (a)):
+the reference's splits are insertion-order dependent (a chain that reaches
+exactly BUCKET_OVERFLOW splits only when a later insert walks it); the batch
+rule here splits exactly when population > BUCKET_OVERFLOW. Candidate sets
+are therefore equal or slightly larger near the threshold — never smaller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RDFConfig, TableConfig
+
+
+# ---------------------------------------------------------------------------
+# Key layout
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyLayout:
+    """Static description of the composite sort key."""
+
+    partition_bits: int
+    seg_bits: int           # 32 - BUCKET_LENGTH
+    bits_per_level: int     # log2(dirNodeSize)
+    num_levels: int         # MAX_TREE_LEVEL + 1 chain depths
+    bucket_bits: int        # BUCKET_LENGTH
+
+    @property
+    def consumed_bits(self) -> int:
+        return self.bits_per_level * self.num_levels
+
+    @property
+    def total_bits(self) -> int:
+        return self.partition_bits + self.seg_bits + self.consumed_bits
+
+    def depth_shift(self, depth: int) -> int:
+        """Right-shift that turns a key into its depth-`depth` prefix.
+        depth 0 = root chain (seg + one slot), depth num_levels-1 = full key."""
+        return self.consumed_bits - self.bits_per_level * (depth + 1)
+
+    @staticmethod
+    def from_config(conf: RDFConfig, table: TableConfig) -> "KeyLayout":
+        layout = KeyLayout(
+            partition_bits=conf.partition_bits,
+            seg_bits=table.seg_bits,
+            bits_per_level=table.bits_per_level,
+            num_levels=table.max_tree_level + 1,
+            bucket_bits=table.bucket_bits,
+        )
+        if layout.total_bits > 32:
+            raise NotImplementedError(
+                f"composite key needs {layout.total_bits} bits > 32 "
+                f"(partitionBits={layout.partition_bits}, "
+                f"dirNodeSize=2**{layout.bits_per_level}); use dirNodeSize<=64 "
+                "or partitionBits<=3 (wide keys planned)"
+            )
+        return layout
+
+
+def composite_keys(
+    hashes: jax.Array, partitions: jax.Array, layout: KeyLayout
+) -> jax.Array:
+    """key = partition ‖ seg ‖ trie-bits (uint32, right-aligned).
+
+    `hashes` uint32 [...], `partitions` int32 [...] → uint32 [...].
+    seg = h >>> BUCKET_LENGTH (`RandomDrawTreeMap.java:1663`); trie bits are
+    the low `consumed_bits` of the hash (`:1671`), dropping any skipped bits
+    in between (bits 25-27 for the canonical config).
+    """
+    h = hashes.astype(jnp.uint32)
+    seg = h >> jnp.uint32(layout.bucket_bits)
+    trie = h & jnp.uint32((1 << layout.consumed_bits) - 1)
+    key = (
+        (partitions.astype(jnp.uint32) << jnp.uint32(layout.seg_bits + layout.consumed_bits))
+        | (seg << jnp.uint32(layout.consumed_bits))
+        | trie
+    )
+    return key
+
+
+# ---------------------------------------------------------------------------
+# Bucket table container
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketTables:
+    """The whole forest's bucket state (device arrays).
+
+    sorted_keys   u32[L, Npad]  — composite keys, ascending per table
+                                  (padding rows = 0xFFFFFFFF)
+    sorted_ids    i32[L, Npad]  — vector ids in key order (padding = -1)
+    bucket_keys   u32[L, NB]    — minimal key of each leaf bucket
+                                  (padding = 0xFFFFFFFF)
+    bucket_starts i32[L, NB+1]  — start offset of each leaf bucket into
+                                  sorted_ids; entry NB.. = Npad so
+                                  end-of-bucket is starts[b+1] (padding = Npad)
+    bucket_shifts u32[L, NB]    — right-shift identifying the bucket's prefix
+                                  length (padding = 0)
+    """
+
+    sorted_keys: jax.Array
+    sorted_ids: jax.Array
+    bucket_keys: jax.Array
+    bucket_starts: jax.Array
+    bucket_shifts: jax.Array
+
+    @property
+    def num_tables(self) -> int:
+        return self.sorted_keys.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.sorted_keys.shape[1]
+
+    def index_bytes(self) -> int:
+        """HBM bytes held by the index structure (the 'index bytes/vector'
+        metric's numerator)."""
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (
+                self.sorted_keys,
+                self.sorted_ids,
+                self.bucket_keys,
+                self.bucket_starts,
+                self.bucket_shifts,
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# Build (fit) — SURVEY.md §7.3: hash, sort, prefix-count, split
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "overflow"))
+def _sort_and_depths(
+    keys: jax.Array,  # u32[L, Npad] composite keys (pad rows = 0xFFFFFFFF)
+    ids: jax.Array,   # i32[L, Npad]
+    layout: KeyLayout,
+    overflow: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort each table and compute each element's leaf-bucket start and
+    prefix shift via the overflow rule. Returns (sorted_keys, sorted_ids,
+    elem_bucket_start, elem_shift, start_mask is derivable)."""
+    sorted_keys, sorted_ids = jax.lax.sort((keys, ids), dimension=1, num_keys=1)
+
+    n = sorted_keys.shape[1]
+    depth_lo = []
+    depth_hi = []
+    for d in range(layout.num_levels):
+        s = layout.depth_shift(d)
+        pref = sorted_keys >> jnp.uint32(s)
+        lo_key = pref << jnp.uint32(s)
+        hi_key = lo_key | jnp.uint32((1 << s) - 1)
+        lo = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(
+            sorted_keys, lo_key
+        )
+        hi = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="right"))(
+            sorted_keys, hi_key
+        )
+        depth_lo.append(lo)
+        depth_hi.append(hi)
+    lo_all = jnp.stack(depth_lo, axis=-1).astype(jnp.int32)   # [L, N, D]
+    hi_all = jnp.stack(depth_hi, axis=-1).astype(jnp.int32)
+    counts = hi_all - lo_all
+
+    fits = counts <= jnp.int32(overflow)                       # [L, N, D]
+    # smallest depth whose population fits; cap at the deepest level
+    # (level 0 in the reference: splits stop at level >= 1, `:1719`)
+    first_fit = jnp.argmax(fits, axis=-1)
+    depth = jnp.where(jnp.any(fits, axis=-1), first_fit, layout.num_levels - 1)
+
+    elem_start = jnp.take_along_axis(lo_all, depth[..., None], axis=-1)[..., 0]
+    shifts = jnp.asarray(
+        [layout.depth_shift(d) for d in range(layout.num_levels)], dtype=jnp.uint32
+    )
+    elem_shift = shifts[depth]
+    return sorted_keys, sorted_ids, elem_start, elem_shift
+
+
+@functools.partial(jax.jit, static_argnames=("nb_pad",))
+def _compact_buckets(
+    sorted_keys: jax.Array,
+    elem_start: jax.Array,
+    elem_shift: jax.Array,
+    nb_pad: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter leaf-bucket descriptors into fixed-size arrays."""
+    l, n = sorted_keys.shape
+    pos_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    is_start = elem_start == pos_idx                       # [L, N]
+    # exclude padding rows (key == all ones and id == -1 share the max-key
+    # region; they may form a bucket but its ids are masked at query time —
+    # keep them, validity masking handles it)
+    slot = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1   # [L, N]
+    slot = jnp.where(is_start, slot, nb_pad)               # scatter target
+
+    def scatter_one(keys_row, shift_row, slot_row):
+        bkeys = jnp.full((nb_pad + 1,), 0xFFFFFFFF, dtype=jnp.uint32)
+        bstarts = jnp.full((nb_pad + 1,), n, dtype=jnp.int32)
+        bshifts = jnp.zeros((nb_pad + 1,), dtype=jnp.uint32)
+        # store the prefix-aligned *lower boundary* of the bucket's key range
+        # (suffix zeroed), not the minimal member key: a probe can be smaller
+        # than every member while sharing the prefix, and must still land in
+        # this bucket (the reference's trie descent matches prefixes, not
+        # member keys, `search:1005-1050`)
+        boundary = (keys_row >> shift_row) << shift_row
+        bkeys = bkeys.at[slot_row].set(boundary, mode="drop")
+        bstarts = bstarts.at[slot_row].set(pos_idx[0], mode="drop")
+        bshifts = bshifts.at[slot_row].set(shift_row, mode="drop")
+        return bkeys[:nb_pad], bstarts[:nb_pad], bshifts[:nb_pad]
+
+    bkeys, bstarts, bshifts = jax.vmap(scatter_one)(sorted_keys, elem_shift, slot)
+    # bucket_starts needs NB+1 entries; buckets are contiguous so end of
+    # bucket b = start of bucket b+1 (padding start = n)
+    bstarts_full = jnp.concatenate(
+        [bstarts, jnp.full((l, 1), n, dtype=jnp.int32)], axis=1
+    )
+    return bkeys, bstarts_full, bshifts
+
+
+def build_tables(
+    keys: jax.Array,   # u32[L, Npad] composite keys (padding = 0xFFFFFFFF)
+    ids: jax.Array,    # i32[L, Npad] (padding = -1)
+    layout: KeyLayout,
+    overflow: int,
+    nb_pad: int | None = None,
+) -> BucketTables:
+    """Build the full forest bucket state. One host sync sizes the compacted
+    bucket arrays (`nb_pad`); pass `nb_pad` explicitly to stay sync-free
+    (e.g. from a previous build of the same distribution)."""
+    sorted_keys, sorted_ids, elem_start, elem_shift = _sort_and_depths(
+        keys, ids, layout, overflow
+    )
+    if nb_pad is None:
+        n = sorted_keys.shape[1]
+        is_start = elem_start == jnp.arange(n, dtype=jnp.int32)[None, :]
+        nb = int(jnp.max(jnp.sum(is_start, axis=1)))          # host sync
+        nb_pad = max(8, int(np.ceil(nb / 128.0)) * 128)
+    bkeys, bstarts, bshifts = _compact_buckets(
+        sorted_keys, elem_start, elem_shift, nb_pad
+    )
+    return BucketTables(
+        sorted_keys=sorted_keys,
+        sorted_ids=sorted_ids,
+        bucket_keys=bkeys,
+        bucket_starts=bstarts,
+        bucket_shifts=bshifts,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probe lookup (query side)
+# ---------------------------------------------------------------------------
+
+
+def lookup_ranges(
+    tables: BucketTables,
+    probe_keys: jax.Array,   # u32[B, R] composite probe keys
+    table_index: jax.Array,  # i32[R] which table each probe column addresses
+) -> Tuple[jax.Array, jax.Array]:
+    """Resolve each probe key to its bucket's (start, length) in that table's
+    sorted_ids. A probe whose prefix does not exist gets length 0 — matching
+    the reference's empty-slot walk result (`searchWithSimilarity:940-994`).
+    """
+    bkeys = tables.bucket_keys[table_index]      # [R, NB]
+    bstarts = tables.bucket_starts[table_index]  # [R, NB+1]
+    bshifts = tables.bucket_shifts[table_index]  # [R, NB]
+
+    def per_probe_col(bk, q):
+        # rightmost bucket whose min key <= q
+        return jnp.searchsorted(bk, q, side="right").astype(jnp.int32) - 1
+
+    # vmap over the R probe columns (keys [B] per column)
+    b_idx = jax.vmap(per_probe_col, in_axes=(0, 1), out_axes=1)(
+        bkeys, probe_keys
+    )                                            # [B, R]
+    safe_b = jnp.maximum(b_idx, 0)
+    r_ar = jnp.arange(table_index.shape[0], dtype=jnp.int32)[None, :]
+    key_b = bkeys[r_ar, safe_b]
+    shift_b = bshifts[r_ar, safe_b]
+    start = bstarts[r_ar, safe_b]
+    end = bstarts[r_ar, safe_b + 1]
+    valid = (b_idx >= 0) & ((probe_keys >> shift_b) == (key_b >> shift_b))
+    length = jnp.where(valid, end - start, 0)
+    return start, length

@@ -1,0 +1,369 @@
+"""RDFForest — the Dynamic Partition Forest as one jitted pipeline.
+
+Replaces the reference's orchestration stack (`DensevectorRDFInit` thread
+pools over `RandomDrawTreeMap.getSimilarWithStepWiseFaster`,
+`DensevectorRDFInit.scala:335-432`) with two device programs:
+
+fit   (SURVEY.md §7.3): hash all vectors `[N, L]` → partition-hash →
+      composite keys → per-table sort → overflow-rule leaf buckets (CSR).
+query (SURVEY.md §7.4): hash `[B, L]` → step-wise partition fan-out ×
+      multi-probe flips → one binary search per probe → ragged-gather of
+      candidate ids → sort-dedup → exact dot-product top-k re-rank.
+
+The reference's parallelism P1 (thread-per-table-range) disappears: the table
+axis is just a tensor dimension. P2-P6 are reproduced as tensor ops (see
+`partitioner.py`, probe generation below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RDFConfig
+from ..models.families import HashModel, generate_model
+from ..ops import rerank as rerank_ops
+from ..ops.bitops import clz
+from ..ops.hashing import hash_dense, hash_sparse
+from ..vectors import DenseBatch, SparseBatch
+from .bucket_table import (
+    BucketTables,
+    KeyLayout,
+    build_tables,
+    composite_keys,
+    lookup_ranges,
+)
+from .partitioner import (
+    generate_partition_projections,
+    partition_of_hash,
+    stepwise_patterns,
+)
+
+
+# ---------------------------------------------------------------------------
+# Device state
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForestState:
+    """All device arrays of a fitted dense forest (a JAX pytree, so the whole
+    index moves through jit/shard_map as one value)."""
+
+    model: HashModel
+    part_proj: jax.Array        # f32[L, pbits, 32]
+    tables: BucketTables
+    corpus: jax.Array           # f32[Npad, D] (padding rows = 0)
+    row_ids: jax.Array          # i32[Npad] user vector ids (padding = -1)
+
+    @property
+    def capacity(self) -> int:
+        return self.corpus.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# fit
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "chunk"))
+def _keys_for_corpus(
+    model: HashModel,
+    part_proj: jax.Array,
+    values: jax.Array,        # f32[Npad, D]
+    valid: jax.Array,         # bool[Npad]
+    layout: KeyLayout,
+    chunk: int,
+) -> jax.Array:
+    """Composite sort keys `[L, Npad]` for the whole corpus, hashed in
+    `chunk`-sized pieces so the `[N, L, C]` projection intermediate never
+    materializes (HBM-friendly; ref hot loop #1 `RandomDrawTreeMap:1498-1521`
+    re-hashed every vector per table, per insert)."""
+    n, d = values.shape
+    n_chunks = n // chunk
+
+    def one(xc):
+        h = hash_dense(model, xc)                      # [chunk, L]
+        p = partition_of_hash(h, part_proj)            # [chunk, L]
+        return composite_keys(h, p, layout)            # [chunk, L] u32
+
+    keys = jax.lax.map(one, values.reshape(n_chunks, chunk, d))
+    keys = keys.reshape(n, -1)
+    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    return keys.T                                       # [L, Npad]
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return int(np.ceil(max(n, 1) / multiple) * multiple)
+
+
+def fit_dense(
+    conf: RDFConfig,
+    batch: DenseBatch,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+    nb_pad: Optional[int] = None,
+) -> ForestState:
+    """Build a forest over a dense corpus — the one-pass replacement for
+    `newFastFit`/`newMultiThreadFit` (`DensevectorRDFInit.scala:127-206`)."""
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    model = model if model is not None else generate_model(conf)
+    part_proj = (
+        part_proj
+        if part_proj is not None
+        else generate_partition_projections(conf)
+    )
+    n = batch.n
+    chunk = min(conf.fit_batch_size, _pad_to(n, 256))
+    npad = _pad_to(n, chunk)
+    values = np.zeros((npad, batch.dim), dtype=np.float32)
+    values[:n] = batch.values
+    row_ids = np.full((npad,), -1, dtype=np.int32)
+    row_ids[:n] = batch.ids
+    valid = np.zeros((npad,), dtype=bool)
+    valid[:n] = True
+
+    values_d = jnp.asarray(values)
+    keys = _keys_for_corpus(
+        model, part_proj, values_d, jnp.asarray(valid), layout, chunk
+    )
+    ids = jnp.broadcast_to(
+        jnp.where(jnp.asarray(valid), jnp.arange(npad, dtype=jnp.int32), -1)[None, :],
+        keys.shape,
+    )
+    tables = build_tables(
+        keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
+    )
+    return ForestState(
+        model=model,
+        part_proj=part_proj,
+        tables=tables,
+        corpus=values_d,
+        row_ids=jnp.asarray(row_ids),
+    )
+
+
+# ---------------------------------------------------------------------------
+# query
+# ---------------------------------------------------------------------------
+
+
+def _probe_hashes(
+    h: jax.Array, layout: KeyLayout, multiprobe: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-probe set generation (P5). Dense queries probe `h ^ (1<<i)` for
+    every i < 32 - nlz(h) - seg_bits — and, faithfully to the reference, NOT
+    h itself (`RandomDrawTreeMap.java:753-756`; h's own bucket is still
+    reached whenever a flipped bit lies in the trie's skipped bits). Sparse
+    queries probe only h (`:686-732`).
+
+    Returns (probes u32[B, L, P], valid bool[B, L, P]).
+    """
+    if not multiprobe:
+        return h[..., None], jnp.ones(h.shape + (1,), dtype=bool)
+    pmax = layout.bucket_bits  # probe flips cover the sub-seg bits
+    i = jnp.arange(pmax, dtype=jnp.uint32)
+    probes = h[..., None] ^ (jnp.uint32(1) << i)
+    limit = 32 - clz(h) - layout.seg_bits           # [B, L]
+    valid = i[None, None, :].astype(jnp.int32) < limit[..., None]
+    return probes, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "steps", "m_cap", "k", "multiprobe", "exclude_self"),
+)
+def query_dense(
+    state: ForestState,
+    queries: jax.Array,          # f32[B, D]
+    query_ids: jax.Array,        # i32[B] (-1 = no self-exclusion for that row)
+    layout: KeyLayout,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched ANN query. Returns (ids i32[B,k], scores f32[B,k],
+    n_candidates i32[B]). ids are user vector ids; -1 pads short results."""
+    h = hash_dense(state.model, queries)                        # [B, L] u32
+    home = partition_of_hash(h, state.part_proj)                # [B, L] i32
+    b, l = h.shape
+
+    # step-wise partition fan-out (P3): static pattern list
+    patterns = jnp.asarray(
+        stepwise_patterns(layout.partition_bits, steps), dtype=jnp.uint32
+    )                                                           # [S]
+    s = patterns.shape[0]
+    parts = home.astype(jnp.uint32)[..., None] ^ patterns[None, None, :]  # [B,L,S]
+
+    probes, probe_valid = _probe_hashes(h, layout, multiprobe)  # [B, L, P]
+    p = probes.shape[-1]
+
+    # composite probe keys [B, L, S, P]; seg always comes from the original
+    # h (probe flips never touch seg bits: i < bucket_bits)
+    probe_keys = composite_keys(
+        probes[:, :, None, :], parts[..., None].astype(jnp.int32), layout
+    )
+    r = l * s * p
+    probe_keys = probe_keys.reshape(b, r)
+    table_of = jnp.repeat(jnp.arange(l, dtype=jnp.int32), s * p)  # [R]
+
+    start, length = lookup_ranges(state.tables, probe_keys, table_of)
+    valid_r = jnp.broadcast_to(probe_valid[:, :, None, :], (b, l, s, p)).reshape(b, r)
+    length = jnp.where(valid_r, length, 0)
+
+    # ragged flatten (SURVEY.md §7 hard part (b)): fixed M_cap slots
+    cum = jnp.cumsum(length, axis=1)                            # [B, R]
+    total = cum[:, -1]
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    r_of_m = jax.vmap(lambda c: jnp.searchsorted(c, m, side="right"))(cum)
+    r_of_m = jnp.minimum(r_of_m, r - 1).astype(jnp.int32)       # [B, M]
+    prev = jnp.where(
+        r_of_m > 0,
+        jnp.take_along_axis(cum, jnp.maximum(r_of_m - 1, 0), axis=1),
+        0,
+    )
+    off = m[None, :] - prev
+    pos = jnp.take_along_axis(start, r_of_m, axis=1) + off
+    slot_table = table_of[r_of_m]                               # [B, M]
+    cand = state.tables.sorted_ids[
+        slot_table, jnp.clip(pos, 0, state.tables.capacity - 1)
+    ]
+    slot_valid = m[None, :] < jnp.minimum(total, m_cap)[:, None]
+    cand = jnp.where(slot_valid & (cand >= 0), cand, -1)
+
+    if exclude_self:
+        cand_uid = state.row_ids[jnp.maximum(cand, 0)]
+        cand = jnp.where(
+            (cand >= 0) & (cand_uid == query_ids[:, None]), -1, cand
+        )
+
+    cand = rerank_ops.dedup_sorted(cand)
+    rows, scores = rerank_ops.rerank_dense(state.corpus, cand, queries, k)
+    ids = jnp.where(rows >= 0, state.row_ids[jnp.maximum(rows, 0)], -1)
+    return ids, scores, jnp.minimum(total, m_cap)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing forest
+# ---------------------------------------------------------------------------
+
+
+class RDFForest:
+    """Host orchestrator for a dense forest (the `DensevectorRDFInit`
+    equivalent at the index layer; the deploy layer wraps this with the
+    reference's method names)."""
+
+    def __init__(
+        self,
+        conf: RDFConfig,
+        model: Optional[HashModel] = None,
+        seed: Optional[int] = None,
+    ):
+        self.conf = conf
+        self.layout = KeyLayout.from_config(conf, conf.lsh_table)
+        self.model = model if model is not None else generate_model(conf, seed)
+        self.part_proj = generate_partition_projections(conf, seed)
+        self.state: Optional[ForestState] = None
+        self._pending: list = []
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self, batch: DenseBatch) -> "RDFForest":
+        self.state = fit_dense(
+            self.conf, batch, model=self.model, part_proj=self.part_proj
+        )
+        return self
+
+    def add(self, batch: DenseBatch) -> "RDFForest":
+        """Incremental insert: accumulate and rebuild. The reference supports
+        point `put`s into the trie (`RandomDrawTreeMap.put:1557`); the array
+        encoding instead re-sorts — a full rebuild is a single device sort,
+        far cheaper than the reference's per-point path."""
+        if self.state is None:
+            return self.fit(batch)
+        old_n = int(jnp.sum(self.state.row_ids >= 0))
+        values = np.concatenate(
+            [np.asarray(self.state.corpus[:old_n]), batch.values], axis=0
+        )
+        ids = np.concatenate(
+            [np.asarray(self.state.row_ids[:old_n]), batch.ids], axis=0
+        )
+        return self.fit(DenseBatch(ids, values))
+
+    # -- query -------------------------------------------------------------
+    def query(
+        self,
+        queries: np.ndarray,
+        steps: int = 0,
+        query_ids: Optional[np.ndarray] = None,
+        k: Optional[int] = None,
+        multiprobe: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch query; chunks the batch on host to bound device memory.
+        Returns (ids [Q,k], scores [Q,k])."""
+        assert self.state is not None, "need to fit the data first"
+        k = k or self.conf.top_k
+        queries = np.asarray(queries, dtype=np.float32)
+        q = queries.shape[0]
+        exclude = query_ids is not None
+        qids = (
+            np.asarray(query_ids, dtype=np.int32)
+            if query_ids is not None
+            else np.full((q,), -1, dtype=np.int32)
+        )
+        bs = self.conf.query_batch_size
+        out_ids, out_scores = [], []
+        for s0 in range(0, q, bs):
+            s1 = min(s0 + bs, q)
+            pad = bs - (s1 - s0)
+            qc = np.pad(queries[s0:s1], ((0, pad), (0, 0)))
+            ic = np.pad(qids[s0:s1], (0, pad), constant_values=-1)
+            ids, scores, _ = query_dense(
+                self.state,
+                jnp.asarray(qc),
+                jnp.asarray(ic),
+                self.layout,
+                steps=steps,
+                m_cap=self.conf.max_candidates,
+                k=k,
+                multiprobe=multiprobe,
+                exclude_self=exclude,
+            )
+            out_ids.append(np.asarray(ids[: s1 - s0]))
+            out_scores.append(np.asarray(scores[: s1 - s0]))
+        return np.concatenate(out_ids), np.concatenate(out_scores)
+
+    # -- introspection ------------------------------------------------------
+    def size(self) -> int:
+        if self.state is None:
+            return 0
+        return int(jnp.sum(self.state.row_ids >= 0))
+
+    def index_bytes_per_vector(self) -> float:
+        assert self.state is not None
+        return self.state.tables.index_bytes() / max(1, self.size())
+
+    def sub_index_distribution(self) -> np.ndarray:
+        """Objects per (table, sub-index) — the reference's
+        `allSubIndexObjectsNumberDistribution` (`RandomDrawTreeMap.java:
+        2793-2802`) / `getDtAndHtNumDistribution`."""
+        assert self.state is not None
+        keys = np.asarray(self.state.tables.sorted_keys)
+        ids = np.asarray(self.state.tables.sorted_ids)
+        parts = (keys >> (self.layout.seg_bits + self.layout.consumed_bits)).astype(
+            np.int64
+        )
+        l = keys.shape[0]
+        np_parts = 1 << self.layout.partition_bits
+        dist = np.zeros((l, np_parts), dtype=np.int64)
+        for t in range(l):
+            vals, counts = np.unique(parts[t][ids[t] >= 0], return_counts=True)
+            dist[t, vals] = counts
+        return dist

@@ -1,0 +1,167 @@
+"""End-to-end forest parity vs the scalar oracle, plus recall sanity —
+the TPU analogue of the reference's `TestSingleRDFSuite.scala` experiments."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import oracle
+from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+from similaritysearchbyrdf_tpu.index.forest import RDFForest, query_dense
+from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+
+def _conf(**kw):
+    base = dict(
+        vector_dim=24,
+        table_num=3,
+        permutation_num=2,
+        family_size=30,
+        partition_bits=2,
+        lsh_table=TableConfig(chain_length=12, bucket_overflow=16),
+        query_batch_size=32,
+        max_candidates=2048,
+        seed=7,
+    )
+    base.update(kw)
+    return RDFConfig(**base)
+
+
+def _clustered_data(rng, n=1200, d=24, n_clusters=30):
+    centers = rng.normal(size=(n_clusters, d))
+    assign = rng.integers(0, n_clusters, size=n)
+    x = centers[assign] + 0.15 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def _oracle_query(forest, queries, steps, multiprobe, k, query_ids=None):
+    """Full oracle pipeline: per-table hash+partition via device kernels
+    (already unit-tested for parity), then scalar bucket/probe/dedup/rerank."""
+    from similaritysearchbyrdf_tpu.ops.hashing import hash_dense
+    from similaritysearchbyrdf_tpu.index.partitioner import partition_of_hash
+
+    state = forest.state
+    lay = forest.layout
+    h = np.asarray(hash_dense(state.model, jnp.asarray(queries)))
+    homes = np.asarray(partition_of_hash(jnp.asarray(h), state.part_proj))
+    sk = np.asarray(state.tables.sorted_keys)
+    si = np.asarray(state.tables.sorted_ids)
+    corpus = np.asarray(state.corpus)
+    row_ids = np.asarray(state.row_ids)
+    results = []
+    for b in range(queries.shape[0]):
+        cand_rows = oracle.query_candidates(
+            [sk[t] for t in range(sk.shape[0])],
+            [si[t] for t in range(sk.shape[0])],
+            h[b], homes[b], lay.partition_bits, lay.seg_bits,
+            lay.bits_per_level, lay.num_levels,
+            forest.conf.lsh_table.bucket_overflow, steps, multiprobe,
+        )
+        exclude = -1
+        if query_ids is not None:
+            # exclusion is by user id
+            cand_rows = {r for r in cand_rows if row_ids[r] != query_ids[b]}
+        top_rows = oracle.exact_topk(corpus, cand_rows, queries[b], k, exclude)
+        results.append([int(row_ids[r]) for r in top_rows])
+    return results
+
+
+def test_query_matches_oracle_no_probe():
+    rng = np.random.default_rng(0)
+    x = _clustered_data(rng)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    q = x[:24]
+    ids, scores = forest.query(q, steps=0, multiprobe=False)
+    expect = _oracle_query(forest, q, steps=0, multiprobe=False, k=conf.top_k)
+    for b in range(len(q)):
+        got = [i for i in ids[b] if i >= 0]
+        assert got == expect[b], b
+
+
+def test_query_matches_oracle_multiprobe_steps():
+    rng = np.random.default_rng(1)
+    x = _clustered_data(rng, n=800)
+    conf = _conf(max_candidates=4096)
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    q = x[10:26]
+    for steps in (0, 1):
+        ids, scores = forest.query(q, steps=steps, multiprobe=True)
+        expect = _oracle_query(forest, q, steps=steps, multiprobe=True, k=conf.top_k)
+        for b in range(len(q)):
+            got = [i for i in ids[b] if i >= 0]
+            assert got == expect[b], (steps, b)
+
+
+def test_query_excludes_self():
+    rng = np.random.default_rng(2)
+    x = _clustered_data(rng, n=600)
+    conf = _conf()
+    qids = np.arange(len(x), dtype=np.int32)
+    forest = RDFForest(conf).fit(DenseBatch(qids, x))
+    q = x[:16]
+    ids, _ = forest.query(q, steps=0, query_ids=qids[:16])
+    for b in range(16):
+        assert qids[b] not in set(ids[b].tolist())
+    expect = _oracle_query(forest, q, steps=0, multiprobe=True,
+                           k=conf.top_k, query_ids=qids[:16])
+    for b in range(16):
+        got = [i for i in ids[b] if i >= 0]
+        assert got == expect[b], b
+
+
+def test_stepwise_grows_candidates():
+    """More steps must never shrink the candidate set — mirrors the
+    reference's step-wise growth experiment (`TestSingleRDFSuite.scala:95`)."""
+    rng = np.random.default_rng(3)
+    x = _clustered_data(rng, n=1000)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    q = x[:16]
+    totals = []
+    for steps in (0, 1, 2):
+        _, _, ncand = query_dense(
+            forest.state, jnp.asarray(q),
+            jnp.full((16,), -1, dtype=jnp.int32), forest.layout,
+            steps=steps, m_cap=conf.max_candidates, k=10,
+        )
+        totals.append(np.asarray(ncand))
+    assert (totals[1] >= totals[0]).all()
+    assert (totals[2] >= totals[1]).all()
+
+
+def test_recall_reasonable_on_clustered_data():
+    rng = np.random.default_rng(4)
+    x = _clustered_data(rng, n=2000, n_clusters=40)
+    conf = _conf(table_num=6, permutation_num=2)
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    q = x[:64]
+    ids, _ = forest.query(q, steps=1, query_ids=np.arange(64))
+    sims = q @ x.T
+    recall = 0.0
+    for i in range(64):
+        order = np.argsort(-sims[i], kind="stable")
+        gt = [j for j in order if j != i][:10]
+        recall += len(set(gt) & set(int(v) for v in ids[i] if v >= 0)) / 10
+    recall /= 64
+    assert recall > 0.5, recall
+
+
+def test_add_incremental():
+    rng = np.random.default_rng(5)
+    x = _clustered_data(rng, n=500)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(300, dtype=np.int32), x[:300]))
+    forest.add(DenseBatch(np.arange(300, 500, dtype=np.int32), x[300:]))
+    assert forest.size() == 500
+    ids, _ = forest.query(x[:8], steps=0)
+    assert (np.asarray(ids) >= -1).all()
+
+
+def test_empty_and_tiny_corpus():
+    conf = _conf()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(3, 24)).astype(np.float32)
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(3, dtype=np.int32), x))
+    ids, scores = forest.query(x, steps=0)
+    assert ids.shape == (3, conf.top_k)
