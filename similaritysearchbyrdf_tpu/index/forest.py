@@ -175,25 +175,19 @@ def _probe_hashes(
     return probes, valid
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("layout", "steps", "m_cap", "k", "multiprobe", "exclude_self"),
-)
-def query_dense(
-    state: ForestState,
-    queries: jax.Array,          # f32[B, D]
-    query_ids: jax.Array,        # i32[B] (-1 = no self-exclusion for that row)
+def gather_candidates(
+    tables: BucketTables,
+    h: jax.Array,                # u32[B, L]
+    home: jax.Array,             # i32[B, L]
     layout: KeyLayout,
-    steps: int = 0,
-    m_cap: int = 4096,
-    k: int = 10,
-    multiprobe: bool = True,
-    exclude_self: bool = True,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched ANN query. Returns (ids i32[B,k], scores f32[B,k],
-    n_candidates i32[B]). ids are user vector ids; -1 pads short results."""
-    h = hash_dense(state.model, queries)                        # [B, L] u32
-    home = partition_of_hash(h, state.part_proj)                # [B, L] i32
+    steps: int,
+    m_cap: int,
+    multiprobe: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Probe fan-out → bucket ranges → ragged flatten into a fixed candidate
+    buffer. Returns (cand i32[B, m_cap] row positions with -1 invalid,
+    total i32[B] pre-cap candidate count). Shared by the dense, sparse and
+    sharded query paths."""
     b, l = h.shape
 
     # step-wise partition fan-out (P3): static pattern list
@@ -215,7 +209,7 @@ def query_dense(
     probe_keys = probe_keys.reshape(b, r)
     table_of = jnp.repeat(jnp.arange(l, dtype=jnp.int32), s * p)  # [R]
 
-    start, length = lookup_ranges(state.tables, probe_keys, table_of)
+    start, length = lookup_ranges(tables, probe_keys, table_of)
     valid_r = jnp.broadcast_to(probe_valid[:, :, None, :], (b, l, s, p)).reshape(b, r)
     length = jnp.where(valid_r, length, 0)
 
@@ -233,22 +227,48 @@ def query_dense(
     off = m[None, :] - prev
     pos = jnp.take_along_axis(start, r_of_m, axis=1) + off
     slot_table = table_of[r_of_m]                               # [B, M]
-    cand = state.tables.sorted_ids[
-        slot_table, jnp.clip(pos, 0, state.tables.capacity - 1)
-    ]
+    cand = tables.sorted_ids[slot_table, jnp.clip(pos, 0, tables.capacity - 1)]
     slot_valid = m[None, :] < jnp.minimum(total, m_cap)[:, None]
     cand = jnp.where(slot_valid & (cand >= 0), cand, -1)
+    return cand, jnp.minimum(total, m_cap)
 
+
+def _exclude_self(cand: jax.Array, row_ids: jax.Array, query_ids: jax.Array) -> jax.Array:
+    """Drop candidates whose *user id* equals the query's key — the
+    reference excludes the query key from its own bucket chain
+    (`searchWithSimilarity`, `RandomDrawTreeMap.java:982`)."""
+    cand_uid = row_ids[jnp.maximum(cand, 0)]
+    return jnp.where((cand >= 0) & (cand_uid == query_ids[:, None]), -1, cand)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "steps", "m_cap", "k", "multiprobe", "exclude_self"),
+)
+def query_dense(
+    state: ForestState,
+    queries: jax.Array,          # f32[B, D]
+    query_ids: jax.Array,        # i32[B] (-1 = no self-exclusion for that row)
+    layout: KeyLayout,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched ANN query. Returns (ids i32[B,k], scores f32[B,k],
+    n_candidates i32[B]). ids are user vector ids; -1 pads short results."""
+    h = hash_dense(state.model, queries)                        # [B, L] u32
+    home = partition_of_hash(h, state.part_proj)                # [B, L] i32
+    cand, total = gather_candidates(
+        state.tables, h, home, layout, steps, m_cap, multiprobe
+    )
     if exclude_self:
-        cand_uid = state.row_ids[jnp.maximum(cand, 0)]
-        cand = jnp.where(
-            (cand >= 0) & (cand_uid == query_ids[:, None]), -1, cand
-        )
-
+        cand = _exclude_self(cand, state.row_ids, query_ids)
     cand = rerank_ops.dedup_sorted(cand)
     rows, scores = rerank_ops.rerank_dense(state.corpus, cand, queries, k)
     ids = jnp.where(rows >= 0, state.row_ids[jnp.maximum(rows, 0)], -1)
-    return ids, scores, jnp.minimum(total, m_cap)
+    return ids, scores, total
 
 
 # ---------------------------------------------------------------------------

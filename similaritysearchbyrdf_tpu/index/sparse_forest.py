@@ -1,0 +1,246 @@
+"""Sparse-vector forest — the `SparsevectorRDFInit` capability on TPU.
+
+The reference's sparse path (`SparsevectorRDFInit.scala`,
+`RandomDrawTreeMap.getSimilarWithStepWiseFaster` sparse overload
+`RandomDrawTreeMap.java:686-732`) differs from the dense path in two ways:
+hashing uses the sparse dot (BitSet intersect in the reference) and the
+query does step-wise partition fan-out but NO multi-probe. Both are
+reproduced here over the padded-COO batch layout (SURVEY.md §7 hard part (c):
+fixed-nnz padding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RDFConfig
+from ..models.families import HashModel, generate_model
+from ..ops import rerank as rerank_ops
+from ..ops.hashing import hash_sparse, hash_sparse_densify
+from ..vectors import SparseBatch
+from .bucket_table import BucketTables, KeyLayout, build_tables, composite_keys
+from .forest import _pad_to, gather_candidates, _exclude_self
+from .partitioner import generate_partition_projections, partition_of_hash
+
+
+# When the dimensionality is small enough, scattering the batch dense and
+# using the MXU beats the gather path.
+_DENSIFY_DIM_LIMIT = 4096
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseForestState:
+    model: HashModel
+    part_proj: jax.Array         # f32[L, pbits, 32]
+    tables: BucketTables
+    corpus_indices: jax.Array    # i32[Npad, NNZ]
+    corpus_values: jax.Array     # f32[Npad, NNZ]
+    row_ids: jax.Array           # i32[Npad]
+
+    @property
+    def capacity(self) -> int:
+        return self.corpus_indices.shape[0]
+
+
+def _hash_batch(model: HashModel, idx: jax.Array, val: jax.Array, dim: int) -> jax.Array:
+    if dim <= _DENSIFY_DIM_LIMIT:
+        return hash_sparse_densify(model, idx, val)
+    return hash_sparse(model, idx, val)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "chunk", "dim"))
+def _keys_for_sparse_corpus(
+    model: HashModel,
+    part_proj: jax.Array,
+    indices: jax.Array,       # i32[Npad, NNZ]
+    values: jax.Array,        # f32[Npad, NNZ]
+    valid: jax.Array,         # bool[Npad]
+    layout: KeyLayout,
+    chunk: int,
+    dim: int,
+) -> jax.Array:
+    n = indices.shape[0]
+    n_chunks = n // chunk
+
+    def one(args):
+        ic, vc = args
+        h = _hash_batch(model, ic, vc, dim)
+        p = partition_of_hash(h, part_proj)
+        return composite_keys(h, p, layout)
+
+    keys = jax.lax.map(
+        one,
+        (
+            indices.reshape(n_chunks, chunk, -1),
+            values.reshape(n_chunks, chunk, -1),
+        ),
+    )
+    keys = keys.reshape(n, -1)
+    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    return keys.T
+
+
+def fit_sparse(
+    conf: RDFConfig,
+    batch: SparseBatch,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+    nb_pad: Optional[int] = None,
+) -> SparseForestState:
+    """Build a forest over a sparse corpus — replacement for
+    `SparsevectorRDFInit.newMultiThreadFit` (`SparsevectorRDFInit.scala:
+    124-200`)."""
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    model = model if model is not None else generate_model(conf)
+    part_proj = (
+        part_proj if part_proj is not None else generate_partition_projections(conf)
+    )
+    n = batch.n
+    chunk = min(conf.fit_batch_size, _pad_to(n, 256))
+    npad = _pad_to(n, chunk)
+    idx = np.zeros((npad, batch.nnz_pad), dtype=np.int32)
+    val = np.zeros((npad, batch.nnz_pad), dtype=np.float32)
+    idx[:n] = batch.indices
+    val[:n] = batch.values
+    row_ids = np.full((npad,), -1, dtype=np.int32)
+    row_ids[:n] = batch.ids
+    valid = np.zeros((npad,), dtype=bool)
+    valid[:n] = True
+
+    idx_d, val_d = jnp.asarray(idx), jnp.asarray(val)
+    keys = _keys_for_sparse_corpus(
+        model, part_proj, idx_d, val_d, jnp.asarray(valid), layout, chunk,
+        batch.size,
+    )
+    ids = jnp.broadcast_to(
+        jnp.where(jnp.asarray(valid), jnp.arange(npad, dtype=jnp.int32), -1)[None, :],
+        keys.shape,
+    )
+    tables = build_tables(
+        keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
+    )
+    return SparseForestState(
+        model=model,
+        part_proj=part_proj,
+        tables=tables,
+        corpus_indices=idx_d,
+        corpus_values=val_d,
+        row_ids=jnp.asarray(row_ids),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self"
+    ),
+)
+def query_sparse(
+    state: SparseForestState,
+    q_indices: jax.Array,        # i32[B, NNZq]
+    q_values: jax.Array,         # f32[B, NNZq]
+    query_ids: jax.Array,        # i32[B]
+    layout: KeyLayout,
+    dim: int,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = False,    # the reference's sparse path has no probes
+    exclude_self: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    h = _hash_batch(state.model, q_indices, q_values, dim)
+    home = partition_of_hash(h, state.part_proj)
+    cand, total = gather_candidates(
+        state.tables, h, home, layout, steps, m_cap, multiprobe
+    )
+    if exclude_self:
+        cand = _exclude_self(cand, state.row_ids, query_ids)
+    cand = rerank_ops.dedup_sorted(cand)
+
+    # densified query side for the correct sparse·sparse dot
+    b, nnzq = q_indices.shape
+    q_dense = jnp.zeros((b, dim), dtype=jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, nnzq))
+    q_dense = q_dense.at[rows, q_indices].add(q_values)
+
+    rows_out, scores = rerank_ops.rerank_sparse(
+        state.corpus_indices, state.corpus_values, cand, q_dense, k
+    )
+    ids = jnp.where(rows_out >= 0, state.row_ids[jnp.maximum(rows_out, 0)], -1)
+    return ids, scores, total
+
+
+class SparseRDFForest:
+    """Host orchestrator for the sparse forest."""
+
+    def __init__(
+        self,
+        conf: RDFConfig,
+        model: Optional[HashModel] = None,
+        seed: Optional[int] = None,
+    ):
+        self.conf = conf
+        self.layout = KeyLayout.from_config(conf, conf.lsh_table)
+        self.model = model if model is not None else generate_model(conf, seed)
+        self.part_proj = generate_partition_projections(conf, seed)
+        self.state: Optional[SparseForestState] = None
+        self.dim = conf.vector_dim
+
+    def fit(self, batch: SparseBatch) -> "SparseRDFForest":
+        self.dim = batch.size
+        self.state = fit_sparse(
+            self.conf, batch, model=self.model, part_proj=self.part_proj
+        )
+        return self
+
+    def query(
+        self,
+        queries: SparseBatch,
+        steps: int = 0,
+        query_ids: Optional[np.ndarray] = None,
+        k: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.state is not None, "need to fit the data first"
+        k = k or self.conf.top_k
+        q = queries.n
+        exclude = query_ids is not None
+        qids = (
+            np.asarray(query_ids, dtype=np.int32)
+            if query_ids is not None
+            else np.full((q,), -1, dtype=np.int32)
+        )
+        bs = self.conf.query_batch_size
+        out_ids, out_scores = [], []
+        for s0 in range(0, q, bs):
+            s1 = min(s0 + bs, q)
+            pad = bs - (s1 - s0)
+            qi = np.pad(queries.indices[s0:s1], ((0, pad), (0, 0)))
+            qv = np.pad(queries.values[s0:s1], ((0, pad), (0, 0)))
+            ic = np.pad(qids[s0:s1], (0, pad), constant_values=-1)
+            ids, scores, _ = query_sparse(
+                self.state,
+                jnp.asarray(qi),
+                jnp.asarray(qv),
+                jnp.asarray(ic),
+                self.layout,
+                self.dim,
+                steps=steps,
+                m_cap=self.conf.max_candidates,
+                k=k,
+                exclude_self=exclude,
+            )
+            out_ids.append(np.asarray(ids[: s1 - s0]))
+            out_scores.append(np.asarray(scores[: s1 - s0]))
+        return np.concatenate(out_ids), np.concatenate(out_scores)
+
+    def size(self) -> int:
+        if self.state is None:
+            return 0
+        return int(jnp.sum(self.state.row_ids >= 0))

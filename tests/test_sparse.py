@@ -1,0 +1,115 @@
+"""Sparse forest path: hash/bucket/query semantics + front-end."""
+
+import numpy as np
+
+from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+from similaritysearchbyrdf_tpu.deploy.sparse import SparseRDFInit
+from similaritysearchbyrdf_tpu.index.sparse_forest import SparseRDFForest
+from similaritysearchbyrdf_tpu.vectors import SparseBatch, sparse_batch_from_rows
+
+
+def _conf(**kw):
+    base = dict(
+        vector_dim=64,
+        table_num=4,
+        permutation_num=1,
+        family_size=30,
+        partition_bits=2,
+        lsh_table=TableConfig(chain_length=10, bucket_overflow=16),
+        query_batch_size=16,
+        max_candidates=1024,
+        feature_data_format="sparse",
+        seed=11,
+    )
+    base.update(kw)
+    return RDFConfig(**base)
+
+
+def _sparse_clustered(rng, n=600, d=64, nnz=8, n_clusters=15):
+    centers = [rng.choice(d, size=nnz, replace=False) for _ in range(n_clusters)]
+    rows, ids = [], []
+    for i in range(n):
+        c = int(rng.integers(0, n_clusters))
+        idx = np.sort(centers[c])
+        val = 1.0 + 0.1 * rng.normal(size=nnz)
+        rows.append((idx, val.astype(np.float64)))
+        ids.append(i)
+    return sparse_batch_from_rows(ids, d, rows, nnz_pad=nnz)
+
+
+def test_sparse_fit_query_recall():
+    rng = np.random.default_rng(0)
+    batch = _sparse_clustered(rng)
+    conf = _conf()
+    forest = SparseRDFForest(conf).fit(batch)
+    assert forest.size() == 600
+    q = batch.slice(0, 32)
+    ids, scores = forest.query(q, steps=1, query_ids=batch.ids[:32])
+    dense = batch.densify().values
+    sims = dense[:32] @ dense.T
+    recall = 0.0
+    for i in range(32):
+        order = np.argsort(-sims[i], kind="stable")
+        gt = [j for j in order if j != i][:10]
+        recall += len(set(gt) & set(int(v) for v in ids[i] if v >= 0)) / 10
+    assert recall / 32 > 0.4, recall / 32
+
+
+def test_sparse_query_excludes_self():
+    rng = np.random.default_rng(1)
+    batch = _sparse_clustered(rng, n=300)
+    forest = SparseRDFForest(_conf()).fit(batch)
+    q = batch.slice(0, 8)
+    ids, _ = forest.query(q, steps=0, query_ids=batch.ids[:8])
+    for i in range(8):
+        assert int(batch.ids[i]) not in set(int(v) for v in ids[i])
+
+
+def test_sparse_front_end(tmp_path):
+    # write a sparse file in the reference's text format
+    rng = np.random.default_rng(2)
+    batch = _sparse_clustered(rng, n=200)
+    lines = []
+    for i in range(batch.n):
+        k = int(batch.lengths[i])
+        idx = ",".join(str(int(x)) for x in batch.indices[i, :k])
+        val = ",".join(repr(float(x)) for x in batch.values[i, :k])
+        lines.append(f"({int(batch.ids[i])},{batch.size},[{idx}],[{val}])")
+    p = tmp_path / "sparse.txt"
+    p.write_text("\n".join(lines))
+
+    front = SparseRDFInit()
+    conf = _conf()
+    front.initialize_rdf_hash_map(conf)
+    loaded = front.new_fast_fit(str(p))
+    assert loaded.n == 200
+    res = front.query_single_key(0, steps=1)
+    assert res is not None
+    ids, precision, ms = front.top_k_and_precision_score(
+        loaded, [set(range(10)) for _ in range(8)], conf, steps=1
+    )
+    assert ids.shape == (8, conf.top_k)
+    assert 0.0 <= precision <= 1.0
+
+
+def test_sparse_rerank_correct_dot():
+    """The re-rank must compute the true sparse dot (NOT the reference's
+    positional-zip sparse·dense bug, SURVEY.md §7(f))."""
+    conf = _conf(table_num=2, lsh_table=TableConfig(chain_length=4, bucket_overflow=64))
+    rows = [
+        (np.array([0, 1]), np.array([1.0, 1.0])),
+        (np.array([2, 3]), np.array([1.0, 1.0])),
+        (np.array([0, 3]), np.array([2.0, 2.0])),
+    ]
+    batch = sparse_batch_from_rows([0, 1, 2], 64, rows, nnz_pad=4)
+    forest = SparseRDFForest(conf).fit(batch)
+    q = sparse_batch_from_rows([9], 64, [(np.array([0, 1]), np.array([1.0, 1.0]))],
+                               nnz_pad=4)
+    ids, scores = forest.query(q, steps=2, k=3)
+    got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
+    # scores must match exact dots: id0 → 2.0, id2 → 2.0, id1 → 0 (likely
+    # not even a candidate)
+    if 0 in got:
+        assert abs(got[0] - 2.0) < 1e-5
+    if 2 in got:
+        assert abs(got[2] - 2.0) < 1e-5
