@@ -1,0 +1,123 @@
+"""Benchmark: QPS at recall@10 on a GloVe-100d-shaped workload, one chip.
+
+Mirrors the reference's README smoke workload (GloVe twitter 100d, 20k
+vectors, batch top-10 query — `/root/reference/README.md:31-43`,
+`TestSingleRDFSuite.scala:24-61`) with the canonical index config
+(tableNum=10, permutationNum=3, chainLength=32, bufferOverflow=500,
+partitionBits=3 — `TestSettings.scala:19-45`). The corpus is synthetic
+(zero-egress environment): a clustered mixture matching GloVe-like geometry,
+with exact inner-product ground truth computed on device.
+
+Baseline: the reference's published curve (results.png, Fig. 5) shows DPF at
+~25 s per 1000 top-10 queries at recall ~0.9 on GloVe → ~40 QPS on a 32
+GB-heap CPU host. vs_baseline is measured QPS / 40.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_CORPUS = 20_000
+N_QUERY = 1_000
+DIM = 100
+TOP_K = 10
+BASELINE_QPS = 40.0
+STEPS = 0
+
+
+def make_data(seed=42):
+    rng = np.random.default_rng(seed)
+    n_clusters = 256
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=N_CORPUS)
+    x = centers[assign] + 0.35 * rng.normal(size=(N_CORPUS, DIM))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=DIM,
+        table_num=10,
+        permutation_num=3,
+        family_size=100,
+        partition_bits=3,
+        lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
+        query_batch_size=256,
+        max_candidates=4096,
+        top_k=TOP_K,
+        seed=31258,
+    )
+
+    x = make_data()
+    ids = np.arange(N_CORPUS, dtype=np.int32)
+    queries = x[:N_QUERY]
+    qids = ids[:N_QUERY]
+
+    # exact ground truth (self excluded) on device
+    xd = jnp.asarray(x)
+    qd = jnp.asarray(queries)
+    sims = qd @ xd.T
+    sims = sims.at[jnp.arange(N_QUERY), jnp.arange(N_QUERY)].set(-jnp.inf)
+    _, gt = jax.lax.top_k(sims, TOP_K)
+    gt = np.asarray(gt)
+
+    forest = RDFForest(conf)
+
+    # --- index build ---
+    t0 = time.perf_counter()
+    forest.fit(DenseBatch(ids, x))
+    jax.block_until_ready(forest.state.tables.sorted_keys)
+    build_s = time.perf_counter() - t0
+    build_vps = N_CORPUS / build_s
+
+    # --- warmup (compile) ---
+    forest.query(queries[: conf.query_batch_size], steps=STEPS,
+                 query_ids=qids[: conf.query_batch_size])
+
+    # --- timed queries ---
+    t0 = time.perf_counter()
+    got_ids, _ = forest.query(queries, steps=STEPS, query_ids=qids)
+    query_s = time.perf_counter() - t0
+    qps = N_QUERY / query_s
+
+    # --- recall@10 ---
+    recall = 0.0
+    for i in range(N_QUERY):
+        recall += len(set(gt[i].tolist()) & set(int(v) for v in got_ids[i] if v >= 0))
+    recall /= N_QUERY * TOP_K
+
+    bytes_per_vec = forest.index_bytes_per_vector()
+
+    print(
+        json.dumps(
+            {
+                "metric": "glove100d_20k_qps_at_recall10",
+                "value": round(qps, 2),
+                "unit": "qps",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "recall_at_10": round(recall, 4),
+                "build_vectors_per_sec": round(build_vps, 1),
+                "index_bytes_per_vector": round(bytes_per_vec, 1),
+                "steps": STEPS,
+                "query_time_s_per_1000": round(query_s * 1000.0 / N_QUERY, 4),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

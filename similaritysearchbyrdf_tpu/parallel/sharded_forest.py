@@ -1,0 +1,307 @@
+"""Mesh-sharded forest: corpus shards per device, ICI top-k merge.
+
+The distributed design the reference paper sketches (content-partitioned
+sub-indexes spread over nodes; Akka remoting configured but dead in the code,
+SURVEY.md §2.5 P7) rebuilt the TPU way (SURVEY.md §7.5):
+
+  * the corpus is sharded across a 1-D `Mesh` axis; every device builds a
+    complete forest (all L tables) over its rows — building needs zero
+    communication;
+  * a query batch is replicated; candidate generation + exact re-rank are
+    shard-local (the heavy part rides on-chip memory bandwidth);
+  * the only collective is one `all_gather` of per-shard top-k (k·ndev tiny
+    rows) over ICI, followed by a replicated merge top-k.
+
+State arrays carry a leading device axis sharded with
+`PartitionSpec('shard')`, so the same pytree works single-host (virtual CPU
+mesh) and multi-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RDFConfig
+from ..index.bucket_table import (
+    BucketTables,
+    KeyLayout,
+    _compact_buckets,
+    _sort_and_depths,
+    composite_keys,
+)
+from ..index.forest import _exclude_self, _pad_to, gather_candidates
+from ..index.partitioner import generate_partition_projections, partition_of_hash
+from ..models.families import HashModel, generate_model
+from ..ops import rerank as rerank_ops
+from ..ops.hashing import hash_dense
+from ..vectors import DenseBatch
+from .mesh import SHARD_AXIS, make_forest_mesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedForestState:
+    """Per-device forest shards; every array has a leading [ndev] axis
+    sharded over the mesh."""
+
+    model: HashModel            # replicated
+    part_proj: jax.Array        # replicated f32[L, pbits, 32]
+    sorted_keys: jax.Array      # u32[ndev, L, Nloc]
+    sorted_ids: jax.Array       # i32[ndev, L, Nloc]
+    bucket_keys: jax.Array      # u32[ndev, L, NB]
+    bucket_starts: jax.Array    # i32[ndev, L, NB+1]
+    bucket_shifts: jax.Array    # u32[ndev, L, NB]
+    corpus: jax.Array           # f32[ndev, Nloc, D]
+    row_ids: jax.Array          # i32[ndev, Nloc]
+
+    def local_tables(self) -> BucketTables:
+        """View of this (traced, per-shard) state's tables without the
+        device axis — call inside shard_map only."""
+        return BucketTables(
+            sorted_keys=self.sorted_keys[0],
+            sorted_ids=self.sorted_ids[0],
+            bucket_keys=self.bucket_keys[0],
+            bucket_starts=self.bucket_starts[0],
+            bucket_shifts=self.bucket_shifts[0],
+        )
+
+
+# ---------------------------------------------------------------------------
+# fit
+# ---------------------------------------------------------------------------
+
+
+def _local_fit(
+    values: jax.Array,     # [1, Nloc, D] (block of the sharded global)
+    row_ids: jax.Array,    # [1, Nloc]
+    model: HashModel,
+    part_proj: jax.Array,
+    layout: KeyLayout,
+    overflow: int,
+    nb_pad: int,
+):
+    v = values[0]
+    rid = row_ids[0]
+    valid = rid >= 0
+    h = hash_dense(model, v)                      # [Nloc, L]
+    p = partition_of_hash(h, part_proj)
+    keys = composite_keys(h, p, layout)
+    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF)).T  # [L, Nloc]
+    nloc = v.shape[0]
+    ids = jnp.broadcast_to(
+        jnp.where(valid, jnp.arange(nloc, dtype=jnp.int32), -1)[None, :], keys.shape
+    )
+    sk, si, elem_start, elem_shift = _sort_and_depths(keys, ids, layout, overflow)
+    bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
+    return (sk[None], si[None], bk[None], bs[None], bsh[None])
+
+
+def fit_sharded(
+    conf: RDFConfig,
+    batch: DenseBatch,
+    mesh: Optional[Mesh] = None,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+) -> Tuple[ShardedForestState, Mesh]:
+    """Shard the corpus over the mesh and build every shard's forest in one
+    collective-free shard_map."""
+    mesh = mesh or make_forest_mesh()
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    model = model if model is not None else generate_model(conf)
+    part_proj = (
+        part_proj if part_proj is not None else generate_partition_projections(conf)
+    )
+    ndev = mesh.shape[SHARD_AXIS]
+    n = batch.n
+    nloc = _pad_to(int(np.ceil(n / ndev)), 128)
+    values = np.zeros((ndev, nloc, batch.dim), dtype=np.float32)
+    row_ids = np.full((ndev, nloc), -1, dtype=np.int32)
+    flat_v = values.reshape(ndev * nloc, -1)
+    flat_i = row_ids.reshape(ndev * nloc)
+    flat_v[:n] = batch.values
+    flat_i[:n] = batch.ids
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    values_d = jax.device_put(values, shard)
+    row_ids_d = jax.device_put(row_ids, shard)
+
+    # NB can approach Nloc (singleton buckets with 32-bit chains); a static
+    # Nloc-sized pad keeps the build collective- and sync-free per shard.
+    nb_pad = nloc
+
+    fit_fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _local_fit,
+                layout=layout,
+                overflow=conf.lsh_table.bucket_overflow,
+                nb_pad=nb_pad,
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=(P(SHARD_AXIS),) * 5,
+        ),
+        static_argnums=(),
+    )
+    sk, si, bk, bs, bsh = fit_fn(values_d, row_ids_d, model, part_proj)
+    state = ShardedForestState(
+        model=model,
+        part_proj=part_proj,
+        sorted_keys=sk,
+        sorted_ids=si,
+        bucket_keys=bk,
+        bucket_starts=bs,
+        bucket_shifts=bsh,
+        corpus=values_d,
+        row_ids=row_ids_d,
+    )
+    return state, mesh
+
+
+# ---------------------------------------------------------------------------
+# query
+# ---------------------------------------------------------------------------
+
+
+def _local_query(
+    state: ShardedForestState,   # per-shard block (leading axes size 1)
+    queries: jax.Array,          # [B, D] replicated
+    query_ids: jax.Array,        # [B] replicated
+    layout: KeyLayout,
+    steps: int,
+    m_cap: int,
+    k: int,
+    multiprobe: bool,
+    exclude_self: bool,
+):
+    tables = state.local_tables()
+    h = hash_dense(state.model, queries)
+    home = partition_of_hash(h, state.part_proj)
+    cand, total = gather_candidates(tables, h, home, layout, steps, m_cap, multiprobe)
+    row_ids = state.row_ids[0]
+    if exclude_self:
+        cand = _exclude_self(cand, row_ids, query_ids)
+    cand = rerank_ops.dedup_sorted(cand)
+    rows, scores = rerank_ops.rerank_dense(state.corpus[0], cand, queries, k)
+    ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
+
+    # ICI merge: all-gather each shard's top-k, then a replicated merge —
+    # the collective counterpart of the reference's synchronized result-set
+    # union (`DensevectorRDFInit.scala:426-429`)
+    g_ids = jax.lax.all_gather(ids, SHARD_AXIS)        # [ndev, B, k]
+    g_scores = jax.lax.all_gather(scores, SHARD_AXIS)  # [ndev, B, k]
+    ndev = g_ids.shape[0]
+    b = queries.shape[0]
+    flat_ids = jnp.moveaxis(g_ids, 0, 1).reshape(b, ndev * k)
+    flat_scores = jnp.moveaxis(g_scores, 0, 1).reshape(b, ndev * k)
+    m_scores, m_idx = jax.lax.top_k(flat_scores, k)
+    m_ids = jnp.take_along_axis(flat_ids, m_idx, axis=1)
+    m_ids = jnp.where(m_scores > rerank_ops.NEG_INF, m_ids, -1)
+    total_all = jax.lax.psum(total, SHARD_AXIS)
+    return m_ids, m_scores, total_all
+
+
+def make_query_fn(
+    mesh: Mesh,
+    layout: KeyLayout,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+):
+    """Compile the sharded query step for a mesh. The returned function maps
+    (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
+    total [B]), all replicated outputs."""
+    state_specs = ShardedForestState(
+        model=P(),  # type: ignore[arg-type]
+        part_proj=P(),
+        sorted_keys=P(SHARD_AXIS),
+        sorted_ids=P(SHARD_AXIS),
+        bucket_keys=P(SHARD_AXIS),
+        bucket_starts=P(SHARD_AXIS),
+        bucket_shifts=P(SHARD_AXIS),
+        corpus=P(SHARD_AXIS),
+        row_ids=P(SHARD_AXIS),
+    )
+    fn = jax.shard_map(
+        functools.partial(
+            _local_query,
+            layout=layout,
+            steps=steps,
+            m_cap=m_cap,
+            k=k,
+            multiprobe=multiprobe,
+            exclude_self=exclude_self,
+        ),
+        mesh=mesh,
+        in_specs=(state_specs, P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedRDFForest:
+    """Host orchestrator for the mesh-sharded forest."""
+
+    def __init__(self, conf: RDFConfig, mesh: Optional[Mesh] = None,
+                 seed: Optional[int] = None):
+        self.conf = conf
+        self.mesh = mesh or make_forest_mesh()
+        self.layout = KeyLayout.from_config(conf, conf.lsh_table)
+        self.model = generate_model(conf, seed)
+        self.part_proj = generate_partition_projections(conf, seed)
+        self.state: Optional[ShardedForestState] = None
+        self._query_fns = {}
+
+    def fit(self, batch: DenseBatch) -> "ShardedRDFForest":
+        self.state, _ = fit_sharded(
+            self.conf, batch, self.mesh, self.model, self.part_proj
+        )
+        return self
+
+    def query(
+        self,
+        queries: np.ndarray,
+        steps: int = 0,
+        query_ids: Optional[np.ndarray] = None,
+        k: Optional[int] = None,
+        multiprobe: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.state is not None, "need to fit the data first"
+        k = k or self.conf.top_k
+        queries = np.asarray(queries, dtype=np.float32)
+        q = queries.shape[0]
+        exclude = query_ids is not None
+        qids = (
+            np.asarray(query_ids, dtype=np.int32)
+            if query_ids is not None
+            else np.full((q,), -1, dtype=np.int32)
+        )
+        bs = self.conf.query_batch_size
+        key = (steps, k, multiprobe, exclude)
+        if key not in self._query_fns:
+            self._query_fns[key] = make_query_fn(
+                self.mesh, self.layout, steps=steps,
+                m_cap=self.conf.max_candidates, k=k,
+                multiprobe=multiprobe, exclude_self=exclude,
+            )
+        fn = self._query_fns[key]
+        out_ids, out_scores = [], []
+        for s0 in range(0, q, bs):
+            s1 = min(s0 + bs, q)
+            pad = bs - (s1 - s0)
+            qc = jnp.asarray(np.pad(queries[s0:s1], ((0, pad), (0, 0))))
+            ic = jnp.asarray(np.pad(qids[s0:s1], (0, pad), constant_values=-1))
+            ids, scores, _ = fn(self.state, qc, ic)
+            out_ids.append(np.asarray(ids[: s1 - s0]))
+            out_scores.append(np.asarray(scores[: s1 - s0]))
+        return np.concatenate(out_ids), np.concatenate(out_scores)

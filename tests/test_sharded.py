@@ -1,0 +1,97 @@
+"""Mesh-sharded forest on the 8-device virtual CPU mesh: parity with the
+single-device forest (the multi-chip testing tier the reference lacks
+entirely — SURVEY.md §4 'Multi-node testing: None')."""
+
+import numpy as np
+import jax
+
+from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+from similaritysearchbyrdf_tpu.index.forest import RDFForest
+from similaritysearchbyrdf_tpu.parallel.mesh import make_forest_mesh
+from similaritysearchbyrdf_tpu.parallel.sharded_forest import ShardedRDFForest
+from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+
+def _conf(**kw):
+    base = dict(
+        vector_dim=24,
+        table_num=3,
+        permutation_num=2,
+        family_size=30,
+        partition_bits=2,
+        lsh_table=TableConfig(chain_length=12, bucket_overflow=16),
+        query_batch_size=32,
+        # parity with single-device needs the cap above the worst-case
+        # candidate count: the sharded path caps per shard, the single path
+        # caps globally
+        max_candidates=8192,
+        seed=7,
+    )
+    base.update(kw)
+    return RDFConfig(**base)
+
+
+def _data(rng, n=1200, d=24):
+    centers = rng.normal(size=(30, d))
+    x = centers[rng.integers(0, 30, n)] + 0.15 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_dominates_single_device():
+    """Per-shard buckets split shallower than one big index's (fewer points
+    per shard fit the overflow rule earlier), so each shard's candidates are
+    a superset of the single-index candidates restricted to that shard.
+    Consequence: the merged top-k scores must dominate the single-device
+    top-k scores elementwise — the guaranteed contract of data-sharded DPF
+    (the paper's distributed nodes index their own subsets the same way)."""
+    rng = np.random.default_rng(0)
+    x = _data(rng)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    conf = _conf()
+
+    sharded = ShardedRDFForest(conf).fit(batch)
+    single = RDFForest(conf)
+    single.model = sharded.model
+    single.part_proj = sharded.part_proj
+    single.fit(batch)
+
+    for steps in (0, 1):
+        ids_s, sc_s = sharded.query(x[:16], steps=steps, query_ids=np.arange(16))
+        ids_1, sc_1 = single.query(x[:16], steps=steps, query_ids=np.arange(16))
+        finite = np.isfinite(sc_1)
+        assert (sc_s[finite] >= sc_1[finite] - 1e-5).all()
+
+
+def test_sharded_on_smaller_mesh():
+    rng = np.random.default_rng(1)
+    x = _data(rng, n=700)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    conf = _conf()
+    mesh = make_forest_mesh(4)
+    sharded = ShardedRDFForest(conf, mesh=mesh).fit(batch)
+    ids, scores = sharded.query(x[:8], steps=0, query_ids=np.arange(8))
+    assert ids.shape == (8, conf.top_k)
+    single = RDFForest(conf)
+    single.model = sharded.model
+    single.part_proj = sharded.part_proj
+    single.fit(batch)
+    ids1, sc1 = single.query(x[:8], steps=0, query_ids=np.arange(8))
+    finite = np.isfinite(sc1)
+    assert (scores[finite] >= sc1[finite] - 1e-5).all()
+    # ids must be valid rows of the corpus
+    assert (ids[ids >= 0] < 700).all()
+
+
+def test_sharded_corpus_larger_than_queries():
+    """Shards with zero candidates for a query must not poison the merge."""
+    rng = np.random.default_rng(2)
+    x = _data(rng, n=300)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    sharded = ShardedRDFForest(_conf()).fit(batch)
+    ids, scores = sharded.query(x[:4], steps=0)
+    assert (np.asarray(ids) >= -1).all()
