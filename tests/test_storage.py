@@ -1,0 +1,110 @@
+"""Persistence: whole-forest save/load, bloom summaries, tiered generations
+(the checkpoint/resume subsystem — working load path the reference lacks)."""
+
+import numpy as np
+
+from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+from similaritysearchbyrdf_tpu.index.forest import RDFForest
+from similaritysearchbyrdf_tpu.storage.bloom import BloomFilter
+from similaritysearchbyrdf_tpu.storage.persist import (
+    GenerationStore,
+    TieredForest,
+    load_forest,
+    save_forest,
+)
+from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+
+def _conf(**kw):
+    base = dict(
+        vector_dim=16,
+        table_num=3,
+        permutation_num=1,
+        family_size=20,
+        partition_bits=2,
+        lsh_table=TableConfig(chain_length=10, bucket_overflow=16),
+        query_batch_size=16,
+        max_candidates=1024,
+        top_k=5,
+        seed=13,
+    )
+    base.update(kw)
+    return RDFConfig(**base)
+
+
+def _data(rng, n=400, d=16):
+    centers = rng.normal(size=(12, d))
+    x = centers[rng.integers(0, 12, n)] + 0.1 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**31, size=5000).astype(np.uint32)
+    bloom = BloomFilter.build(len(keys), fpr=0.001)
+    bloom.add(keys)
+    assert bloom.might_contain(keys).all()
+    other = rng.integers(2**31, 2**32, size=5000).astype(np.uint32)
+    fp = bloom.might_contain(other).mean()
+    assert fp < 0.02, fp
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x = _data(rng)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    ids0, sc0 = forest.query(x[:8], steps=1, query_ids=np.arange(8))
+
+    save_forest(forest, str(tmp_path / "idx"))
+    loaded = load_forest(str(tmp_path / "idx"))
+    assert loaded.size() == forest.size()
+    ids1, sc1 = loaded.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+
+def test_tiered_spill_and_merge(tmp_path):
+    """Spill an old generation, fit fresh data, query must merge both —
+    the read path the reference implements at
+    `RandomDrawTreeMap.java:583-595` but cannot resume; here resume works."""
+    rng = np.random.default_rng(2)
+    x = _data(rng, n=500)
+    conf = _conf()
+    store = GenerationStore(str(tmp_path), "gen")
+    tiered = TieredForest(conf, store)
+
+    # generation 1: first 250 vectors, then spill to disk
+    tiered.fit(DenseBatch(np.arange(250, dtype=np.int32), x[:250]))
+    stem = tiered.spill()
+    assert tiered.device_tier is None
+    assert store.generations() == [stem]
+
+    # bloom summary covers the spilled ids
+    bloom = store.summary(stem)
+    assert bloom.might_contain(np.arange(250, dtype=np.uint32)).all()
+
+    # device tier: remaining vectors
+    tiered.fit(DenseBatch(np.arange(250, 500, dtype=np.int32), x[250:]))
+
+    ids, scores = tiered.query(x[:16], steps=1, query_ids=np.arange(16))
+    # queries 0..15 live in the spilled generation; their near-duplicates
+    # must be found through the disk tier
+    found_old = (ids[ids >= 0] < 250).sum()
+    assert found_old > 0
+
+    # parity: merged result equals a single forest over everything queried
+    # tier-by-tier (scores dominate any single tier)
+    single = TieredForest(conf, GenerationStore(str(tmp_path), "single"))
+    single.fit(DenseBatch(np.arange(250, dtype=np.int32), x[:250]))
+    ids_one, sc_one = single.query(x[:16], steps=1, query_ids=np.arange(16))
+    finite = np.isfinite(sc_one)
+    assert (scores[finite] >= sc_one[finite] - 1e-6).all()
+
+
+def test_empty_tiered_query(tmp_path):
+    conf = _conf()
+    tiered = TieredForest(conf, GenerationStore(str(tmp_path), "e"))
+    ids, scores = tiered.query(np.zeros((3, 16), np.float32))
+    assert (ids == -1).all()
