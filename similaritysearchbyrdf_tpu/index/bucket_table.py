@@ -293,31 +293,37 @@ def build_tables(
 
 def lookup_ranges(
     tables: BucketTables,
-    probe_keys: jax.Array,   # u32[B, R] composite probe keys
-    table_index: jax.Array,  # i32[R] which table each probe column addresses
+    probe_keys: jax.Array,   # u32[B, R] composite probe keys, R = L * per_table
+    table_index: jax.Array,  # i32[R]; must be table-major (repeat pattern)
 ) -> Tuple[jax.Array, jax.Array]:
     """Resolve each probe key to its bucket's (start, length) in that table's
     sorted_ids. A probe whose prefix does not exist gets length 0 — matching
     the reference's empty-slot walk result (`searchWithSimilarity:940-994`).
+
+    Probe columns are table-major (all of table 0's probes, then table 1's,
+    ...), so the search vmaps over the L tables directly — no [R, NB] bucket
+    array materialization.
     """
-    bkeys = tables.bucket_keys[table_index]      # [R, NB]
-    bstarts = tables.bucket_starts[table_index]  # [R, NB+1]
-    bshifts = tables.bucket_shifts[table_index]  # [R, NB]
+    l = tables.num_tables
+    b, r = probe_keys.shape
+    per_table = r // l
+    keys_t = (
+        probe_keys.reshape(b, l, per_table).transpose(1, 0, 2).reshape(l, b * per_table)
+    )                                                  # [L, B*pt]
 
-    def per_probe_col(bk, q):
-        # rightmost bucket whose min key <= q
-        return jnp.searchsorted(bk, q, side="right").astype(jnp.int32) - 1
+    def per_table_lookup(bk, bst, bsh, q):
+        b_idx = jnp.searchsorted(bk, q, side="right").astype(jnp.int32) - 1
+        safe = jnp.maximum(b_idx, 0)
+        key_b = bk[safe]
+        shift_b = bsh[safe]
+        start = bst[safe]
+        end = bst[safe + 1]
+        valid = (b_idx >= 0) & ((q >> shift_b) == (key_b >> shift_b))
+        return start, jnp.where(valid, end - start, 0)
 
-    # vmap over the R probe columns (keys [B] per column)
-    b_idx = jax.vmap(per_probe_col, in_axes=(0, 1), out_axes=1)(
-        bkeys, probe_keys
-    )                                            # [B, R]
-    safe_b = jnp.maximum(b_idx, 0)
-    r_ar = jnp.arange(table_index.shape[0], dtype=jnp.int32)[None, :]
-    key_b = bkeys[r_ar, safe_b]
-    shift_b = bshifts[r_ar, safe_b]
-    start = bstarts[r_ar, safe_b]
-    end = bstarts[r_ar, safe_b + 1]
-    valid = (b_idx >= 0) & ((probe_keys >> shift_b) == (key_b >> shift_b))
-    length = jnp.where(valid, end - start, 0)
+    start_t, len_t = jax.vmap(per_table_lookup)(
+        tables.bucket_keys, tables.bucket_starts, tables.bucket_shifts, keys_t
+    )                                                  # [L, B*pt]
+    start = start_t.reshape(l, b, per_table).transpose(1, 0, 2).reshape(b, r)
+    length = len_t.reshape(l, b, per_table).transpose(1, 0, 2).reshape(b, r)
     return start, length

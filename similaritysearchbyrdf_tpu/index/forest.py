@@ -163,15 +163,26 @@ def _probe_hashes(
     reached whenever a flipped bit lies in the trie's skipped bits). Sparse
     queries probe only h (`:686-732`).
 
+    Key-space optimization: flips of the trie's *skipped* bits (bits
+    [consumed, bucket_bits), e.g. 25-27 in the canonical layout) all map to
+    the identical composite key as h itself, so they are statically
+    collapsed into one self-probe whose validity is "any skipped-bit flip
+    was in range" (limit > consumed_bits — exactly equivalent to the
+    reference's probe set in key space, at 26 lookups instead of 28).
+
     Returns (probes u32[B, L, P], valid bool[B, L, P]).
     """
     if not multiprobe:
         return h[..., None], jnp.ones(h.shape + (1,), dtype=bool)
-    pmax = layout.bucket_bits  # probe flips cover the sub-seg bits
+    pmax = layout.consumed_bits
     i = jnp.arange(pmax, dtype=jnp.uint32)
-    probes = h[..., None] ^ (jnp.uint32(1) << i)
+    flips = h[..., None] ^ (jnp.uint32(1) << i)
     limit = 32 - clz(h) - layout.seg_bits           # [B, L]
-    valid = i[None, None, :].astype(jnp.int32) < limit[..., None]
+    flip_valid = i[None, None, :].astype(jnp.int32) < limit[..., None]
+    self_probe = h[..., None]
+    self_valid = (limit > layout.consumed_bits)[..., None]
+    probes = jnp.concatenate([flips, self_probe], axis=-1)
+    valid = jnp.concatenate([flip_valid, self_valid], axis=-1)
     return probes, valid
 
 
@@ -213,21 +224,44 @@ def gather_candidates(
     valid_r = jnp.broadcast_to(probe_valid[:, :, None, :], (b, l, s, p)).reshape(b, r)
     length = jnp.where(valid_r, length, 0)
 
-    # ragged flatten (SURVEY.md §7 hard part (b)): fixed M_cap slots
-    cum = jnp.cumsum(length, axis=1)                            # [B, R]
+    # --- range dedup: many probes resolve to the SAME bucket (shallow
+    # buckets ignore most flipped bits), so dedupe (table, start) ranges per
+    # query before materializing candidates. Sort ranges by a composite
+    # table*capacity+start key and zero out repeats.
+    cap = tables.capacity
+    table_b = jnp.broadcast_to(table_of[None, :], (b, r))
+    rkey = table_b * jnp.int32(cap + 1) + start                 # unique per bucket
+    rkey = jnp.where(length > 0, rkey, jnp.int32(2**31 - 1))    # empties last
+    rkey, start_s, length_s, table_s = jax.lax.sort(
+        (rkey, start, length, table_b), dimension=1, num_keys=1
+    )
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), dtype=bool), rkey[:, 1:] == rkey[:, :-1]], axis=1
+    )
+    length_s = jnp.where(dup, 0, length_s)
+
+    # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots
+    # via scatter-marks + prefix sum (no per-slot binary search):
+    # r_of_m[m] = #{ranges r : cum[r] <= m} computed by scattering a 1 at
+    # position cum[r] and prefix-summing over slots.
+    cum = jnp.cumsum(length_s, axis=1)                          # [B, R]
     total = cum[:, -1]
+    marks = jnp.zeros((b, m_cap + 1), dtype=jnp.int32)
+    marks = marks.at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], jnp.minimum(cum, m_cap)
+    ].add(1, mode="drop")
+    r_of_m = jnp.cumsum(marks[:, :m_cap], axis=1)               # [B, M]
+    r_of_m = jnp.minimum(r_of_m, r - 1)
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    r_of_m = jax.vmap(lambda c: jnp.searchsorted(c, m, side="right"))(cum)
-    r_of_m = jnp.minimum(r_of_m, r - 1).astype(jnp.int32)       # [B, M]
     prev = jnp.where(
         r_of_m > 0,
         jnp.take_along_axis(cum, jnp.maximum(r_of_m - 1, 0), axis=1),
         0,
     )
     off = m[None, :] - prev
-    pos = jnp.take_along_axis(start, r_of_m, axis=1) + off
-    slot_table = table_of[r_of_m]                               # [B, M]
-    cand = tables.sorted_ids[slot_table, jnp.clip(pos, 0, tables.capacity - 1)]
+    pos = jnp.take_along_axis(start_s, r_of_m, axis=1) + off
+    slot_table = jnp.take_along_axis(table_s, r_of_m, axis=1)   # [B, M]
+    cand = tables.sorted_ids[slot_table, jnp.clip(pos, 0, cap - 1)]
     slot_valid = m[None, :] < jnp.minimum(total, m_cap)[:, None]
     cand = jnp.where(slot_valid & (cand >= 0), cand, -1)
     return cand, jnp.minimum(total, m_cap)
