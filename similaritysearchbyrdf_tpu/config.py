@@ -126,6 +126,12 @@ class RDFConfig:
     # --- TPU-specific static-shape caps (SURVEY.md §7 hard part (b)) ---
     max_candidates: int = 4096            # per-query flattened candidate cap
     sparse_nnz_pad: int = 128             # padded nnz for sparse batches
+    # dtype of the device-resident corpus used for exact re-ranking.
+    # "bfloat16" halves HBM traffic of the candidate gather (the query hot
+    # spot) and index memory, at ~3 decimal digits of score precision —
+    # ranking of top-10 candidates is essentially unaffected. f32 default
+    # keeps bit-exact parity with the scalar oracle.
+    rerank_dtype: str = "float32"         # float32 | bfloat16
 
     # --- reproducibility ---
     seed: int = 31258                     # mclab.lsh.seed1

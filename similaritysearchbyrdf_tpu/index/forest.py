@@ -61,6 +61,9 @@ class ForestState:
     tables: BucketTables
     corpus: jax.Array           # f32[Npad, D] (padding rows = 0)
     row_ids: jax.Array          # i32[Npad] user vector ids (padding = -1)
+    # optional bf16 copy: coarse-pass rerank at half the gather traffic,
+    # refined exactly from `corpus` (rerank_dtype="bfloat16")
+    corpus_lp: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -133,6 +136,9 @@ def fit_dense(
     keys = _keys_for_corpus(
         model, part_proj, values_d, jnp.asarray(valid), layout, chunk
     )
+    corpus_lp = (
+        values_d.astype(jnp.bfloat16) if conf.rerank_dtype == "bfloat16" else None
+    )
     ids = jnp.broadcast_to(
         jnp.where(jnp.asarray(valid), jnp.arange(npad, dtype=jnp.int32), -1)[None, :],
         keys.shape,
@@ -146,6 +152,7 @@ def fit_dense(
         tables=tables,
         corpus=values_d,
         row_ids=jnp.asarray(row_ids),
+        corpus_lp=corpus_lp,
     )
 
 
@@ -300,7 +307,12 @@ def query_dense(
     if exclude_self:
         cand = _exclude_self(cand, state.row_ids, query_ids)
     cand = rerank_ops.dedup_sorted(cand)
-    rows, scores = rerank_ops.rerank_dense(state.corpus, cand, queries, k)
+    if state.corpus_lp is not None:
+        rows, scores = rerank_ops.rerank_dense_two_stage(
+            state.corpus_lp, state.corpus, cand, queries, k
+        )
+    else:
+        rows, scores = rerank_ops.rerank_dense(state.corpus, cand, queries, k)
     ids = jnp.where(rows >= 0, state.row_ids[jnp.maximum(rows, 0)], -1)
     return ids, scores, total
 

@@ -44,6 +44,34 @@ def rerank_dense(
     return top_ids, top_scores
 
 
+@functools.partial(jax.jit, static_argnames=("k", "refine"))
+def rerank_dense_two_stage(
+    corpus_lp: jax.Array,    # bf16[N, D] low-precision copy (coarse pass)
+    corpus: jax.Array,       # f32[N, D] exact copy (refinement pass)
+    cand: jax.Array,         # i32[B, M] (-1 = invalid)
+    queries: jax.Array,      # f32[B, D]
+    k: int,
+    refine: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Coarse bf16 scoring of all M candidates (half the gather traffic),
+    then exact f32 re-scoring of the top `refine` — exact final ranking as
+    long as the true top-k sits within the bf16 top-`refine` (bf16 relative
+    error ~0.4%; refine=128 gives a wide margin)."""
+    refine = min(refine, cand.shape[1])
+    valid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    coarse = jnp.einsum(
+        "bmd,bd->bm",
+        jnp.take(corpus_lp, safe, axis=0).astype(jnp.bfloat16),
+        queries.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    coarse = jnp.where(valid, coarse, NEG_INF)
+    _, top_idx = jax.lax.top_k(coarse, refine)                  # [B, refine]
+    sub_cand = jnp.take_along_axis(cand, top_idx, axis=1)
+    return rerank_dense(corpus, sub_cand, queries, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rerank_sparse(
     corpus_indices: jax.Array,  # i32[N, NNZ]

@@ -60,6 +60,7 @@ class ShardedForestState:
     bucket_shifts: jax.Array    # u32[ndev, L, NB]
     corpus: jax.Array           # f32[ndev, Nloc, D]
     row_ids: jax.Array          # i32[ndev, Nloc]
+    corpus_lp: Optional[jax.Array] = None  # bf16[ndev, Nloc, D] coarse copy
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -161,6 +162,12 @@ def fit_sharded(
         bucket_shifts=bsh,
         corpus=values_d,
         row_ids=row_ids_d,
+        # hashing used the f32 values; only the coarse rerank copy is bf16
+        corpus_lp=(
+            values_d.astype(jnp.bfloat16)
+            if conf.rerank_dtype == "bfloat16"
+            else None
+        ),
     )
     return state, mesh
 
@@ -189,7 +196,12 @@ def _local_query(
     if exclude_self:
         cand = _exclude_self(cand, row_ids, query_ids)
     cand = rerank_ops.dedup_sorted(cand)
-    rows, scores = rerank_ops.rerank_dense(state.corpus[0], cand, queries, k)
+    if state.corpus_lp is not None:
+        rows, scores = rerank_ops.rerank_dense_two_stage(
+            state.corpus_lp[0], state.corpus[0], cand, queries, k
+        )
+    else:
+        rows, scores = rerank_ops.rerank_dense(state.corpus[0], cand, queries, k)
     ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
@@ -216,10 +228,12 @@ def make_query_fn(
     k: int = 10,
     multiprobe: bool = True,
     exclude_self: bool = True,
+    has_lp: bool = False,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
-    total [B]), all replicated outputs."""
+    total [B]), all replicated outputs. `has_lp` must match whether the
+    state carries the bf16 coarse-rerank copy."""
     state_specs = ShardedForestState(
         model=P(),  # type: ignore[arg-type]
         part_proj=P(),
@@ -230,6 +244,7 @@ def make_query_fn(
         bucket_shifts=P(SHARD_AXIS),
         corpus=P(SHARD_AXIS),
         row_ids=P(SHARD_AXIS),
+        corpus_lp=P(SHARD_AXIS) if has_lp else None,
     )
     fn = jax.shard_map(
         functools.partial(
@@ -293,6 +308,7 @@ class ShardedRDFForest:
                 self.mesh, self.layout, steps=steps,
                 m_cap=self.conf.max_candidates, k=k,
                 multiprobe=multiprobe, exclude_self=exclude,
+                has_lp=self.state.corpus_lp is not None,
             )
         fn = self._query_fns[key]
         out_ids, out_scores = [], []

@@ -56,7 +56,7 @@ def save_forest(forest: RDFForest, path: str) -> None:
         bucket_keys=np.asarray(s.tables.bucket_keys),
         bucket_starts=np.asarray(s.tables.bucket_starts),
         bucket_shifts=np.asarray(s.tables.bucket_shifts),
-        corpus=np.asarray(s.corpus),
+        corpus=np.asarray(s.corpus).astype(np.float32),
         row_ids=np.asarray(s.row_ids),
     )
     np.savez_compressed(path + ".npz", **arrays)
@@ -92,12 +92,18 @@ def load_forest(path: str) -> RDFForest:
         bucket_starts=jnp.asarray(z["bucket_starts"]),
         bucket_shifts=jnp.asarray(z["bucket_shifts"]),
     )
+    corpus = jnp.asarray(z["corpus"])
     state = ForestState(
         model=model,
         part_proj=jnp.asarray(z["part_proj"]),
         tables=tables,
-        corpus=jnp.asarray(z["corpus"]),
+        corpus=corpus,
         row_ids=jnp.asarray(z["row_ids"]),
+        corpus_lp=(
+            corpus.astype(jnp.bfloat16)
+            if conf.rerank_dtype == "bfloat16"
+            else None
+        ),
     )
     forest = RDFForest(conf, model=model)
     forest.part_proj = state.part_proj

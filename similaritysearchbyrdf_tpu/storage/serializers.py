@@ -1,0 +1,160 @@
+"""Binary codecs — the reference's serializer SPI, array-era.
+
+The reference's storage tier defines a `Serializer<A>` SPI (`Serializer.java`)
+with packed-varint primitives (`DataIO.packInt/packLong`, `DataIO.java`) and
+the mclab codecs (`utils/Serializers.scala`: Int/Long, (vectorId,hash) pair,
+SparseVector, DenseVector). On TPU the hot path never serializes per object
+— whole arrays persist via npz (`storage/persist.py`) — but the wire formats
+remain useful for interop (exchanging index artifacts or vectors with
+JVM-side tooling) and are part of the component inventory, so they are
+reproduced bit-compatibly here.
+
+Format notes (cites into the reference):
+  * packLong/packInt (`DataIO.java:60-130`): 7 bits per byte, HIGH bit set
+    on all bytes EXCEPT the last, most-significant group first.
+  * scalaIntSerializer (`Serializers.scala:16-26`): 4-byte big-endian int.
+  * scalaLongSerializer (`Serializers.scala:28-37`): 8-byte big-endian long.
+  * vectorIDHashPairSerializer (`Serializers.scala:42-55`): two packed ints.
+  * sparse vector (`Serializers.scala:59-81`): packInt(id), packInt(size),
+    packInt(nnz), nnz × packInt(index), nnz × double(value).
+  * dense vector (`Serializers.scala:86-102`): packInt(id), packInt(dim),
+    dim × double(value).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# DataIO packed varints
+# ---------------------------------------------------------------------------
+
+
+def pack_long(value: int) -> bytes:
+    """MapDB packLong: 7-bit groups, MSB-first, continuation bit on all but
+    the last byte (`DataIO.java` packLong)."""
+    value &= 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    shift = 63 - (63 % 7)
+    started = False
+    while shift > 0:
+        group = (value >> shift) & 0x7F
+        if group or started:
+            out.append(0x80 | group)
+            started = True
+        shift -= 7
+    out.append(value & 0x7F)
+    return bytes(out)
+
+
+def unpack_long(buf: bytes, offset: int = 0) -> Tuple[int, int]:
+    """Returns (value, new_offset)."""
+    value = 0
+    while True:
+        b = buf[offset]
+        offset += 1
+        value = (value << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return value, offset
+
+
+def pack_int(value: int) -> bytes:
+    """MapDB packInt — same scheme over 32 bits."""
+    value &= 0xFFFFFFFF
+    out = bytearray()
+    shift = 31 - (31 % 7)
+    started = False
+    while shift > 0:
+        group = (value >> shift) & 0x7F
+        if group or started:
+            out.append(0x80 | group)
+            started = True
+        shift -= 7
+    out.append(value & 0x7F)
+    return bytes(out)
+
+
+def unpack_int(buf: bytes, offset: int = 0) -> Tuple[int, int]:
+    return unpack_long(buf, offset)
+
+
+# ---------------------------------------------------------------------------
+# mclab codecs (`utils/Serializers.scala`)
+# ---------------------------------------------------------------------------
+
+
+def serialize_int(value: int) -> bytes:
+    return struct.pack(">i", value)
+
+
+def deserialize_int(buf: bytes, offset: int = 0) -> Tuple[int, int]:
+    return struct.unpack_from(">i", buf, offset)[0], offset + 4
+
+
+def serialize_long(value: int) -> bytes:
+    return struct.pack(">q", value)
+
+
+def deserialize_long(buf: bytes, offset: int = 0) -> Tuple[int, int]:
+    return struct.unpack_from(">q", buf, offset)[0], offset + 8
+
+
+def serialize_id_hash_pair(vector_id: int, hash_value: int) -> bytes:
+    return pack_int(vector_id) + pack_int(hash_value)
+
+
+def deserialize_id_hash_pair(buf: bytes, offset: int = 0) -> Tuple[Tuple[int, int], int]:
+    vid, offset = unpack_int(buf, offset)
+    h, offset = unpack_int(buf, offset)
+    return (vid, h), offset
+
+
+def serialize_sparse_vector(
+    vector_id: int, size: int, indices: np.ndarray, values: np.ndarray
+) -> bytes:
+    out = bytearray()
+    out += pack_int(vector_id)
+    out += pack_int(size)
+    out += pack_int(len(indices))
+    for i in indices:
+        out += pack_int(int(i))
+    for v in values:
+        out += struct.pack(">d", float(v))
+    return bytes(out)
+
+
+def deserialize_sparse_vector(
+    buf: bytes, offset: int = 0
+) -> Tuple[Tuple[int, int, np.ndarray, np.ndarray], int]:
+    vid, offset = unpack_int(buf, offset)
+    size, offset = unpack_int(buf, offset)
+    nnz, offset = unpack_int(buf, offset)
+    idx = np.empty(nnz, dtype=np.int32)
+    for i in range(nnz):
+        idx[i], offset = unpack_int(buf, offset)
+    vals = np.frombuffer(buf, dtype=">f8", count=nnz, offset=offset).astype(np.float64)
+    offset += 8 * nnz
+    return (vid, size, idx, vals), offset
+
+
+def serialize_dense_vector(vector_id: int, values: np.ndarray) -> bytes:
+    out = bytearray()
+    out += pack_int(vector_id)
+    out += pack_int(len(values))
+    for v in values:
+        out += struct.pack(">d", float(v))
+    return bytes(out)
+
+
+def deserialize_dense_vector(
+    buf: bytes, offset: int = 0
+) -> Tuple[Tuple[int, np.ndarray], int]:
+    vid, offset = unpack_int(buf, offset)
+    dim, offset = unpack_int(buf, offset)
+    vals = np.frombuffer(buf, dtype=">f8", count=dim, offset=offset).astype(np.float64)
+    offset += 8 * dim
+    return (vid, vals), offset
