@@ -247,28 +247,33 @@ def gather_candidates(
     )
     length_s = jnp.where(dup, 0, length_s)
 
-    # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots
-    # via scatter-marks + prefix sum (no per-slot binary search):
-    # r_of_m[m] = #{ranges r : cum[r] <= m} computed by scattering a 1 at
-    # position cum[r] and prefix-summing over slots.
+    # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots.
+    # Per-slot values (source position, source table) are piecewise constant
+    # over slot ranges, so they are built by scattering per-range DELTAS at
+    # each range's first slot and prefix-summing — no per-slot gathers or
+    # binary searches (TPU gathers are the bottleneck; scans are VPU-wide).
+    #   pos[m]  = pos_base[r(m)] + m  where pos_base[r] = start[r] - cum[r-1]
+    #   tab[m]  = table[r(m)]
     cum = jnp.cumsum(length_s, axis=1)                          # [B, R]
     total = cum[:, -1]
-    marks = jnp.zeros((b, m_cap + 1), dtype=jnp.int32)
-    marks = marks.at[
-        jnp.arange(b, dtype=jnp.int32)[:, None], jnp.minimum(cum, m_cap)
-    ].add(1, mode="drop")
-    r_of_m = jnp.cumsum(marks[:, :m_cap], axis=1)               # [B, M]
-    r_of_m = jnp.minimum(r_of_m, r - 1)
+    first_slot = jnp.minimum(cum - length_s, m_cap)             # [B, R]
+    pos_base = start_s - (cum - length_s)                       # [B, R]
+    # deltas vs previous range (range order == slot order since cum is
+    # nondecreasing). Zero-length ranges scatter at the same slot as the
+    # next content-bearing range, so their deltas telescope away — every
+    # delta must be scattered, live or not.
+    pb_delta = jnp.diff(pos_base, axis=1, prepend=0)
+    tb_delta = jnp.diff(table_s, axis=1, prepend=0)
+    row = jnp.arange(b, dtype=jnp.int32)[:, None]
+    zeros = jnp.zeros((b, m_cap + 1), dtype=jnp.int32)
+    pos_acc = zeros.at[row, first_slot].add(pb_delta, mode="drop")
+    tab_acc = zeros.at[row, first_slot].add(tb_delta, mode="drop")
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    prev = jnp.where(
-        r_of_m > 0,
-        jnp.take_along_axis(cum, jnp.maximum(r_of_m - 1, 0), axis=1),
-        0,
-    )
-    off = m[None, :] - prev
-    pos = jnp.take_along_axis(start_s, r_of_m, axis=1) + off
-    slot_table = jnp.take_along_axis(table_s, r_of_m, axis=1)   # [B, M]
-    cand = tables.sorted_ids[slot_table, jnp.clip(pos, 0, cap - 1)]
+    pos = jnp.cumsum(pos_acc[:, :m_cap], axis=1) + m[None, :]
+    slot_table = jnp.cumsum(tab_acc[:, :m_cap], axis=1)
+    cand = tables.sorted_ids[
+        jnp.clip(slot_table, 0, tables.num_tables - 1), jnp.clip(pos, 0, cap - 1)
+    ]
     slot_valid = m[None, :] < jnp.minimum(total, m_cap)[:, None]
     cand = jnp.where(slot_valid & (cand >= 0), cand, -1)
     return cand, jnp.minimum(total, m_cap)
@@ -385,16 +390,18 @@ class RDFForest:
             else np.full((q,), -1, dtype=np.int32)
         )
         bs = self.conf.query_batch_size
-        out_ids, out_scores = [], []
-        for s0 in range(0, q, bs):
-            s1 = min(s0 + bs, q)
-            pad = bs - (s1 - s0)
-            qc = np.pad(queries[s0:s1], ((0, pad), (0, 0)))
-            ic = np.pad(qids[s0:s1], (0, pad), constant_values=-1)
+        nb = (q + bs - 1) // bs
+        # one transfer up front; dispatch every batch asynchronously and
+        # block only once at the end so batches pipeline on device (the
+        # reference blocks a thread pool per batch instead)
+        qd = jnp.asarray(np.pad(queries, ((0, nb * bs - q), (0, 0))))
+        id_d = jnp.asarray(np.pad(qids, (0, nb * bs - q), constant_values=-1))
+        outs = []
+        for i in range(nb):
             ids, scores, _ = query_dense(
                 self.state,
-                jnp.asarray(qc),
-                jnp.asarray(ic),
+                qd[i * bs : (i + 1) * bs],
+                id_d[i * bs : (i + 1) * bs],
                 self.layout,
                 steps=steps,
                 m_cap=self.conf.max_candidates,
@@ -402,9 +409,10 @@ class RDFForest:
                 multiprobe=multiprobe,
                 exclude_self=exclude,
             )
-            out_ids.append(np.asarray(ids[: s1 - s0]))
-            out_scores.append(np.asarray(scores[: s1 - s0]))
-        return np.concatenate(out_ids), np.concatenate(out_scores)
+            outs.append((ids, scores))
+        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
+        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
+        return out_ids, out_scores
 
     # -- introspection ------------------------------------------------------
     def size(self) -> int:

@@ -217,28 +217,23 @@ class SparseRDFForest:
             else np.full((q,), -1, dtype=np.int32)
         )
         bs = self.conf.query_batch_size
-        out_ids, out_scores = [], []
-        for s0 in range(0, q, bs):
-            s1 = min(s0 + bs, q)
-            pad = bs - (s1 - s0)
-            qi = np.pad(queries.indices[s0:s1], ((0, pad), (0, 0)))
-            qv = np.pad(queries.values[s0:s1], ((0, pad), (0, 0)))
-            ic = np.pad(qids[s0:s1], (0, pad), constant_values=-1)
+        nb = (q + bs - 1) // bs
+        pad = nb * bs - q
+        qi = jnp.asarray(np.pad(queries.indices, ((0, pad), (0, 0))))
+        qv = jnp.asarray(np.pad(queries.values, ((0, pad), (0, 0))))
+        ic = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
+        outs = []
+        for i in range(nb):
+            sl = slice(i * bs, (i + 1) * bs)
             ids, scores, _ = query_sparse(
-                self.state,
-                jnp.asarray(qi),
-                jnp.asarray(qv),
-                jnp.asarray(ic),
-                self.layout,
-                self.dim,
-                steps=steps,
-                m_cap=self.conf.max_candidates,
-                k=k,
+                self.state, qi[sl], qv[sl], ic[sl], self.layout, self.dim,
+                steps=steps, m_cap=self.conf.max_candidates, k=k,
                 exclude_self=exclude,
             )
-            out_ids.append(np.asarray(ids[: s1 - s0]))
-            out_scores.append(np.asarray(scores[: s1 - s0]))
-        return np.concatenate(out_ids), np.concatenate(out_scores)
+            outs.append((ids, scores))
+        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
+        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
+        return out_ids, out_scores
 
     def size(self) -> int:
         if self.state is None:

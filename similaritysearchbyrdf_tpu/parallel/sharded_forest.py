@@ -311,13 +311,14 @@ class ShardedRDFForest:
                 has_lp=self.state.corpus_lp is not None,
             )
         fn = self._query_fns[key]
-        out_ids, out_scores = [], []
-        for s0 in range(0, q, bs):
-            s1 = min(s0 + bs, q)
-            pad = bs - (s1 - s0)
-            qc = jnp.asarray(np.pad(queries[s0:s1], ((0, pad), (0, 0))))
-            ic = jnp.asarray(np.pad(qids[s0:s1], (0, pad), constant_values=-1))
-            ids, scores, _ = fn(self.state, qc, ic)
-            out_ids.append(np.asarray(ids[: s1 - s0]))
-            out_scores.append(np.asarray(scores[: s1 - s0]))
-        return np.concatenate(out_ids), np.concatenate(out_scores)
+        nb = (q + bs - 1) // bs
+        pad = nb * bs - q
+        qd = jnp.asarray(np.pad(queries, ((0, pad), (0, 0))))
+        id_d = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
+        outs = []
+        for i in range(nb):
+            sl = slice(i * bs, (i + 1) * bs)
+            outs.append(fn(self.state, qd[sl], id_d[sl])[:2])
+        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
+        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
+        return out_ids, out_scores
