@@ -134,14 +134,10 @@ class BucketTables:
     bucket_shifts u32[L, NB]    — right-shift identifying the bucket's prefix
                                   length (padding = 0)
 
-    Optional radix-head acceleration (built when the bucket distribution
-    allows a bounded window; see `lookup_ranges`):
-
-    head          i32[L, 2^head_bits + 1] — first bucket whose boundary key
-                                  >= each head cell's minimal key
     records       i32[L, NB, 4]  — packed (key, shift, start, end) so one
                                   16-byte gather fetches a whole bucket
-                                  descriptor
+                                  descriptor (enables the sort-based lookup
+                                  fast path; None on the generic path)
     """
 
     sorted_keys: jax.Array
@@ -149,12 +145,7 @@ class BucketTables:
     bucket_keys: jax.Array
     bucket_starts: jax.Array
     bucket_shifts: jax.Array
-    head: Optional[jax.Array] = None
     records: Optional[jax.Array] = None
-    nb_used: Optional[jax.Array] = None   # i32[L] bucket slots in use
-    head_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
-    occ_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
-    key_bits: int = dataclasses.field(metadata=dict(static=True), default=32)
 
     @property
     def num_tables(self) -> int:
@@ -174,8 +165,8 @@ class BucketTables:
             self.bucket_starts,
             self.bucket_shifts,
         ]
-        if self.head is not None:
-            arrays += [self.head, self.records]
+        if self.records is not None:
+            arrays.append(self.records)
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
 
 
@@ -271,18 +262,6 @@ def _compact_buckets(
     return bkeys, bstarts_full, bshifts
 
 
-@functools.partial(jax.jit, static_argnames=("head_bits", "key_bits"))
-def _build_head(bucket_keys: jax.Array, head_bits: int, key_bits: int) -> jax.Array:
-    """head[l, c] = first bucket whose boundary key >= cell c's minimal key."""
-    cells = (jnp.arange((1 << head_bits) + 1, dtype=jnp.uint32)
-             << jnp.uint32(key_bits - head_bits))
-    # the +1 cell value overflows to 0 for the last entry; force it to NB
-    nb = bucket_keys.shape[1]
-    head = jax.vmap(lambda bk: jnp.searchsorted(bk, cells, side="left"))(bucket_keys)
-    head = head.at[:, -1].set(nb)
-    return head.astype(jnp.int32)
-
-
 @jax.jit
 def _build_records(
     bucket_keys: jax.Array, bucket_starts: jax.Array, bucket_shifts: jax.Array
@@ -300,18 +279,13 @@ def _build_records(
     )
 
 
-# A cell window wider than this falls back to binary search (the windowed
-# compare would cost more than it saves).
-_MAX_OCC_PAD = 256
-
-
 def build_tables(
     keys: jax.Array,   # u32[L, Npad] composite keys (padding = 0xFFFFFFFF)
     ids: jax.Array,    # i32[L, Npad] (padding = -1)
     layout: KeyLayout,
     overflow: int,
     nb_pad: int | None = None,
-    with_head: bool = True,
+    with_records: bool = True,
 ) -> BucketTables:
     """Build the full forest bucket state. One host sync sizes the compacted
     bucket arrays (`nb_pad`); pass `nb_pad` explicitly to stay sync-free
@@ -319,54 +293,25 @@ def build_tables(
     sorted_keys, sorted_ids, elem_start, elem_shift = _sort_and_depths(
         keys, ids, layout, overflow
     )
-    n = sorted_keys.shape[1]
-    is_start = elem_start == jnp.arange(n, dtype=jnp.int32)[None, :]
-    nb_used = jnp.sum(is_start, axis=1).astype(jnp.int32)      # [L]
     if nb_pad is None:
-        nb = int(jnp.max(nb_used))                             # host sync
+        n = sorted_keys.shape[1]
+        is_start = elem_start == jnp.arange(n, dtype=jnp.int32)[None, :]
+        nb = int(jnp.max(jnp.sum(is_start, axis=1)))           # host sync
         nb_pad = max(8, int(np.ceil(nb / 128.0)) * 128)
 
-    head = records = None
-    head_bits = occ_pad = 0
-    if with_head:
-        # head sizing: ~4 cells per bucket, capped so the head stays a
-        # small fraction of the index
-        head_bits = int(min(16, layout.total_bits,
-                            max(8, int(np.ceil(np.log2(max(nb_pad, 2)))) + 2)))
-
-    # leave room so the (lo-1, occ_pad) window never clamps at the end
-    probe_pad = _MAX_OCC_PAD if with_head else 0
     bkeys, bstarts, bshifts = _compact_buckets(
-        sorted_keys, elem_start, elem_shift, nb_pad + probe_pad
+        sorted_keys, elem_start, elem_shift, nb_pad
     )
-
-    if with_head:
-        head = _build_head(bkeys, head_bits, layout.total_bits)
-        # max buckets intersecting any [cell_lo - 1, min(cell_hi, nb_used))
-        # window — unused padding slots don't count (they would otherwise
-        # inflate the top cell and disable the fast path)
-        lo_c = jnp.minimum(head[:, :-1], nb_used[:, None])
-        hi_c = jnp.minimum(head[:, 1:], nb_used[:, None])
-        occ = int(jnp.max(hi_c - lo_c)) + 1                    # host sync
-        if occ > _MAX_OCC_PAD:
-            head = None
-            head_bits = occ_pad = 0
-        else:
-            occ_pad = max(8, int(np.ceil(occ / 8.0)) * 8)
-            records = _build_records(bkeys, bstarts, bshifts)
-
+    records = (
+        _build_records(bkeys, bstarts, bshifts) if with_records else None
+    )
     return BucketTables(
         sorted_keys=sorted_keys,
         sorted_ids=sorted_ids,
         bucket_keys=bkeys,
         bucket_starts=bstarts,
         bucket_shifts=bshifts,
-        head=head,
         records=records,
-        nb_used=nb_used,
-        head_bits=head_bits,
-        occ_pad=occ_pad,
-        key_bits=layout.total_bits,
     )
 
 
@@ -402,33 +347,26 @@ def lookup_ranges(
         probe_keys.reshape(b, l, per_table).transpose(1, 0, 2).reshape(l, b * per_table)
     )                                                  # [L, B*pt]
 
-    if tables.head is not None:
-        occ = tables.occ_pad
-        cell_shift = tables.key_bits - tables.head_bits
+    if tables.records is not None:
 
-        def per_table_fast(bk, rec, hd, nbu, q):
-            cell = (q >> jnp.uint32(cell_shift)).astype(jnp.int32)
-            lo = hd[cell]
-            hi = jnp.minimum(hd[cell + 1], nbu)
-            w_lo = jnp.maximum(lo - 1, 0)
-            window = jax.vmap(
-                lambda w: jax.lax.dynamic_slice(bk, (w,), (occ,))
-            )(w_lo)                                     # [Q, occ]
-            j = jnp.arange(occ, dtype=jnp.int32)
-            inside = (window <= q[:, None]) & ((w_lo[:, None] + j) < hi[:, None])
-            c = jnp.sum(inside.astype(jnp.int32), axis=1)
-            b_idx = w_lo + c - 1
+        def per_table_fast(bk, rec, q):
+            # merge-sort-based rank (no per-step gathers: TPU sorts are
+            # VPU-wide, gathers cost per element), then ONE packed 16-byte
+            # record gather per probe
+            b_idx = (
+                jnp.searchsorted(bk, q, side="right", method="sort").astype(jnp.int32)
+                - 1
+            )
             r4 = rec[jnp.maximum(b_idx, 0)]             # [Q, 4] packed
             key_b = r4[:, 0].astype(jnp.uint32)
             shift_b = r4[:, 1].astype(jnp.uint32)
             start = r4[:, 2]
             end = r4[:, 3]
-            valid = (c > 0) & ((q >> shift_b) == (key_b >> shift_b))
+            valid = (b_idx >= 0) & ((q >> shift_b) == (key_b >> shift_b))
             return start, jnp.where(valid, end - start, 0)
 
         start_t, len_t = jax.vmap(per_table_fast)(
-            tables.bucket_keys, tables.records, tables.head, tables.nb_used,
-            keys_t,
+            tables.bucket_keys, tables.records, keys_t
         )
     else:
 

@@ -249,9 +249,11 @@ def gather_candidates(
 
     # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots.
     # Per-slot values (source position, source table) are piecewise constant
-    # over slot ranges, so they are built by scattering per-range DELTAS at
-    # each range's first slot and prefix-summing — no per-slot gathers or
-    # binary searches (TPU gathers are the bottleneck; scans are VPU-wide).
+    # over slot ranges, so they are built GATHER- AND SCATTER-FREE (both are
+    # per-element-cost ops on TPU) by a merge: sort range-delta markers
+    # together with the slot indices, prefix-sum the deltas so every slot
+    # accumulates exactly the deltas of ranges starting at or before it,
+    # then compact the slot entries back out with a second (stable) sort.
     #   pos[m]  = pos_base[r(m)] + m  where pos_base[r] = start[r] - cum[r-1]
     #   tab[m]  = table[r(m)]
     cum = jnp.cumsum(length_s, axis=1)                          # [B, R]
@@ -259,18 +261,33 @@ def gather_candidates(
     first_slot = jnp.minimum(cum - length_s, m_cap)             # [B, R]
     pos_base = start_s - (cum - length_s)                       # [B, R]
     # deltas vs previous range (range order == slot order since cum is
-    # nondecreasing). Zero-length ranges scatter at the same slot as the
-    # next content-bearing range, so their deltas telescope away — every
-    # delta must be scattered, live or not.
+    # nondecreasing). Zero-length ranges share their successor's first slot,
+    # so their deltas telescope away as long as every delta participates.
     pb_delta = jnp.diff(pos_base, axis=1, prepend=0)
     tb_delta = jnp.diff(table_s, axis=1, prepend=0)
-    row = jnp.arange(b, dtype=jnp.int32)[:, None]
-    zeros = jnp.zeros((b, m_cap + 1), dtype=jnp.int32)
-    pos_acc = zeros.at[row, first_slot].add(pb_delta, mode="drop")
-    tab_acc = zeros.at[row, first_slot].add(tb_delta, mode="drop")
+
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    pos = jnp.cumsum(pos_acc[:, :m_cap], axis=1) + m[None, :]
-    slot_table = jnp.cumsum(tab_acc[:, :m_cap], axis=1)
+    # merged keys: range markers sort BEFORE the slot with the same index
+    range_keys = first_slot * 2                                  # [B, R]
+    slot_keys = jnp.broadcast_to(m * 2 + 1, (b, m_cap))
+    keys = jnp.concatenate([range_keys, slot_keys], axis=1)      # [B, R+M]
+    dpos = jnp.concatenate([pb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
+    dtab = jnp.concatenate([tb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
+    is_slot = jnp.concatenate(
+        [jnp.zeros((b, r), jnp.int32), jnp.ones((b, m_cap), jnp.int32)], axis=1
+    )
+    keys_s, dpos_s, dtab_s, is_slot_s = jax.lax.sort(
+        (keys, dpos, dtab, is_slot), dimension=1, num_keys=1
+    )
+    pos_fill = jnp.cumsum(dpos_s, axis=1)
+    tab_fill = jnp.cumsum(dtab_s, axis=1)
+    # compact slots back out (stable: slots stay in m order)
+    _, pos_out, tab_out = jax.lax.sort(
+        (1 - is_slot_s, pos_fill, tab_fill), dimension=1, num_keys=1,
+        is_stable=True,
+    )
+    pos = pos_out[:, :m_cap] + m[None, :]
+    slot_table = tab_out[:, :m_cap]
     cand = tables.sorted_ids[
         jnp.clip(slot_table, 0, tables.num_tables - 1), jnp.clip(pos, 0, cap - 1)
     ]

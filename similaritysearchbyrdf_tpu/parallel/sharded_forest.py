@@ -32,6 +32,7 @@ from ..config import RDFConfig
 from ..index.bucket_table import (
     BucketTables,
     KeyLayout,
+    _build_records,
     _compact_buckets,
     _sort_and_depths,
     composite_keys,
@@ -58,6 +59,7 @@ class ShardedForestState:
     bucket_keys: jax.Array      # u32[ndev, L, NB]
     bucket_starts: jax.Array    # i32[ndev, L, NB+1]
     bucket_shifts: jax.Array    # u32[ndev, L, NB]
+    records: jax.Array          # i32[ndev, L, NB, 4]
     corpus: jax.Array           # f32[ndev, Nloc, D]
     row_ids: jax.Array          # i32[ndev, Nloc]
     corpus_lp: Optional[jax.Array] = None  # bf16[ndev, Nloc, D] coarse copy
@@ -71,6 +73,7 @@ class ShardedForestState:
             bucket_keys=self.bucket_keys[0],
             bucket_starts=self.bucket_starts[0],
             bucket_shifts=self.bucket_shifts[0],
+            records=self.records[0],
         )
 
 
@@ -101,7 +104,8 @@ def _local_fit(
     )
     sk, si, elem_start, elem_shift = _sort_and_depths(keys, ids, layout, overflow)
     bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
-    return (sk[None], si[None], bk[None], bs[None], bsh[None])
+    rec = _build_records(bk, bs, bsh)
+    return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
 
 
 def fit_sharded(
@@ -147,11 +151,11 @@ def fit_sharded(
             ),
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
-            out_specs=(P(SHARD_AXIS),) * 5,
+            out_specs=(P(SHARD_AXIS),) * 6,
         ),
         static_argnums=(),
     )
-    sk, si, bk, bs, bsh = fit_fn(values_d, row_ids_d, model, part_proj)
+    sk, si, bk, bs, bsh, rec = fit_fn(values_d, row_ids_d, model, part_proj)
     state = ShardedForestState(
         model=model,
         part_proj=part_proj,
@@ -160,6 +164,7 @@ def fit_sharded(
         bucket_keys=bk,
         bucket_starts=bs,
         bucket_shifts=bsh,
+        records=rec,
         corpus=values_d,
         row_ids=row_ids_d,
         # hashing used the f32 values; only the coarse rerank copy is bf16
@@ -242,6 +247,7 @@ def make_query_fn(
         bucket_keys=P(SHARD_AXIS),
         bucket_starts=P(SHARD_AXIS),
         bucket_shifts=P(SHARD_AXIS),
+        records=P(SHARD_AXIS),
         corpus=P(SHARD_AXIS),
         row_ids=P(SHARD_AXIS),
         corpus_lp=P(SHARD_AXIS) if has_lp else None,

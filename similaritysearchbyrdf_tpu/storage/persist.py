@@ -85,12 +85,19 @@ def load_forest(path: str) -> RDFForest:
         w=meta["w"],
         type_of_index=meta["type_of_index"],
     )
+    from ..index.bucket_table import _build_records
+
+    bkeys = jnp.asarray(z["bucket_keys"])
+    bstarts = jnp.asarray(z["bucket_starts"])
+    bshifts = jnp.asarray(z["bucket_shifts"])
     tables = BucketTables(
         sorted_keys=jnp.asarray(z["sorted_keys"]),
         sorted_ids=jnp.asarray(z["sorted_ids"]),
-        bucket_keys=jnp.asarray(z["bucket_keys"]),
-        bucket_starts=jnp.asarray(z["bucket_starts"]),
-        bucket_shifts=jnp.asarray(z["bucket_shifts"]),
+        bucket_keys=bkeys,
+        bucket_starts=bstarts,
+        bucket_shifts=bshifts,
+        # packed records are derived data: rebuilt, not serialized
+        records=_build_records(bkeys, bstarts, bshifts),
     )
     corpus = jnp.asarray(z["corpus"])
     state = ForestState(
