@@ -268,26 +268,46 @@ def gather_candidates(
 
     m = jnp.arange(m_cap, dtype=jnp.int32)
     # merged keys: range markers sort BEFORE the slot with the same index
+    # (bit 0 distinguishes slot entries — no separate is_slot operand).
+    # Sort cost scales with operand count, so both value channels are packed
+    # into one int32: (delta + offset) * 64 + (table_delta + 32). Valid for
+    # capacities below ~16M rows per table; the offset keeps values
+    # nonnegative.
     range_keys = first_slot * 2                                  # [B, R]
     slot_keys = jnp.broadcast_to(m * 2 + 1, (b, m_cap))
     keys = jnp.concatenate([range_keys, slot_keys], axis=1)      # [B, R+M]
-    dpos = jnp.concatenate([pb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
-    dtab = jnp.concatenate([tb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
-    is_slot = jnp.concatenate(
-        [jnp.zeros((b, r), jnp.int32), jnp.ones((b, m_cap), jnp.int32)], axis=1
-    )
-    keys_s, dpos_s, dtab_s, is_slot_s = jax.lax.sort(
-        (keys, dpos, dtab, is_slot), dimension=1, num_keys=1
-    )
+    can_pack = (cap + m_cap + 1) < (1 << 23) and l <= 32
+    if can_pack:
+        off = jnp.int32(cap + m_cap + 1)
+        packed_rng = (pb_delta + off) * 64 + (tb_delta + 32)
+        packed_slot = jnp.broadcast_to(off * 64 + 32, (b, m_cap))  # zero deltas
+        packed = jnp.concatenate([packed_rng, packed_slot], axis=1)
+        keys_s, packed_s = jax.lax.sort((keys, packed), dimension=1, num_keys=1)
+        dpos_s = packed_s // 64 - off
+        dtab_s = packed_s % 64 - 32
+    else:
+        dpos = jnp.concatenate([pb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
+        dtab = jnp.concatenate([tb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
+        keys_s, dpos_s, dtab_s = jax.lax.sort(
+            (keys, dpos, dtab), dimension=1, num_keys=1
+        )
     pos_fill = jnp.cumsum(dpos_s, axis=1)
     tab_fill = jnp.cumsum(dtab_s, axis=1)
     # compact slots back out (stable: slots stay in m order)
-    _, pos_out, tab_out = jax.lax.sort(
-        (1 - is_slot_s, pos_fill, tab_fill), dimension=1, num_keys=1,
-        is_stable=True,
-    )
-    pos = pos_out[:, :m_cap] + m[None, :]
-    slot_table = tab_out[:, :m_cap]
+    if can_pack:
+        packed2 = (pos_fill + jnp.int32(m_cap)) * 64 + tab_fill
+        _, packed2_s = jax.lax.sort(
+            (1 - (keys_s & 1), packed2), dimension=1, num_keys=1, is_stable=True
+        )
+        pos = packed2_s[:, :m_cap] // 64 - jnp.int32(m_cap) + m[None, :]
+        slot_table = packed2_s[:, :m_cap] % 64
+    else:
+        _, pos_out, tab_out = jax.lax.sort(
+            (1 - (keys_s & 1), pos_fill, tab_fill), dimension=1, num_keys=1,
+            is_stable=True,
+        )
+        pos = pos_out[:, :m_cap] + m[None, :]
+        slot_table = tab_out[:, :m_cap]
     cand = tables.sorted_ids[
         jnp.clip(slot_table, 0, tables.num_tables - 1), jnp.clip(pos, 0, cap - 1)
     ]
@@ -328,13 +348,18 @@ def query_dense(
     )
     if exclude_self:
         cand = _exclude_self(cand, state.row_ids, query_ids)
-    cand = rerank_ops.dedup_sorted(cand)
+    # no full-width dedup: after bucket-range dedup each id appears at most
+    # once per table, so the unique top-k is recovered inside the top
+    # (k+1)*L scored slots (`rerank_ops.dedup_topk`)
+    l = h.shape[1]
     if state.corpus_lp is not None:
         rows, scores = rerank_ops.rerank_dense_two_stage(
-            state.corpus_lp, state.corpus, cand, queries, k
+            state.corpus_lp, state.corpus, cand, queries, k, dup_bound=l
         )
     else:
-        rows, scores = rerank_ops.rerank_dense(state.corpus, cand, queries, k)
+        rows, scores = rerank_ops.rerank_dense(
+            state.corpus, cand, queries, k, dup_bound=l
+        )
     ids = jnp.where(rows >= 0, state.row_ids[jnp.maximum(rows, 0)], -1)
     return ids, scores, total
 

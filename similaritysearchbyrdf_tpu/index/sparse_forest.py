@@ -162,7 +162,6 @@ def query_sparse(
     )
     if exclude_self:
         cand = _exclude_self(cand, state.row_ids, query_ids)
-    cand = rerank_ops.dedup_sorted(cand)
 
     # densified query side for the correct sparse·sparse dot
     b, nnzq = q_indices.shape
@@ -171,7 +170,8 @@ def query_sparse(
     q_dense = q_dense.at[rows, q_indices].add(q_values)
 
     rows_out, scores = rerank_ops.rerank_sparse(
-        state.corpus_indices, state.corpus_values, cand, q_dense, k
+        state.corpus_indices, state.corpus_values, cand, q_dense, k,
+        dup_bound=h.shape[1],
     )
     ids = jnp.where(rows_out >= 0, state.row_ids[jnp.maximum(rows_out, 0)], -1)
     return ids, scores, total

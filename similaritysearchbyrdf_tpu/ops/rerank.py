@@ -19,15 +19,14 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "compute_dtype"))
-def rerank_dense(
-    corpus: jax.Array,      # f32[N, D]
-    cand: jax.Array,        # i32[B, M] candidate row positions (-1 = invalid)
-    queries: jax.Array,     # f32[B, D]
-    k: int,
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def score_candidates(
+    corpus: jax.Array, cand: jax.Array, queries: jax.Array,
     compute_dtype=jnp.float32,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (ids i32[B, k] with -1 padding, scores f32[B, k])."""
+) -> jax.Array:
+    """Masked inner-product scores f32[B, M] of candidate rows."""
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
     vecs = jnp.take(corpus, safe, axis=0)  # [B, M, D]
@@ -37,48 +36,84 @@ def rerank_dense(
         queries.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    scores = jnp.where(valid, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_ids = jnp.take_along_axis(cand, top_idx, axis=1)
+    return jnp.where(valid, scores, NEG_INF)
+
+
+def dedup_topk(cand: jax.Array, scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-k of (id, score) pairs with duplicate ids collapsed. Duplicates
+    carry equal scores (same vector scored from different tables/probes), so
+    keeping any one copy is exact. Sorting is over the SMALL post-top-m
+    buffer — the candidate buffer itself is never id-sorted."""
+    ids_s, sc_s = jax.lax.sort(
+        (jnp.where(cand >= 0, cand, _SENTINEL), scores), dimension=1, num_keys=1
+    )
+    dup = jnp.concatenate(
+        [jnp.zeros_like(ids_s[:, :1], dtype=bool), ids_s[:, 1:] == ids_s[:, :-1]],
+        axis=1,
+    )
+    sc_s = jnp.where(dup | (ids_s == _SENTINEL), NEG_INF, sc_s)
+    top_scores, ti = jax.lax.top_k(sc_s, k)
+    top_ids = jnp.take_along_axis(ids_s, ti, axis=1)
     top_ids = jnp.where(top_scores > NEG_INF, top_ids, -1)
     return top_ids, top_scores
 
 
-@functools.partial(jax.jit, static_argnames=("k", "refine"))
+def _dedup_width(m: int, k: int, dup_bound: int) -> int:
+    """Every id appears at most `dup_bound` times in the candidate buffer
+    (once per table after bucket-range dedup), so the unique top-k is
+    guaranteed inside the top (k+1)*dup_bound scored slots."""
+    return min(m, (k + 1) * max(1, dup_bound))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dup_bound", "compute_dtype"))
+def rerank_dense(
+    corpus: jax.Array,      # f32[N, D]
+    cand: jax.Array,        # i32[B, M] candidate row positions (-1 = invalid)
+    queries: jax.Array,     # f32[B, D]
+    k: int,
+    dup_bound: int = 1,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (ids i32[B, k] with -1 padding, scores f32[B, k]).
+    `dup_bound` is the max copies of one id in `cand` (the table count); the
+    full buffer is scored once and only the top slice is dedup-sorted."""
+    scores = score_candidates(corpus, cand, queries, compute_dtype)
+    m2 = _dedup_width(cand.shape[1], k, dup_bound)
+    s2, idx = jax.lax.top_k(scores, m2)
+    c2 = jnp.take_along_axis(cand, idx, axis=1)
+    return dedup_topk(c2, s2, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dup_bound", "refine"))
 def rerank_dense_two_stage(
     corpus_lp: jax.Array,    # bf16[N, D] low-precision copy (coarse pass)
     corpus: jax.Array,       # f32[N, D] exact copy (refinement pass)
     cand: jax.Array,         # i32[B, M] (-1 = invalid)
     queries: jax.Array,      # f32[B, D]
     k: int,
+    dup_bound: int = 1,
     refine: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Coarse bf16 scoring of all M candidates (half the gather traffic),
-    then exact f32 re-scoring of the top `refine` — exact final ranking as
-    long as the true top-k sits within the bf16 top-`refine` (bf16 relative
-    error ~0.4%; refine=128 gives a wide margin)."""
-    refine = min(refine, cand.shape[1])
-    valid = cand >= 0
-    safe = jnp.maximum(cand, 0)
-    coarse = jnp.einsum(
-        "bmd,bd->bm",
-        jnp.take(corpus_lp, safe, axis=0).astype(jnp.bfloat16),
-        queries.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    coarse = jnp.where(valid, coarse, NEG_INF)
-    _, top_idx = jax.lax.top_k(coarse, refine)                  # [B, refine]
-    sub_cand = jnp.take_along_axis(cand, top_idx, axis=1)
-    return rerank_dense(corpus, sub_cand, queries, k)
+    then exact f32 re-scoring + dedup of the top slice — exact final ranking
+    as long as the true unique top-k sits within the bf16 top slice (bf16
+    relative error ~0.4%; the slice is at least `refine` wide)."""
+    m2 = max(_dedup_width(cand.shape[1], k, dup_bound), min(refine, cand.shape[1]))
+    coarse = score_candidates(corpus_lp, cand, queries, jnp.bfloat16)
+    _, top_idx = jax.lax.top_k(coarse, m2)                      # [B, m2]
+    c2 = jnp.take_along_axis(cand, top_idx, axis=1)
+    exact = score_candidates(corpus, c2, queries)
+    return dedup_topk(c2, exact, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "dup_bound"))
 def rerank_sparse(
     corpus_indices: jax.Array,  # i32[N, NNZ]
     corpus_values: jax.Array,   # f32[N, NNZ]
     cand: jax.Array,            # i32[B, M] (-1 = invalid)
     query_dense: jax.Array,     # f32[B, D] (densified queries)
     k: int,
+    dup_bound: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse-corpus re-rank: gather candidate rows' (idx, val) pairs and
     accumulate val * query[idx]. The query side is densified (queries are a
@@ -94,18 +129,18 @@ def rerank_sparse(
     )                                                # [B, M, NNZ]
     scores = jnp.sum(c_val * q_gather, axis=-1)
     scores = jnp.where(valid, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_ids = jnp.take_along_axis(cand, top_idx, axis=1)
-    top_ids = jnp.where(top_scores > NEG_INF, top_ids, -1)
-    return top_ids, top_scores
+    m2 = _dedup_width(cand.shape[1], k, dup_bound)
+    s2, idx = jax.lax.top_k(scores, m2)
+    c2 = jnp.take_along_axis(cand, idx, axis=1)
+    return dedup_topk(c2, s2, k)
 
 
 def dedup_sorted(cand: jax.Array, sentinel: int = 2**31 - 1) -> jax.Array:
     """Sort candidate ids per row and mark duplicates invalid (-1).
 
     The reference unions per-table candidate lists into a scala Set
-    (`DensevectorRDFInit.scala:426-429`); on TPU the set is a sort + adjacent
-    compare over a fixed-width buffer.
+    (`DensevectorRDFInit.scala:426-429`). The query hot path no longer uses
+    this full-width sort (see `dedup_topk`); kept for utility callers.
     """
     x = jnp.where(cand >= 0, cand, sentinel)
     x = jnp.sort(x, axis=-1)

@@ -200,13 +200,15 @@ def _local_query(
     row_ids = state.row_ids[0]
     if exclude_self:
         cand = _exclude_self(cand, row_ids, query_ids)
-    cand = rerank_ops.dedup_sorted(cand)
+    l = h.shape[1]
     if state.corpus_lp is not None:
         rows, scores = rerank_ops.rerank_dense_two_stage(
-            state.corpus_lp[0], state.corpus[0], cand, queries, k
+            state.corpus_lp[0], state.corpus[0], cand, queries, k, dup_bound=l
         )
     else:
-        rows, scores = rerank_ops.rerank_dense(state.corpus[0], cand, queries, k)
+        rows, scores = rerank_ops.rerank_dense(
+            state.corpus[0], cand, queries, k, dup_bound=l
+        )
     ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
