@@ -82,12 +82,19 @@ class KeyLayout:
             num_levels=table.max_tree_level + 1,
             bucket_bits=table.bucket_bits,
         )
+        # The composite key must fit 32 bits. Configurations that exceed it
+        # (e.g. dirNodeSize=128 with partitionBits=3: 3+4+28=35 bits) drop
+        # their DEEPEST trie levels until it fits — max-depth buckets then
+        # merge up to 2^(dropped bits) neighboring reference buckets, so
+        # candidate sets are equal or larger (supersets; recall is never
+        # hurt, re-rank cost grows slightly). Only triggers when >500 points
+        # share the remaining prefix.
+        while layout.total_bits > 32 and layout.num_levels > 1:
+            layout = dataclasses.replace(layout, num_levels=layout.num_levels - 1)
         if layout.total_bits > 32:
             raise NotImplementedError(
-                f"composite key needs {layout.total_bits} bits > 32 "
-                f"(partitionBits={layout.partition_bits}, "
-                f"dirNodeSize=2**{layout.bits_per_level}); use dirNodeSize<=64 "
-                "or partitionBits<=3 (wide keys planned)"
+                f"composite key needs {layout.total_bits} bits > 32 even at "
+                f"one trie level (partitionBits={layout.partition_bits})"
             )
         return layout
 
