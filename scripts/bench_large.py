@@ -1,0 +1,85 @@
+"""Large-corpus benchmarks: the BASELINE.json configs beyond the smoke test.
+
+  config 2: GloVe-100d-shaped 1.2M vectors, multi-tree forest, step sweep
+  config 3: SIFT-128d-shaped 1M vectors, multi-probe recall@1/10/100
+
+Synthetic corpora (zero-egress image) with exact on-device ground truth.
+Run: python scripts/bench_large.py [glove|sift]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def clustered(n, d, n_clusters, noise, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, n_clusters, n)] + noise * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000):
+    import jax
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest, fit_dense
+    from similaritysearchbyrdf_tpu.ops.exact import exact_search
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=d, table_num=10, permutation_num=3, family_size=100,
+        partition_bits=3, lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
+        query_batch_size=256, max_candidates=4096, top_k=max(ks),
+    )
+    x = clustered(n, d, n_clusters, noise)
+    ids = np.arange(n, dtype=np.int32)
+    queries = x[:n_query]
+
+    t0 = time.perf_counter()
+    gt_ids, _ = exact_search(x, queries, k=max(ks), exclude_self=True)
+    gt_s = time.perf_counter() - t0
+    print(f"[{name}] exact GT: {gt_s:.2f}s ({n_query / gt_s:.0f} qps brute force)",
+          flush=True)
+
+    forest = RDFForest(conf)
+    forest.fit(DenseBatch(ids, x))
+    nb_pad = forest.state.tables.bucket_keys.shape[1]
+    t0 = time.perf_counter()
+    forest.state = fit_dense(conf, DenseBatch(ids, x), model=forest.model,
+                             part_proj=forest.part_proj, nb_pad=nb_pad)
+    jax.block_until_ready(forest.state.tables.sorted_keys)
+    build_s = time.perf_counter() - t0
+    print(f"[{name}] build: {build_s:.2f}s steady ({n / build_s:.0f} vec/s), "
+          f"{forest.index_bytes_per_vector():.0f} B/vec", flush=True)
+
+    for steps in steps_list:
+        forest.query(queries[:256], steps=steps, query_ids=ids[:256])  # compile
+        t0 = time.perf_counter()
+        got, _ = forest.query(queries, steps=steps, query_ids=ids[:n_query])
+        dt = time.perf_counter() - t0
+        line = {"bench": name, "steps": steps, "qps": round(n_query / dt, 1)}
+        for k in ks:
+            hits = 0
+            for i in range(n_query):
+                hits += len(set(gt_ids[i][:k].tolist())
+                            & set(int(v) for v in got[i][:k] if v >= 0))
+            line[f"recall@{k}"] = round(hits / (n_query * k), 4)
+        print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "glove"
+    if which == "glove":
+        run("glove1.2m", 1_200_000, 100, 20_000, 0.05, ks=(10,), steps_list=(0, 1))
+    elif which == "sift":
+        run("sift1m", 1_000_000, 128, 20_000, 0.05, ks=(1, 10, 100),
+            steps_list=(0, 1))
+    else:
+        raise SystemExit(f"unknown bench {which}")

@@ -195,18 +195,27 @@ def _sort_and_depths(
     sorted_keys, sorted_ids = jax.lax.sort((keys, ids), dimension=1, num_keys=1)
 
     n = sorted_keys.shape[1]
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     depth_lo = []
     depth_hi = []
     for d in range(layout.num_levels):
         s = layout.depth_shift(d)
         pref = sorted_keys >> jnp.uint32(s)
-        lo_key = pref << jnp.uint32(s)
-        hi_key = lo_key | jnp.uint32((1 << s) - 1)
-        lo = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(
-            sorted_keys, lo_key
+        # each element's prefix-group bounds come from run boundaries of the
+        # (already sorted) keys — pure prefix scans, no binary searches
+        # (this is what makes the build O(N) per depth on the VPU)
+        bm = jnp.concatenate(
+            [
+                jnp.ones((pref.shape[0], 1), dtype=bool),
+                pref[:, 1:] != pref[:, :-1],
+            ],
+            axis=1,
         )
-        hi = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="right"))(
-            sorted_keys, hi_key
+        lo = jax.lax.cummax(jnp.where(bm, idx, 0), axis=1)
+        nxt = jnp.where(bm, idx, n)
+        suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+        hi = jnp.concatenate(
+            [suffix_min[:, 1:], jnp.full((pref.shape[0], 1), n, jnp.int32)], axis=1
         )
         depth_lo.append(lo)
         depth_hi.append(hi)
