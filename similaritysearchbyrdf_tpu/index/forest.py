@@ -324,11 +324,7 @@ def _exclude_self(cand: jax.Array, row_ids: jax.Array, query_ids: jax.Array) -> 
     return jnp.where((cand >= 0) & (cand_uid == query_ids[:, None]), -1, cand)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("layout", "steps", "m_cap", "k", "multiprobe", "exclude_self"),
-)
-def query_dense(
+def _query_dense(
     state: ForestState,
     queries: jax.Array,          # f32[B, D]
     query_ids: jax.Array,        # i32[B] (-1 = no self-exclusion for that row)
@@ -339,7 +335,7 @@ def query_dense(
     multiprobe: bool = True,
     exclude_self: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched ANN query. Returns (ids i32[B,k], scores f32[B,k],
+    """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results."""
     h = hash_dense(state.model, queries)                        # [B, L] u32
     home = partition_of_hash(h, state.part_proj)                # [B, L] i32
@@ -362,6 +358,54 @@ def query_dense(
         )
     ids = jnp.where(rows >= 0, state.row_ids[jnp.maximum(rows, 0)], -1)
     return ids, scores, total
+
+
+query_dense = jax.jit(
+    _query_dense,
+    static_argnames=("layout", "steps", "m_cap", "k", "multiprobe", "exclude_self"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk"
+    ),
+)
+def query_dense_many(
+    state: ForestState,
+    queries: jax.Array,          # f32[Q, D], Q a multiple of `chunk`
+    query_ids: jax.Array,        # i32[Q]
+    layout: KeyLayout,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+    chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Whole-query-set search in ONE device program: `lax.map` over
+    `chunk`-sized pieces bounds peak memory to a single chunk's buffers
+    while avoiding per-chunk dispatch latency (the reference pays a thread
+    pool per batch; a remote-attached TPU pays a round trip per call)."""
+    q = queries.shape[0]
+    nc = q // chunk
+
+    def one(args):
+        qs, qi = args
+        return _query_dense(
+            state, qs, qi, layout, steps=steps, m_cap=m_cap, k=k,
+            multiprobe=multiprobe, exclude_self=exclude_self,
+        )
+
+    ids, scores, total = jax.lax.map(
+        one,
+        (
+            queries.reshape(nc, chunk, -1),
+            query_ids.reshape(nc, chunk),
+        ),
+    )
+    return ids.reshape(q, k), scores.reshape(q, k), total.reshape(q)
 
 
 # ---------------------------------------------------------------------------
@@ -433,28 +477,15 @@ class RDFForest:
         )
         bs = self.conf.query_batch_size
         nb = (q + bs - 1) // bs
-        # one transfer up front; dispatch every batch asynchronously and
-        # block only once at the end so batches pipeline on device (the
-        # reference blocks a thread pool per batch instead)
+        # one transfer, one device program: lax.map over chunks inside
         qd = jnp.asarray(np.pad(queries, ((0, nb * bs - q), (0, 0))))
         id_d = jnp.asarray(np.pad(qids, (0, nb * bs - q), constant_values=-1))
-        outs = []
-        for i in range(nb):
-            ids, scores, _ = query_dense(
-                self.state,
-                qd[i * bs : (i + 1) * bs],
-                id_d[i * bs : (i + 1) * bs],
-                self.layout,
-                steps=steps,
-                m_cap=self.conf.max_candidates,
-                k=k,
-                multiprobe=multiprobe,
-                exclude_self=exclude,
-            )
-            outs.append((ids, scores))
-        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
-        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
-        return out_ids, out_scores
+        ids, scores, _ = query_dense_many(
+            self.state, qd, id_d, self.layout,
+            steps=steps, m_cap=self.conf.max_candidates, k=k,
+            multiprobe=multiprobe, exclude_self=exclude, chunk=bs,
+        )
+        return np.asarray(ids)[:q], np.asarray(scores)[:q]
 
     # -- introspection ------------------------------------------------------
     def size(self) -> int:
