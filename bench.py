@@ -99,8 +99,7 @@ def main():
     # --- query: sweep steps until recall >= 0.85 (the reference's headline
     # numbers are at recall ~0.9; QPS is only comparable at matched recall) ---
     def run(steps):
-        forest.query(queries[: conf.query_batch_size], steps=steps,
-                     query_ids=qids[: conf.query_batch_size])  # compile
+        forest.query(queries, steps=steps, query_ids=qids)  # compile (same shape)
         t0 = time.perf_counter()
         got_ids, _ = forest.query(queries, steps=steps, query_ids=qids)
         query_s = time.perf_counter() - t0
