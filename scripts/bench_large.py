@@ -36,7 +36,11 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
     conf = RDFConfig(
         vector_dim=d, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
-        query_batch_size=256, max_candidates=4096, top_k=max(ks),
+        # large corpora produce tens of thousands of candidates per query
+        # (the reference walks them all); a large cap + bf16 coarse rerank
+        # keeps the chunk memory bounded
+        query_batch_size=64, max_candidates=32768, top_k=max(ks),
+        rerank_dtype="bfloat16",
     )
     x = clustered(n, d, n_clusters, noise)
     ids = np.arange(n, dtype=np.int32)
@@ -60,7 +64,8 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
           f"{forest.index_bytes_per_vector():.0f} B/vec", flush=True)
 
     for steps in steps_list:
-        forest.query(queries[:256], steps=steps, query_ids=ids[:256])  # compile
+        # compile with the exact timed shapes
+        forest.query(queries, steps=steps, query_ids=ids[:n_query])
         t0 = time.perf_counter()
         got, _ = forest.query(queries, steps=steps, query_ids=ids[:n_query])
         dt = time.perf_counter() - t0

@@ -231,21 +231,37 @@ def gather_candidates(
     valid_r = jnp.broadcast_to(probe_valid[:, :, None, :], (b, l, s, p)).reshape(b, r)
     length = jnp.where(valid_r, length, 0)
 
-    # --- range dedup: many probes resolve to the SAME bucket (shallow
-    # buckets ignore most flipped bits), so dedupe (table, start) ranges per
-    # query before materializing candidates. Sort ranges by a composite
-    # table*capacity+start key and zero out repeats.
+    # --- range dedup + priority: many probes resolve to the SAME bucket
+    # (shallow buckets ignore most flipped bits), so dedupe (table, start)
+    # ranges per query. Surviving ranges are then ordered by step distance
+    # (home partition first) so that when the M_cap truncates, the FARTHEST
+    # partitions' buckets are dropped first — more steps can then never
+    # reduce recall (the reference has no cap; this makes the cap bind
+    # gracefully).
     cap = tables.capacity
     table_b = jnp.broadcast_to(table_of[None, :], (b, r))
+    # step distance of each range (pattern index s = (r // p) % s_count)
+    dist = jax.lax.population_count(patterns).astype(jnp.int32)       # [S]
+    prio_r = jnp.broadcast_to(
+        jnp.repeat(jnp.tile(dist, l), p)[None, :], (b, r)
+    )
     rkey = table_b * jnp.int32(cap + 1) + start                 # unique per bucket
     rkey = jnp.where(length > 0, rkey, jnp.int32(2**31 - 1))    # empties last
-    rkey, start_s, length_s, table_s = jax.lax.sort(
-        (rkey, start, length, table_b), dimension=1, num_keys=1
+    st_packed = start * 64 + table_b                             # cap < 2^25
+    rkey, prio_s, st_s, length_s = jax.lax.sort(
+        (rkey, prio_r, st_packed, length), dimension=1, num_keys=2
     )
     dup = jnp.concatenate(
         [jnp.zeros((b, 1), dtype=bool), rkey[:, 1:] == rkey[:, :-1]], axis=1
     )
     length_s = jnp.where(dup, 0, length_s)
+    # reorder by priority (dead/dup ranges last)
+    prio_s = jnp.where(length_s > 0, prio_s, jnp.int32(2**30))
+    _, st_s, length_s = jax.lax.sort(
+        (prio_s, st_s, length_s), dimension=1, num_keys=1
+    )
+    start_s = st_s // 64
+    table_s = st_s % 64
 
     # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots.
     # Per-slot values (source position, source table) are piecewise constant

@@ -136,13 +136,7 @@ def fit_sparse(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self"
-    ),
-)
-def query_sparse(
+def _query_sparse(
     state: SparseForestState,
     q_indices: jax.Array,        # i32[B, NNZq]
     q_values: jax.Array,         # f32[B, NNZq]
@@ -175,6 +169,58 @@ def query_sparse(
     )
     ids = jnp.where(rows_out >= 0, state.row_ids[jnp.maximum(rows_out, 0)], -1)
     return ids, scores, total
+
+
+query_sparse = jax.jit(
+    _query_sparse,
+    static_argnames=(
+        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self"
+    ),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self",
+        "chunk",
+    ),
+)
+def query_sparse_many(
+    state: SparseForestState,
+    q_indices: jax.Array,        # i32[Q, NNZq], Q a multiple of chunk
+    q_values: jax.Array,         # f32[Q, NNZq]
+    query_ids: jax.Array,        # i32[Q]
+    layout: KeyLayout,
+    dim: int,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    multiprobe: bool = False,
+    exclude_self: bool = True,
+    chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Whole-query-set sparse search in one device program (lax.map over
+    chunks — see `query_dense_many`)."""
+    q = q_indices.shape[0]
+    nc = q // chunk
+
+    def one(args):
+        qi, qv, qid = args
+        return _query_sparse(
+            state, qi, qv, qid, layout, dim, steps=steps, m_cap=m_cap, k=k,
+            multiprobe=multiprobe, exclude_self=exclude_self,
+        )
+
+    ids, scores, total = jax.lax.map(
+        one,
+        (
+            q_indices.reshape(nc, chunk, -1),
+            q_values.reshape(nc, chunk, -1),
+            query_ids.reshape(nc, chunk),
+        ),
+    )
+    return ids.reshape(q, k), scores.reshape(q, k), total.reshape(q)
 
 
 class SparseRDFForest:
@@ -222,18 +268,12 @@ class SparseRDFForest:
         qi = jnp.asarray(np.pad(queries.indices, ((0, pad), (0, 0))))
         qv = jnp.asarray(np.pad(queries.values, ((0, pad), (0, 0))))
         ic = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
-        outs = []
-        for i in range(nb):
-            sl = slice(i * bs, (i + 1) * bs)
-            ids, scores, _ = query_sparse(
-                self.state, qi[sl], qv[sl], ic[sl], self.layout, self.dim,
-                steps=steps, m_cap=self.conf.max_candidates, k=k,
-                exclude_self=exclude,
-            )
-            outs.append((ids, scores))
-        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
-        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
-        return out_ids, out_scores
+        ids, scores, _ = query_sparse_many(
+            self.state, qi, qv, ic, self.layout, self.dim,
+            steps=steps, m_cap=self.conf.max_candidates, k=k,
+            exclude_self=exclude, chunk=bs,
+        )
+        return np.asarray(ids)[:q], np.asarray(scores)[:q]
 
     def size(self) -> int:
         if self.state is None:
