@@ -20,7 +20,13 @@ from .vectors import (
 )
 from .models.families import HashModel, generate_model, save_model_file, load_model_file
 from .index.forest import RDFForest, ForestState, fit_dense, query_dense
+from .index.sparse_forest import SparseRDFForest
 from .index.bucket_table import KeyLayout, BucketTables
+from .ops.exact import exact_search
+from .deploy.dense import DenseRDFInit
+from .deploy.sparse import SparseRDFInit
+from .deploy.multi_feature import MultiFeatureRDFInit
+from .storage.persist import save_forest, load_forest, TieredForest, GenerationStore
 
 __version__ = "0.1.0"
 
@@ -41,9 +47,26 @@ __all__ = [
     "save_model_file",
     "load_model_file",
     "RDFForest",
+    "SparseRDFForest",
     "ForestState",
     "fit_dense",
     "query_dense",
     "KeyLayout",
     "BucketTables",
+    "exact_search",
+    "DenseRDFInit",
+    "SparseRDFInit",
+    "MultiFeatureRDFInit",
+    "save_forest",
+    "load_forest",
+    "TieredForest",
+    "GenerationStore",
 ]
+
+
+def sharded_forest(*args, **kwargs):
+    """Lazy accessor for :class:`parallel.sharded_forest.ShardedRDFForest`
+    (imported on demand to keep single-chip imports light)."""
+    from .parallel.sharded_forest import ShardedRDFForest
+
+    return ShardedRDFForest(*args, **kwargs)

@@ -269,7 +269,20 @@ def make_query_fn(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+
+    def many(state, queries, query_ids, chunk=None):
+        """Whole query set in one program; `chunk` bounds per-step memory."""
+        q = queries.shape[0]
+        if chunk is None or chunk >= q:
+            return fn(state, queries, query_ids)
+        nc = q // chunk
+        ids, scores, total = jax.lax.map(
+            lambda a: fn(state, a[0], a[1]),
+            (queries.reshape(nc, chunk, -1), query_ids.reshape(nc, chunk)),
+        )
+        return ids.reshape(q, k), scores.reshape(q, k), total.reshape(q)
+
+    return jax.jit(many, static_argnames=("chunk",))
 
 
 class ShardedRDFForest:
@@ -323,10 +336,5 @@ class ShardedRDFForest:
         pad = nb * bs - q
         qd = jnp.asarray(np.pad(queries, ((0, pad), (0, 0))))
         id_d = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
-        outs = []
-        for i in range(nb):
-            sl = slice(i * bs, (i + 1) * bs)
-            outs.append(fn(self.state, qd[sl], id_d[sl])[:2])
-        out_ids = np.concatenate([np.asarray(o[0]) for o in outs])[:q]
-        out_scores = np.concatenate([np.asarray(o[1]) for o in outs])[:q]
-        return out_ids, out_scores
+        ids, scores, _ = fn(self.state, qd, id_d, chunk=bs)
+        return np.asarray(ids)[:q], np.asarray(scores)[:q]
