@@ -65,6 +65,54 @@ def exact_topk(
     return best_i, best_s
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "exclude_diag_offset"))
+def exact_topk_sparse(
+    corpus_indices: jax.Array,   # i32[N, NNZ]
+    corpus_values: jax.Array,    # f32[N, NNZ] (padding values 0)
+    query_dense: jax.Array,      # f32[B, V] densified queries
+    k: int,
+    chunk: int = 4096,
+    exclude_diag_offset: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming exact top-k over a sparse corpus: per chunk, gather the
+    query values at each row's indices and accumulate — the correct
+    sparse·sparse dot at scale (GT generator for the sparse path)."""
+    n = corpus_indices.shape[0]
+    b = query_dense.shape[0]
+    chunk = min(chunk, n)
+    n_pad = int(np.ceil(n / chunk)) * chunk
+    idx_p = jnp.pad(corpus_indices, ((0, n_pad - n), (0, 0)))
+    val_p = jnp.pad(corpus_values, ((0, n_pad - n), (0, 0)))
+    n_chunks = n_pad // chunk
+
+    def body(carry, ci):
+        best_s, best_i = carry
+        rows_i = jax.lax.dynamic_slice_in_dim(idx_p, ci * chunk, chunk)
+        rows_v = jax.lax.dynamic_slice_in_dim(val_p, ci * chunk, chunk)
+        qg = jnp.take(query_dense, rows_i, axis=1)       # [B, chunk, NNZ]
+        scores = jnp.einsum("bcn,cn->bc", qg, rows_v)
+        ids = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        valid = ids < n
+        if exclude_diag_offset is not None:
+            qidx = jnp.arange(b, dtype=jnp.int32)[:, None] + exclude_diag_offset
+            valid = valid & (ids != qidx)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        cat_s = jnp.concatenate([best_s, scores], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk))], axis=1)
+        top_s, ti = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, ti, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((b, k), -1, dtype=jnp.int32),
+    )
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return best_i, best_s
+
+
 def exact_search(
     corpus: np.ndarray,
     queries: np.ndarray,
