@@ -7,8 +7,11 @@ pools over `RandomDrawTreeMap.getSimilarWithStepWiseFaster`,
 fit   (SURVEY.md §7.3): hash all vectors `[N, L]` → partition-hash →
       composite keys → per-table sort → overflow-rule leaf buckets (CSR).
 query (SURVEY.md §7.4): hash `[B, L]` → step-wise partition fan-out ×
-      multi-probe flips → one binary search per probe → ragged-gather of
-      candidate ids → sort-dedup → exact dot-product top-k re-rank.
+      multi-probe flips → merge-rank bucket lookup → bucket-range dedup with
+      step-distance priority → merge-sort ragged flatten → exact top-k
+      re-rank with post-top-slice dedup. Every stage is sort/scan-shaped:
+      TPU gathers and scatters cost per element, sorts and prefix sums run
+      VPU-wide.
 
 The reference's parallelism P1 (thread-per-table-range) disappears: the table
 axis is just a tensor dimension. P2-P6 are reproduced as tensor ops (see

@@ -18,6 +18,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _top_k(scores: jax.Array, ids: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """top-k of (scores, ids) along the last axis. lax.top_k costs O(n*k);
+    beyond small k a full descending sort is cheaper on TPU."""
+    if k <= 32:
+        s, ti = jax.lax.top_k(scores, k)
+        return s, jnp.take_along_axis(ids, ti, axis=-1)
+    neg, ids_s = jax.lax.sort((-scores, ids), dimension=-1, num_keys=1)
+    return -neg[..., :k], ids_s[..., :k]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exclude_diag_offset"))
 def exact_topk(
     corpus: jax.Array,       # f32/bf16 [N, D]
@@ -51,8 +61,7 @@ def exact_topk(
         scores = jnp.where(valid, scores, -jnp.inf)
         cat_s = jnp.concatenate([best_s, scores], axis=1)
         cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk))], axis=1)
-        top_s, ti = jax.lax.top_k(cat_s, k)
-        top_i = jnp.take_along_axis(cat_i, ti, axis=1)
+        top_s, top_i = _top_k(cat_s, cat_i, k)
         return (top_s, top_i), None
 
     init = (
@@ -99,8 +108,7 @@ def exact_topk_sparse(
         scores = jnp.where(valid, scores, -jnp.inf)
         cat_s = jnp.concatenate([best_s, scores], axis=1)
         cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk))], axis=1)
-        top_s, ti = jax.lax.top_k(cat_s, k)
-        top_i = jnp.take_along_axis(cat_i, ti, axis=1)
+        top_s, top_i = _top_k(cat_s, cat_i, k)
         return (top_s, top_i), None
 
     init = (
