@@ -2,10 +2,8 @@
 
 Replaces the reference's breeze `argsort(dataMatrix * queryVec)` re-rank
 (HOT LOOP #4, `DensevectorRDFInit.scala:487-490`) with a batched
-gather → dot → masked `lax.top_k`. Scoring is inner-product similarity,
-matching the reference. A fused Pallas variant lives in
-`ops/pallas/rerank_kernel.py` and is selected by the front-end when
-profitable.
+gather → dot → sort-select → narrow dedup → top-k. Scoring is inner-product
+similarity, matching the reference.
 """
 
 from __future__ import annotations
@@ -65,6 +63,17 @@ def _dedup_width(m: int, k: int, dup_bound: int) -> int:
     return min(m, (k + 1) * max(1, dup_bound))
 
 
+def _select_top(scores: jax.Array, cand: jax.Array, m2: int):
+    """(top scores, their candidate ids) for the widest slice. lax.top_k is
+    O(n*k) on TPU — for the wide dedup slice a full descending sort is far
+    cheaper."""
+    if m2 <= 32:
+        s2, idx = jax.lax.top_k(scores, m2)
+        return s2, jnp.take_along_axis(cand, idx, axis=1)
+    neg, c2 = jax.lax.sort((-scores, cand), dimension=1, num_keys=1)
+    return -neg[:, :m2], c2[:, :m2]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "dup_bound", "compute_dtype"))
 def rerank_dense(
     corpus: jax.Array,      # f32[N, D]
@@ -79,8 +88,7 @@ def rerank_dense(
     full buffer is scored once and only the top slice is dedup-sorted."""
     scores = score_candidates(corpus, cand, queries, compute_dtype)
     m2 = _dedup_width(cand.shape[1], k, dup_bound)
-    s2, idx = jax.lax.top_k(scores, m2)
-    c2 = jnp.take_along_axis(cand, idx, axis=1)
+    s2, c2 = _select_top(scores, cand, m2)
     return dedup_topk(c2, s2, k)
 
 
@@ -100,8 +108,7 @@ def rerank_dense_two_stage(
     relative error ~0.4%; the slice is at least `refine` wide)."""
     m2 = max(_dedup_width(cand.shape[1], k, dup_bound), min(refine, cand.shape[1]))
     coarse = score_candidates(corpus_lp, cand, queries, jnp.bfloat16)
-    _, top_idx = jax.lax.top_k(coarse, m2)                      # [B, m2]
-    c2 = jnp.take_along_axis(cand, top_idx, axis=1)
+    _, c2 = _select_top(coarse, cand, m2)                       # [B, m2]
     exact = score_candidates(corpus, c2, queries)
     return dedup_topk(c2, exact, k)
 
@@ -130,8 +137,7 @@ def rerank_sparse(
     scores = jnp.sum(c_val * q_gather, axis=-1)
     scores = jnp.where(valid, scores, NEG_INF)
     m2 = _dedup_width(cand.shape[1], k, dup_bound)
-    s2, idx = jax.lax.top_k(scores, m2)
-    c2 = jnp.take_along_axis(cand, idx, axis=1)
+    s2, c2 = _select_top(scores, cand, m2)
     return dedup_topk(c2, s2, k)
 
 
