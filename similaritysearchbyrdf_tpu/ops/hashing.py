@@ -11,7 +11,7 @@ whole batch come out of a single jitted call.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,46 @@ def hash_dense(model: HashModel, x: jax.Array, precision=None) -> jax.Array:
     dots = _project(model, x.astype(jnp.float32), precision)
     h = _pack_chains(model, dots)
     return apply_type_of_index(h, model.type_of_index, model.sampling_perm)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def hash_dense_with_margins(
+    model: HashModel, x: jax.Array, precision=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Like `hash_dense` but also returns per-packed-bit flip margins
+    `f32[B, L, 32]`: margin of bit i = |<x, proj of the function packed at
+    bit i>| — the hyperplane distance that makes flipping that bit
+    worthwhile (small margin = uncertain bit). Structural bits that carry no
+    function (chain_length < 32) get +inf. Only defined for the angle family
+    with typeOfIndex=original (margin-guided probing is disabled otherwise).
+    """
+    if model.family != "angle" or model.type_of_index != "original":
+        raise ValueError(
+            "bit margins require the angle family with typeOfIndex=original"
+        )
+    dots = _project(model, x.astype(jnp.float32), precision)   # [B, T, C]
+    bits = (dots > 0).astype(jnp.int32)
+    permuted_bits = jnp.take_along_axis(
+        bits[:, :, None, :], model.perm[None, :, :, :], axis=-1
+    )                                                          # [B, T, P, C]
+    h = pack_bits_msb_first(permuted_bits)                     # [B, T, P]
+    permuted_absdots = jnp.take_along_axis(
+        jnp.abs(dots)[:, :, None, :], model.perm[None, :, :, :], axis=-1
+    )                                                          # [B, T, P, C]
+    b = x.shape[0]
+    c = dots.shape[-1]
+    # chain position j packs at bit 31-j, so along ascending bit index the
+    # low 32-c bits are structural (inf) and the top c are reversed |dots|
+    margins = jnp.concatenate(
+        [
+            jnp.full(permuted_absdots.shape[:-1] + (32 - c,), jnp.inf,
+                     dtype=jnp.float32),
+            jnp.flip(permuted_absdots, axis=-1),
+        ],
+        axis=-1,
+    )                                                          # [B, T, P, 32]
+    l = h.shape[1] * h.shape[2]
+    return h.reshape(b, l), margins.reshape(b, l, 32)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
