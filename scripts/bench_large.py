@@ -63,20 +63,24 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
     print(f"[{name}] build: {build_s:.2f}s steady ({n / build_s:.0f} vec/s), "
           f"{forest.index_bytes_per_vector():.0f} B/vec", flush=True)
 
+    modes = [("reference", 0)] + [("margin", b) for b in (8,)]
     for steps in steps_list:
-        # compile with the exact timed shapes
-        forest.query(queries, steps=steps, query_ids=ids[:n_query])
-        t0 = time.perf_counter()
-        got, _ = forest.query(queries, steps=steps, query_ids=ids[:n_query])
-        dt = time.perf_counter() - t0
-        line = {"bench": name, "steps": steps, "qps": round(n_query / dt, 1)}
-        for k in ks:
-            hits = 0
-            for i in range(n_query):
-                hits += len(set(gt_ids[i][:k].tolist())
-                            & set(int(v) for v in got[i][:k] if v >= 0))
-            line[f"recall@{k}"] = round(hits / (n_query * k), 4)
-        print(json.dumps(line), flush=True)
+        for mode, budget in modes:
+            kw = dict(steps=steps, query_ids=ids[:n_query],
+                      probe_mode=mode, probe_budget=budget or 8)
+            forest.query(queries, **kw)  # compile with the exact timed shapes
+            t0 = time.perf_counter()
+            got, _ = forest.query(queries, **kw)
+            dt = time.perf_counter() - t0
+            line = {"bench": name, "steps": steps, "mode": mode,
+                    "qps": round(n_query / dt, 1)}
+            for k in ks:
+                hits = 0
+                for i in range(n_query):
+                    hits += len(set(gt_ids[i][:k].tolist())
+                                & set(int(v) for v in got[i][:k] if v >= 0))
+                line[f"recall@{k}"] = round(hits / (n_query * k), 4)
+            print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -193,6 +193,28 @@ class TieredForest:
         self.device_tier = None
         return stem
 
+    def get(self, key: int) -> Optional[np.ndarray]:
+        """Exact point lookup across tiers, Bloom-gated: a generation whose
+        summary says the id cannot be present is never opened — exactly the
+        reference's persisted-store read gate (`testInDataSummary`,
+        `RandomDrawTreeMap.java:926-938`)."""
+        if self.device_tier is not None and self.device_tier.state is not None:
+            st = self.device_tier.state
+            rows = np.flatnonzero(np.asarray(st.row_ids) == key)
+            if len(rows):
+                return np.asarray(st.corpus[int(rows[0])], dtype=np.float32)
+        for stem in self.store.generations():
+            if not self.store.summary(stem).might_contain(
+                np.asarray([key], dtype=np.uint32)
+            )[0]:
+                continue  # Bloom says definitely absent: skip the load
+            tier = self.store.load_generation(stem)
+            st = tier.state
+            rows = np.flatnonzero(np.asarray(st.row_ids) == key)
+            if len(rows):
+                return np.asarray(st.corpus[int(rows[0])], dtype=np.float32)
+        return None
+
     def query(
         self,
         queries: np.ndarray,
