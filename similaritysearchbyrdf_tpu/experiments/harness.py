@@ -165,6 +165,42 @@ def gt_hamming_analysis(
     }
 
 
+def recall_time_curve(
+    forest: RDFForest,
+    queries: np.ndarray,
+    gt: np.ndarray,
+    configs: Optional[Sequence[dict]] = None,
+    query_ids: Optional[np.ndarray] = None,
+) -> List[dict]:
+    """Recall@k vs time operating-point curve — the framework's equivalent
+    of the reference's results.png (time per 1000 queries vs recall, Fig. 5
+    of the DPF paper). Each config is a kwargs dict for `RDFForest.query`
+    (steps / multiprobe / probe_mode / probe_budget). Returns one point per
+    config: {config, qps, time_s_per_1000, recall}."""
+    if configs is None:
+        configs = [
+            {"steps": 0, "multiprobe": False},
+            {"steps": 0, "probe_mode": "margin", "probe_budget": 4},
+            {"steps": 0, "probe_mode": "margin", "probe_budget": 8},
+            {"steps": 0},
+            {"steps": 1},
+            {"steps": 2},
+        ]
+    points = []
+    for cfg in configs:
+        forest.query(queries, query_ids=query_ids, **cfg)   # compile
+        t0 = time.perf_counter()
+        ids, _ = forest.query(queries, query_ids=query_ids, **cfg)
+        dt = time.perf_counter() - t0
+        points.append({
+            "config": dict(cfg),
+            "qps": len(queries) / dt,
+            "time_s_per_1000": dt * 1000.0 / len(queries),
+            "recall": recall_at_k(ids, gt),
+        })
+    return points
+
+
 def best_hash_family_search(
     conf: RDFConfig,
     corpus_batch: DenseBatch,

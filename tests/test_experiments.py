@@ -148,3 +148,20 @@ def test_cli_genparams_fit_query(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(out[-1])
     assert "ids" in rec
+
+
+def test_recall_time_curve():
+    rng = np.random.default_rng(7)
+    x = _data(rng, n=500)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    gt = harness.exact_ground_truth(x, x[:16], conf.top_k)
+    pts = harness.recall_time_curve(
+        forest, x[:16], gt,
+        configs=[{"steps": 0, "multiprobe": False}, {"steps": 1}],
+        query_ids=np.arange(16),
+    )
+    assert len(pts) == 2
+    assert all(0.0 <= p["recall"] <= 1.0 and p["qps"] > 0 for p in pts)
+    # wider config reaches at least the recall of the narrow one
+    assert pts[1]["recall"] >= pts[0]["recall"] - 1e-9
