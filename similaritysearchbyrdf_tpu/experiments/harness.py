@@ -54,6 +54,19 @@ def recall_at_k(ids: np.ndarray, gt: np.ndarray) -> float:
     return hits / (gt.shape[0] * k)
 
 
+def error_ratio(found_scores: np.ndarray, gt_scores: np.ndarray) -> float:
+    """Mean approximation ratio of the returned neighbors' similarities vs
+    the true top-k similarities (rank-aligned). 1.0 = exact; the metric the
+    reference's KNN-distance files exist for (`Vectors.KNNFromPython`,
+    `Vector.scala:266-275`). Missing results (-inf) count as ratio 0."""
+    fs = np.asarray(found_scores, dtype=np.float64)
+    gs = np.asarray(gt_scores, dtype=np.float64)
+    ratios = np.where(
+        np.isfinite(fs) & (np.abs(gs) > 1e-12), fs / gs, 0.0
+    )
+    return float(np.clip(ratios, 0.0, None).mean())
+
+
 @dataclasses.dataclass
 class StepSweepResult:
     steps: int
