@@ -104,6 +104,11 @@ def fit_sparse(
     )
     n = batch.n
     chunk = min(conf.fit_batch_size, _pad_to(n, 256))
+    if batch.size > _DENSIFY_DIM_LIMIT:
+        # gather-path hashing materializes [chunk, NNZ, T*C]; bound it to
+        # ~512 MB per chunk
+        per_row = batch.nnz_pad * conf.table_num * conf.lsh_table.chain_length * 4
+        chunk = min(chunk, _pad_to(max(256, (512 << 20) // max(per_row, 1)), 256))
     npad = _pad_to(n, chunk)
     idx = np.zeros((npad, batch.nnz_pad), dtype=np.int32)
     val = np.zeros((npad, batch.nnz_pad), dtype=np.float32)
