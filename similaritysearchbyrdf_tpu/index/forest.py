@@ -48,6 +48,12 @@ from .partitioner import (
 )
 
 
+# Test hook: force the unpacked (multi-operand-sort) range dedup path that
+# large capacities take, so its semantics can be asserted equal to the packed
+# path on small corpora (see tests/test_edge_cases.py).
+_FORCE_UNPACKED_RANGES = False
+
+
 # ---------------------------------------------------------------------------
 # Device state
 # ---------------------------------------------------------------------------
@@ -275,23 +281,52 @@ def gather_candidates(
     prio_r = jnp.broadcast_to(
         jnp.repeat(jnp.tile(dist, l), p)[None, :], (b, r)
     )
-    rkey = table_b * jnp.int32(cap + 1) + start                 # unique per bucket
-    rkey = jnp.where(length > 0, rkey, jnp.int32(2**31 - 1))    # empties last
-    st_packed = start * 64 + table_b                             # cap < 2^25
-    rkey, prio_s, st_s, length_s = jax.lax.sort(
-        (rkey, prio_r, st_packed, length), dimension=1, num_keys=2
-    )
-    dup = jnp.concatenate(
-        [jnp.zeros((b, 1), dtype=bool), rkey[:, 1:] == rkey[:, :-1]], axis=1
-    )
-    length_s = jnp.where(dup, 0, length_s)
-    # reorder by priority (dead/dup ranges last)
-    prio_s = jnp.where(length_s > 0, prio_s, jnp.int32(2**30))
-    _, st_s, length_s = jax.lax.sort(
-        (prio_s, st_s, length_s), dimension=1, num_keys=1
-    )
-    start_s = st_s // 64
-    table_s = st_s % 64
+    # Packing (bucket id → one int32 key; (start, table) → one int32 value)
+    # halves the sort operand count but silently overflows once
+    # l*(cap+1) or cap*64+l exceed int32 — exactly the ≥2^25-rows/table
+    # regime of the Deep-100M target. Guard it and fall back to
+    # multi-operand sorts (same semantics, one extra operand per sort).
+    can_pack_ranges = (
+        l * (cap + 1) < 2**31 and cap * 64 + l < 2**31 and l <= 64
+    ) and not _FORCE_UNPACKED_RANGES
+    if can_pack_ranges:
+        rkey = table_b * jnp.int32(cap + 1) + start             # unique per bucket
+        rkey = jnp.where(length > 0, rkey, jnp.int32(2**31 - 1))  # empties last
+        st_packed = start * 64 + table_b
+        rkey, prio_s, st_s, length_s = jax.lax.sort(
+            (rkey, prio_r, st_packed, length), dimension=1, num_keys=2
+        )
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), dtype=bool), rkey[:, 1:] == rkey[:, :-1]], axis=1
+        )
+        length_s = jnp.where(dup, 0, length_s)
+        # reorder by priority (dead/dup ranges last)
+        prio_s = jnp.where(length_s > 0, prio_s, jnp.int32(2**30))
+        _, st_s, length_s = jax.lax.sort(
+            (prio_s, st_s, length_s), dimension=1, num_keys=1
+        )
+        start_s = st_s // 64
+        table_s = st_s % 64
+    else:
+        big = jnp.int32(2**31 - 1)
+        tkey = jnp.where(length > 0, table_b, big)
+        skey = jnp.where(length > 0, start, big)
+        tkey, skey, prio_s, start_u, table_u, length_s = jax.lax.sort(
+            (tkey, skey, prio_r, start, table_b, length),
+            dimension=1, num_keys=3,
+        )
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((b, 1), dtype=bool),
+                (tkey[:, 1:] == tkey[:, :-1]) & (skey[:, 1:] == skey[:, :-1]),
+            ],
+            axis=1,
+        )
+        length_s = jnp.where(dup, 0, length_s)
+        prio_s = jnp.where(length_s > 0, prio_s, jnp.int32(2**30))
+        _, start_s, table_s, length_s = jax.lax.sort(
+            (prio_s, start_u, table_u, length_s), dimension=1, num_keys=1
+        )
 
     # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots.
     # Per-slot values (source position, source table) are piecewise constant

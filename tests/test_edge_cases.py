@@ -105,3 +105,92 @@ def test_cap_overflow_reported():
         forest.layout, steps=1, m_cap=64, k=5,
     )
     assert int(np.asarray(total).max()) == 64  # saturated and reported
+
+
+def test_unpacked_range_path_matches_packed():
+    """The multi-operand-sort fallback (taken when capacity >= 2^25 would
+    overflow the int32 range packing) must return bit-identical candidates
+    to the packed path."""
+    from similaritysearchbyrdf_tpu.index import forest as forest_mod
+    from similaritysearchbyrdf_tpu.index.forest import gather_candidates
+    from similaritysearchbyrdf_tpu.index.partitioner import partition_of_hash
+    from similaritysearchbyrdf_tpu.ops.hashing import hash_dense
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=4, permutation_num=2, family_size=32,
+        partition_bits=3, lsh_table=TableConfig(chain_length=16,
+                                                bucket_overflow=8),
+        max_candidates=256,
+    )
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(600, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(600, dtype=np.int32), x))
+    st = forest.state
+    h = hash_dense(st.model, jnp.asarray(x[:16]))
+    home = partition_of_hash(h, st.part_proj)
+
+    args = (st.tables, h, home, forest.layout, 1, 256, True)
+    cand_p, tot_p = gather_candidates(*args)
+    assert not forest_mod._FORCE_UNPACKED_RANGES
+    try:
+        forest_mod._FORCE_UNPACKED_RANGES = True
+        cand_u, tot_u = gather_candidates(*args)
+    finally:
+        forest_mod._FORCE_UNPACKED_RANGES = False
+    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_u))
+    np.testing.assert_array_equal(np.asarray(cand_p), np.asarray(cand_u))
+
+
+def test_huge_capacity_candidates_correct():
+    """capacity > 2^25 rows/table: start*64 and table*(cap+1) overflow int32,
+    so the guard must route to the unpacked path and return the exact rows
+    of the probed bucket (the Deep-100M regime, BASELINE configs[4])."""
+    from similaritysearchbyrdf_tpu.index.bucket_table import (
+        BucketTables, KeyLayout, composite_keys, _build_records,
+    )
+    from similaritysearchbyrdf_tpu.index.forest import gather_candidates
+
+    layout = KeyLayout(partition_bits=3, seg_bits=4, bits_per_level=5,
+                       num_levels=5, bucket_bits=28)
+    cap = (1 << 25) + 1024
+    tgt_start, tgt_len = 1 << 25, 512          # start*64 == 2^31: overflows
+    part, seg, trie = 5, 9, 0x1ABCDEF
+    h = np.uint32((seg << 28) | trie)
+    key = int(np.asarray(composite_keys(
+        jnp.asarray([h]), jnp.asarray([part], jnp.int32), layout))[0])
+
+    sorted_keys = np.zeros(cap, np.uint32)
+    sorted_keys[tgt_start:tgt_start + tgt_len] = key
+    sorted_keys[tgt_start + tgt_len:] = 0xFFFFFFFF
+    sorted_ids = np.arange(cap, dtype=np.int32)
+    sorted_ids[tgt_start + tgt_len:] = -1
+    nb_pad = 8
+    bkeys = np.full(nb_pad, 0xFFFFFFFF, np.uint32)
+    bstarts = np.full(nb_pad + 1, cap, np.int32)
+    bshifts = np.zeros(nb_pad, np.uint32)
+    bkeys[:3] = [0, key, 0xFFFFFFFF]
+    bstarts[:3] = [0, tgt_start, tgt_start + tgt_len]
+    tables = BucketTables(
+        sorted_keys=jnp.asarray(sorted_keys)[None],
+        sorted_ids=jnp.asarray(sorted_ids)[None],
+        bucket_keys=jnp.asarray(bkeys)[None],
+        bucket_starts=jnp.asarray(bstarts)[None],
+        bucket_shifts=jnp.asarray(bshifts)[None],
+    )
+    tables = BucketTables(
+        **{**{f.name: getattr(tables, f.name) for f in
+              tables.__dataclass_fields__.values() if f.name != "records"},
+           "records": _build_records(tables.bucket_keys, tables.bucket_starts,
+                                     tables.bucket_shifts)},
+    )
+    hq = jnp.asarray([[h]], jnp.uint32)                  # [B=1, L=1]
+    homeq = jnp.asarray([[part]], jnp.int32)
+    cand, total = gather_candidates(
+        tables, hq, homeq, layout, steps=0, m_cap=1024, multiprobe=False,
+    )
+    assert int(total[0]) == tgt_len
+    got = np.asarray(cand[0])
+    np.testing.assert_array_equal(
+        got[:tgt_len], np.arange(tgt_start, tgt_start + tgt_len))
+    assert (got[tgt_len:] == -1).all()
