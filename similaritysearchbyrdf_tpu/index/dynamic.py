@@ -26,6 +26,14 @@ from ..vectors import DenseBatch
 
 
 class DynamicForest:
+    # Over-fetch headroom buckets: the per-tier query fetches
+    # k + bucket(len(tombstones)) results, where bucket() rounds UP to one
+    # of these values — so a removal stream triggers at most
+    # len(OVERFETCH_BUCKETS) distinct compiled query shapes instead of one
+    # per tombstone count (remote-TPU recompiles cost minutes each).
+    OVERFETCH_BUCKETS = (0, 16, 64)
+    TOMBSTONE_LIMIT = OVERFETCH_BUCKETS[-1]
+
     def __init__(self, conf: RDFConfig, merge_threshold: float = 0.25):
         self.conf = conf
         self.merge_threshold = merge_threshold
@@ -34,20 +42,25 @@ class DynamicForest:
         self._delta_ids: list = []
         self._delta_vecs: list = []
         self._tombstones: Set[int] = set()
+        self._delta_dirty = False
 
     # -- mutation ------------------------------------------------------------
     def fit(self, batch: DenseBatch) -> "DynamicForest":
         self.main.fit(batch)
         self.delta = None
         self._delta_ids, self._delta_vecs = [], []
+        self._delta_dirty = False
         self._tombstones.clear()
         return self
 
     def add(self, batch: DenseBatch) -> None:
+        """Accumulate host-side; the delta forest is rebuilt lazily at the
+        next query (one rebuild per query burst instead of one per add —
+        an insert stream is O(n), not O(n^2))."""
         self._delta_ids.extend(int(i) for i in batch.ids)
         self._delta_vecs.extend(np.asarray(batch.values, dtype=np.float32))
         self._tombstones.difference_update(int(i) for i in batch.ids)
-        self._rebuild_delta()
+        self._delta_dirty = True
         if self._delta_count() > self.merge_threshold * max(1, self.main.size()):
             self.compact()
 
@@ -56,13 +69,20 @@ class DynamicForest:
             keep = [i for i, kid in enumerate(self._delta_ids) if kid != key]
             self._delta_ids = [self._delta_ids[i] for i in keep]
             self._delta_vecs = [self._delta_vecs[i] for i in keep]
-            self._rebuild_delta()
+            self._delta_dirty = True
         self._tombstones.add(int(key))
+        # Bound the tombstone set so the query over-fetch stays static: past
+        # TOMBSTONE_LIMIT the dead rows are folded out in one compaction
+        # (the array analogue of the reference's eager node delete,
+        # `RandomDrawTreeMap.remove:1817`).
+        if len(self._tombstones) > self.TOMBSTONE_LIMIT:
+            self.compact()
 
     def _delta_count(self) -> int:
         return len(self._delta_ids)
 
     def _rebuild_delta(self) -> None:
+        self._delta_dirty = False
         if not self._delta_ids:
             self.delta = None
             return
@@ -99,6 +119,7 @@ class DynamicForest:
         self.main.fit(DenseBatch(ids[keep], vecs[keep].astype(np.float32)))
         self.delta = None
         self._delta_ids, self._delta_vecs = [], []
+        self._delta_dirty = False
         self._tombstones.clear()
 
     def size(self) -> int:
@@ -122,13 +143,20 @@ class DynamicForest:
         **kw,
     ) -> Tuple[np.ndarray, np.ndarray]:
         k = k or self.conf.top_k
+        if self._delta_dirty:
+            self._rebuild_delta()
         tiers = [t for t in (self.main if self.main.state is not None else None,
                              self.delta) if t is not None]
+        # over-fetch so tombstone filtering cannot starve the merge; rounded
+        # to a static bucket so the compiled query shape does not depend on
+        # the exact tombstone count (remove() compacts past the last bucket,
+        # so the bucket always covers every live tombstone)
+        live_tombs = min(len(self._tombstones), self.TOMBSTONE_LIMIT)
+        extra = next(b for b in self.OVERFETCH_BUCKETS if b >= live_tombs)
         all_ids, all_scores = [], []
         for t in tiers:
-            # over-fetch so tombstone filtering cannot starve the merge
             ids, scores = t.query(queries, steps=steps, query_ids=query_ids,
-                                  k=k + len(self._tombstones), **kw)
+                                  k=k + extra, **kw)
             all_ids.append(ids)
             all_scores.append(scores)
         if not all_ids:

@@ -29,8 +29,9 @@ def test_delta_inserts_visible():
     dyn = DynamicForest(_conf(), merge_threshold=10.0)  # never auto-compact
     dyn.fit(DenseBatch(np.arange(300, dtype=np.int32), x[:300]))
     dyn.add(DenseBatch(np.arange(300, 400, dtype=np.int32), x[300:]))
-    assert dyn.delta is not None
+    assert dyn._delta_dirty                # rebuild deferred to the query
     ids, _ = dyn.query(x[300:308], steps=1, query_ids=np.arange(300, 308))
+    assert dyn.delta is not None
     # new points' cluster siblings include other new points & old points
     assert (ids >= 0).any()
     found_new = (ids >= 300).sum()
@@ -71,3 +72,69 @@ def test_auto_compaction_and_equivalence():
     a, _ = dyn.query(x[:8], steps=0, query_ids=np.arange(8))
     b, _ = fresh.query(x[:8], steps=0, query_ids=np.arange(8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_static_overfetch_shapes_under_remove_stream():
+    """A removal stream must NOT change the compiled query shape per
+    tombstone: the per-tier over-fetch k is rounded to a static bucket
+    (one recompile per bucket, not per removal)."""
+    rng = np.random.default_rng(3)
+    x = _data(rng, 200)
+    dyn = DynamicForest(_conf(), merge_threshold=10.0)
+    dyn.fit(DenseBatch(np.arange(200, dtype=np.int32), x))
+
+    seen_k = []
+    orig_query = RDFForest.query
+
+    def spy(self, queries, **kw):
+        seen_k.append(kw.get("k"))
+        return orig_query(self, queries, **kw)
+
+    RDFForest.query = spy
+    try:
+        for victim in range(30):           # 30 distinct tombstone counts
+            dyn.remove(victim)
+            got, _ = dyn.query(x[:16], steps=0)
+            assert victim not in set(got.ravel().tolist())
+    finally:
+        RDFForest.query = orig_query
+    assert set(seen_k) <= {5 + b for b in DynamicForest.OVERFETCH_BUCKETS}
+    assert len(set(seen_k)) <= 2           # crossed one bucket boundary
+
+
+def test_remove_past_limit_compacts():
+    rng = np.random.default_rng(4)
+    x = _data(rng, 200)
+    dyn = DynamicForest(_conf(), merge_threshold=10.0)
+    dyn.fit(DenseBatch(np.arange(200, dtype=np.int32), x))
+    for victim in range(DynamicForest.TOMBSTONE_LIMIT + 1):
+        dyn.remove(victim)
+    assert len(dyn._tombstones) == 0       # folded out by compaction
+    assert dyn.main.size() == 200 - (DynamicForest.TOMBSTONE_LIMIT + 1)
+
+
+def test_add_stream_rebuilds_lazily():
+    """N adds cost one delta rebuild (at the next query), not N rebuilds."""
+    rng = np.random.default_rng(5)
+    x = _data(rng, 260)
+    dyn = DynamicForest(_conf(), merge_threshold=10.0)
+    dyn.fit(DenseBatch(np.arange(200, dtype=np.int32), x[:200]))
+
+    fits = [0]
+    orig_fit = RDFForest.fit
+
+    def spy(self, batch):
+        fits[0] += 1
+        return orig_fit(self, batch)
+
+    RDFForest.fit = spy
+    try:
+        for i in range(200, 260):
+            dyn.add(DenseBatch(np.asarray([i], np.int32), x[i:i + 1]))
+        assert fits[0] == 0                # no rebuild during the stream
+        ids, _ = dyn.query(x[200:216], steps=1,
+                           query_ids=np.arange(200, 216))
+        assert fits[0] == 1                # exactly one lazy rebuild
+        assert (ids >= 200).sum() > 0      # inserts visible
+    finally:
+        RDFForest.fit = orig_fit
