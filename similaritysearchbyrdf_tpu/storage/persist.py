@@ -123,15 +123,47 @@ def load_forest(path: str) -> RDFForest:
 # ---------------------------------------------------------------------------
 
 
+def forest_state_bytes(state: ForestState) -> int:
+    """Device bytes held by a fitted forest (corpus + index + model) — the
+    `getCurrSize()` equivalent the reference compares against ramThreshold
+    (`RandomDrawTreeMap.java:1114,1136`)."""
+    total = 0
+    for arr in (
+        state.corpus, state.corpus_lp, state.row_ids, state.part_proj,
+        state.model.proj, state.model.perm, state.model.b,
+        state.model.sampling_perm,
+        state.tables.sorted_keys, state.tables.sorted_ids,
+        state.tables.bucket_keys, state.tables.bucket_starts,
+        state.tables.bucket_shifts, state.tables.records,
+    ):
+        if arr is not None:
+            total += int(np.prod(arr.shape)) * arr.dtype.itemsize
+    return total
+
+
 class GenerationStore:
     """Timestamped spill generations under `working_dir/name/`, each with a
     Bloom summary of its vector ids — the array-era `StoreAppend` +
     `<ts>-summary` layout (`RandomDrawTreeMap.java:2731-2736`, bloom fpr
-    0.001 at `:2764-2773`)."""
+    0.001 at `:2764-2773`).
 
-    def __init__(self, working_dir: str, name: str = "forest") -> None:
+    Loaded generations stay RESIDENT in an LRU keyed by device bytes
+    (`cache_bytes` budget): repeated queries re-use the uploaded arrays
+    instead of re-reading every npz from disk per call. `disk_loads` counts
+    actual npz reads (observability + the zero-reread test contract)."""
+
+    def __init__(
+        self,
+        working_dir: str,
+        name: str = "forest",
+        cache_bytes: int = 8 << 30,
+    ) -> None:
         self.dir = os.path.join(working_dir, name)
         os.makedirs(self.dir, exist_ok=True)
+        self.cache_bytes = cache_bytes
+        self.disk_loads = 0
+        self._cache: "dict[str, RDFForest]" = {}
+        self._lru: List[str] = []            # least-recent first
 
     def generations(self) -> List[str]:
         out = []
@@ -163,7 +195,30 @@ class GenerationStore:
         return BloomFilter(z["bits"], int(z["num_hashes"]))
 
     def load_generation(self, stem: str) -> RDFForest:
-        return load_forest(stem)
+        """LRU-resident load: a cache hit costs zero disk reads and zero
+        device uploads."""
+        hit = self._cache.get(stem)
+        if hit is not None:
+            self._lru.remove(stem)
+            self._lru.append(stem)
+            return hit
+        forest = load_forest(stem)
+        self.disk_loads += 1
+        self._cache[stem] = forest
+        self._lru.append(stem)
+        self._evict()
+        return forest
+
+    def _resident_bytes(self) -> int:
+        return sum(
+            forest_state_bytes(f.state) for f in self._cache.values()
+            if f.state is not None
+        )
+
+    def _evict(self) -> None:
+        while len(self._lru) > 1 and self._resident_bytes() > self.cache_bytes:
+            victim = self._lru.pop(0)
+            del self._cache[victim]
 
 
 @dataclasses.dataclass
@@ -185,7 +240,31 @@ class TieredForest:
 
     def fit(self, batch) -> "TieredForest":
         self.device_tier = RDFForest(self.conf).fit(batch)
+        self._maybe_spill()
         return self
+
+    def add(self, batch) -> "TieredForest":
+        """Insert more vectors into the device tier (a fresh tier if the
+        previous one was spilled), then apply the ramThreshold rule."""
+        if self.device_tier is None:
+            self.device_tier = RDFForest(self.conf).fit(batch)
+        else:
+            self.device_tier.add(batch)
+        self._maybe_spill()
+        return self
+
+    def device_bytes(self) -> int:
+        if self.device_tier is None or self.device_tier.state is None:
+            return 0
+        return forest_state_bytes(self.device_tier.state)
+
+    def _maybe_spill(self) -> None:
+        """Auto-spill when the device tier crosses `conf.ram_threshold`
+        bytes — the reference's `getCurrSize() >= ramThreshold →
+        runPersistTask` trigger (`RandomDrawTreeMap.java:1114,1136,
+        2713-2755`), fired here on the write path (fit/add)."""
+        if self.device_bytes() > self.conf.ram_threshold:
+            self.spill()
 
     def spill(self) -> str:
         assert self.device_tier is not None

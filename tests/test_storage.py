@@ -108,3 +108,104 @@ def test_empty_tiered_query(tmp_path):
     tiered = TieredForest(conf, GenerationStore(str(tmp_path), "e"))
     ids, scores = tiered.query(np.zeros((3, 16), np.float32))
     assert (ids == -1).all()
+
+
+def test_resident_generations_zero_disk_reads(tmp_path):
+    """Three spilled generations: the SECOND query call must do zero npz
+    reads (generations stay LRU-resident on device)."""
+    import dataclasses as dc
+
+    conf = _conf() if "_conf" in dir() else None
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    conf = RDFConfig(
+        vector_dim=8, table_num=2, permutation_num=1, family_size=10,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=256, top_k=3, seed=9,
+    )
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(90, 8)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    for g in range(3):
+        tiered.fit(DenseBatch(np.arange(g * 30, (g + 1) * 30, dtype=np.int32),
+                              x[g * 30:(g + 1) * 30]))
+        tiered.spill()
+
+    ids1, _ = tiered.query(x[:8], steps=1)
+    loads_after_first = store.disk_loads
+    assert loads_after_first == 3          # one per generation
+    ids2, _ = tiered.query(x[:8], steps=1)
+    assert store.disk_loads == loads_after_first   # zero re-reads
+    np.testing.assert_array_equal(ids1, ids2)
+
+
+def test_lru_eviction_respects_budget(tmp_path):
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.storage.persist import forest_state_bytes
+
+    conf = RDFConfig(
+        vector_dim=8, table_num=2, permutation_num=1, family_size=10,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=256, top_k=3, seed=9,
+    )
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(60, 8)).astype(np.float32)
+    store = GenerationStore(str(tmp_path), "g", cache_bytes=1)  # force evict
+    tiered = TieredForest(conf, store)
+    for g in range(2):
+        tiered.fit(DenseBatch(np.arange(g * 30, (g + 1) * 30, dtype=np.int32),
+                              x[g * 30:(g + 1) * 30]))
+        tiered.spill()
+    tiered.query(x[:8])
+    assert len(store._cache) == 1          # evicted down to one resident
+    tiered.query(x[:8])
+    assert store.disk_loads >= 3           # re-reads happen when over budget
+
+
+def test_auto_spill_on_ram_threshold(tmp_path):
+    """fit/add past conf.ram_threshold bytes must auto-spill the device
+    tier (the reference's runPersistTask trigger)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+
+    conf = RDFConfig(
+        vector_dim=8, table_num=2, permutation_num=1, family_size=10,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=256, top_k=3, seed=9,
+        ram_threshold=1,                   # 1 byte: always spill
+    )
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(60, 8)).astype(np.float32)
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    tiered.fit(DenseBatch(np.arange(30, dtype=np.int32), x[:30]))
+    assert tiered.device_tier is None      # spilled automatically
+    assert len(store.generations()) == 1
+    tiered.add(DenseBatch(np.arange(30, 60, dtype=np.int32), x[30:]))
+    assert tiered.device_tier is None
+    assert len(store.generations()) == 2
+    # all data still reachable
+    got = tiered.get(45)
+    np.testing.assert_allclose(got, x[45], rtol=1e-6)
+
+
+def test_add_grows_device_tier(tmp_path):
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+
+    conf = RDFConfig(
+        vector_dim=8, table_num=2, permutation_num=1, family_size=10,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=256, top_k=3, seed=9,
+    )
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    tiered.fit(DenseBatch(np.arange(20, dtype=np.int32), x[:20]))
+    tiered.add(DenseBatch(np.arange(20, 40, dtype=np.int32), x[20:]))
+    assert tiered.device_tier.size() == 40
+    assert len(store.generations()) == 0   # under threshold: no spill
