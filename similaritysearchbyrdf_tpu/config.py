@@ -94,6 +94,11 @@ class RDFConfig:
     generate_method: str = "default"      # mclab.lsh.generateMethod: default|fromfile
     family_file_path: Optional[str] = None        # mclab.lsh.familyFilePath
     partition_family_file_path: Optional[str] = None  # mclab.lsh.partitionFamilyFilePath
+    # mclab.confType: which hash-family file a fromfile chain loads — "lsh"
+    # reads familyFilePath, "partition" reads partitionFamilyFilePath
+    # (`LSH.scala:71-77`; the reference's checked-in
+    # partition-bestHashFamily-angle resources use the latter)
+    conf_type: str = "lsh"
     type_of_index: str = "original"       # mclab.lsh.typeOfIndex:
     #   original | sampling | continueBitsCount | angleNewMethod
     #   (ref `LSH.scala:110-120`)
@@ -179,6 +184,7 @@ _KEY_MAP = {
     "mclab.lsh.generateMethod": "generate_method",
     "mclab.lsh.familyFilePath": "family_file_path",
     "mclab.lsh.partitionFamilyFilePath": "partition_family_file_path",
+    "mclab.confType": "conf_type",
     "mclab.lsh.typeOfIndex": "type_of_index",
     "mclab.lsh.featureDataFormat": "feature_data_format",
     "mclab.lsh.partitionBits": "partition_bits",

@@ -136,11 +136,16 @@ def best_partition_search(
     gt: np.ndarray,
     n_candidates: int = 50,
     seed0: int = 0,
+    out_path: "Optional[str]" = None,
 ) -> Tuple[int, np.ndarray]:
     """Pick the partition hash whose sub-indexes concentrate each query's
     ground-truth top-k into the query's home partition
     (`PartitionDistributionSuite.scala:76-166` scores 50 candidate
-    partitioners the same way). Returns (best_seed, concentration_scores)."""
+    partitioners the same way). Returns (best_seed, concentration_scores).
+
+    With `out_path`, the winning projections are written in the reference's
+    partition-checkpoint text format (the `partition-bestHashFamily-angle`
+    flow) — directly loadable via `conf.partition_family_file_path`."""
     model = generate_model(conf)
     hq = hash_dense(model, jnp.asarray(queries, jnp.float32))    # [Q, L]
     hc = hash_dense(model, jnp.asarray(corpus, jnp.float32))     # [N, L]
@@ -154,7 +159,14 @@ def best_partition_search(
         same = (pc[gt] == pq[:, None, :]).mean()
         scores[c] = same
     best = int(np.argmax(scores))
-    return seed0 + 7717 * (best + 1), scores
+    best_seed = seed0 + 7717 * (best + 1)
+    if out_path is not None:
+        from ..index.partitioner import save_partition_file
+
+        save_partition_file(
+            generate_partition_projections(conf, seed=best_seed), out_path
+        )
+    return best_seed, scores
 
 
 def gt_hamming_analysis(

@@ -29,7 +29,15 @@ def generate_partition_projections(
     """Q[L, partitionBits, 32]: one independent partition chain per table,
     drawn the same way the reference synthesizes each table's partitioner LSH
     (vectorDim=32, tableNum=1, chainLength=partitionBits — synthesized config
-    at `DensevectorRDFInit.scala:63-70`)."""
+    at `DensevectorRDFInit.scala:63-70`).
+
+    When `conf.partition_family_file_path` is set, the chains load from that
+    checkpoint instead — the reference's `confType=partition` flow, where
+    each `LocalitySensitivePartitioner` spawns a file-configured LSH
+    (`utils/Partitioner.scala:31`, `LSH.scala:71-77`, checked-in
+    `partition-bestHashFamily-angle` resources)."""
+    if conf.partition_family_file_path is not None:
+        return load_partition_file(conf.partition_family_file_path, conf)
     pconf = partition_config(conf)
     base_seed = conf.seed if seed is None else seed
     qs = []
@@ -38,6 +46,63 @@ def generate_partition_projections(
         # pconf has table_num=1, permutation_num=1: proj is [1, pbits, 32]
         qs.append(np.asarray(m.proj[0]))
     return jnp.asarray(np.stack(qs), dtype=jnp.float32)
+
+
+def save_partition_file(part_proj: jax.Array, path: str) -> None:
+    """Write partition chains in the reference's hash-family text format
+    (one 32-dim function per line, `chainLength=partitionBits` lines per
+    chain — the `partition-bestHashFamily-angle` artifact layout produced by
+    `LSH.outPutTheHashFunctionsIntoFile`, `LSH.scala:173-195`)."""
+    from ..models.families import _sparse_vector_str
+
+    q = np.asarray(part_proj)                       # [L, pbits, 32]
+    lines = []
+    vid = 0
+    for t in range(q.shape[0]):
+        for j in range(q.shape[1]):
+            lines.append(_sparse_vector_str(vid, q[t, j]))
+            vid += 1
+    with open(path, "w") as fh:
+        fh.write("\r\n".join(lines) + "\r\n")
+
+
+def load_partition_file(path: str, conf: RDFConfig) -> jax.Array:
+    """Load partition chains from the reference text format. A file holding
+    ONE chain (partitionBits functions) is broadcast to every table — the
+    reference gives every lshTable a partitioner built from the same file
+    (`DensevectorRDFInit.scala:71-86`); a file holding `total_tables` chains
+    assigns one per table (the per-table-independent layout
+    `generate_partition_projections` produces)."""
+    from ..vectors import from_string
+
+    pbits = conf.partition_bits
+    rows = []
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            _, size, idx, val = from_string(line)
+            dense = np.zeros(size, dtype=np.float32)
+            dense[idx] = val
+            rows.append(dense)
+    if len(rows) % pbits != 0:
+        raise ValueError(
+            f"{path}: {len(rows)} functions not divisible by "
+            f"partitionBits {pbits}"
+        )
+    chains = np.stack(rows).reshape(-1, pbits, rows[0].shape[0])
+    l = conf.total_tables
+    if chains.shape[0] == 1:
+        chains = np.broadcast_to(chains, (l,) + chains.shape[1:])
+    elif chains.shape[0] != l:
+        raise ValueError(
+            f"{path}: {chains.shape[0]} partition chains for {l} tables "
+            "(expected 1 or total_tables)"
+        )
+    if chains.shape[2] != 32:
+        raise ValueError(f"{path}: partition functions must be 32-dim")
+    return jnp.asarray(chains, dtype=jnp.float32)
 
 
 @jax.jit

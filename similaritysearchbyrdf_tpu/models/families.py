@@ -158,9 +158,20 @@ def generate_model(conf: RDFConfig, seed: Optional[int] = None) -> HashModel:
     """Family dispatch — `LSH.initHashChains` (`LSH.scala:29-53`), including
     the load-from-file path (`generateMethod=fromfile`, `LSH.scala:69-77`)."""
     if conf.generate_method == "fromfile":
-        path = conf.family_file_path
-        if path is None:
-            raise ValueError("generate_method=fromfile requires family_file_path")
+        # confType switches which checkpoint a fromfile chain reads
+        # (`LSH.scala:71-77`): "lsh" → familyFilePath, "partition" →
+        # partitionFamilyFilePath (the best-partition checkpoint flow).
+        if conf.conf_type == "partition":
+            path = conf.partition_family_file_path
+            if path is None:
+                raise ValueError(
+                    "generate_method=fromfile with confType=partition "
+                    "requires partition_family_file_path"
+                )
+        else:
+            path = conf.family_file_path
+            if path is None:
+                raise ValueError("generate_method=fromfile requires family_file_path")
         return load_model_file(path, conf)
     if conf.family_name == "angle":
         return generate_angle_model(conf, seed)

@@ -165,3 +165,96 @@ def test_recall_time_curve():
     assert all(0.0 <= p["recall"] <= 1.0 and p["qps"] > 0 for p in pts)
     # wider config reaches at least the recall of the narrow one
     assert pts[1]["recall"] >= pts[0]["recall"] - 1e-9
+
+
+def test_partition_file_roundtrip_and_fit(tmp_path):
+    """Partition projections save/load in the reference text format
+    (confType=partition flow) and a fit using the file-loaded partition
+    hash answers identically to the in-memory one."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.index.partitioner import (
+        generate_partition_projections, load_partition_file,
+        partition_of_hash, save_partition_file,
+    )
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = _conf() if "_conf" in globals() else None
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    conf = RDFConfig(
+        vector_dim=16, table_num=3, permutation_num=2, family_size=20,
+        partition_bits=3, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=512, top_k=5, seed=17,
+    )
+    pp = generate_partition_projections(conf, seed=123)
+    path = str(tmp_path / "partition-bestHashFamily-angle")
+    save_partition_file(pp, path)
+    pp2 = load_partition_file(path, conf)
+    assert pp2.shape == pp.shape
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.integers(0, 2**32, size=(64, conf.total_tables),
+                                 dtype=np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(partition_of_hash(h, pp)),
+        np.asarray(partition_of_hash(h, pp2)),
+    )
+
+    # end-to-end: config-driven file loading
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    conf_file = conf.replace(partition_family_file_path=path)
+    f1 = RDFForest(conf_file)
+    np.testing.assert_array_equal(np.asarray(f1.part_proj), np.asarray(pp))
+    f1.fit(DenseBatch(np.arange(300, dtype=np.int32), x))
+    ids, _ = f1.query(x[:8], steps=1, query_ids=np.arange(8))
+    assert (ids >= 0).any()
+
+
+def test_single_chain_partition_file_broadcasts(tmp_path):
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.partitioner import (
+        load_partition_file, save_partition_file,
+    )
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=4, permutation_num=2, partition_bits=2,
+        lsh_table=TableConfig(chain_length=8),
+    )
+    rng = np.random.default_rng(1)
+    one_chain = rng.normal(size=(1, 2, 32)).astype(np.float32)
+    path = str(tmp_path / "p.txt")
+    save_partition_file(one_chain, path)
+    pp = load_partition_file(path, conf)
+    assert pp.shape == (8, 2, 32)           # broadcast to every table
+    np.testing.assert_allclose(np.asarray(pp[0]), np.asarray(pp[7]))
+
+
+def test_best_partition_search_writes_loadable_checkpoint(tmp_path):
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.experiments.harness import (
+        best_partition_search, exact_ground_truth,
+    )
+    from similaritysearchbyrdf_tpu.index.partitioner import (
+        generate_partition_projections, load_partition_file,
+    )
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=2, permutation_num=1, family_size=16,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        seed=5,
+    )
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:10]
+    gt = exact_ground_truth(x, q, k=5)
+    path = str(tmp_path / "best-partition.txt")
+    seed, scores = best_partition_search(conf, x, q, gt, n_candidates=4,
+                                         out_path=path)
+    loaded = load_partition_file(path, conf)
+    expect = generate_partition_projections(conf, seed=seed)
+    np.testing.assert_allclose(np.asarray(loaded), np.asarray(expect),
+                               rtol=1e-6)
