@@ -14,10 +14,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain Python scalars, not jnp constants: creating a device array at import
+# time would initialize the XLA backend, which must not happen before
+# jax.distributed.initialize() in multi-process runs
+NEG_INF = float("-inf")
 
 
-_SENTINEL = jnp.int32(2**31 - 1)
+_SENTINEL = 2**31 - 1
 
 
 def score_candidates(

@@ -108,38 +108,25 @@ def _local_fit(
     return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
 
 
-def fit_sharded(
+def _fit_from_device_arrays(
     conf: RDFConfig,
-    batch: DenseBatch,
-    mesh: Optional[Mesh] = None,
-    model: Optional[HashModel] = None,
-    part_proj: Optional[jax.Array] = None,
-) -> Tuple[ShardedForestState, Mesh]:
-    """Shard the corpus over the mesh and build every shard's forest in one
-    collective-free shard_map."""
-    mesh = mesh or make_forest_mesh()
+    values_d: jax.Array,     # [ndev, Nloc, D] sharded over SHARD_AXIS
+    row_ids_d: jax.Array,    # [ndev, Nloc] sharded
+    mesh: Mesh,
+    model: Optional[HashModel],
+    part_proj: Optional[jax.Array],
+) -> ShardedForestState:
+    """Build every shard's forest in one collective-free shard_map over
+    already-placed device arrays (shared by the single- and multi-process
+    fit paths)."""
     layout = KeyLayout.from_config(conf, conf.lsh_table)
     model = model if model is not None else generate_model(conf)
     part_proj = (
         part_proj if part_proj is not None else generate_partition_projections(conf)
     )
-    ndev = mesh.shape[SHARD_AXIS]
-    n = batch.n
-    nloc = _pad_to(int(np.ceil(n / ndev)), 128)
-    values = np.zeros((ndev, nloc, batch.dim), dtype=np.float32)
-    row_ids = np.full((ndev, nloc), -1, dtype=np.int32)
-    flat_v = values.reshape(ndev * nloc, -1)
-    flat_i = row_ids.reshape(ndev * nloc)
-    flat_v[:n] = batch.values
-    flat_i[:n] = batch.ids
-
-    shard = NamedSharding(mesh, P(SHARD_AXIS))
-    values_d = jax.device_put(values, shard)
-    row_ids_d = jax.device_put(row_ids, shard)
-
     # NB can approach Nloc (singleton buckets with 32-bit chains); a static
     # Nloc-sized pad keeps the build collective- and sync-free per shard.
-    nb_pad = nloc
+    nb_pad = values_d.shape[1]
 
     fit_fn = jax.jit(
         jax.shard_map(
@@ -156,7 +143,7 @@ def fit_sharded(
         static_argnums=(),
     )
     sk, si, bk, bs, bsh, rec = fit_fn(values_d, row_ids_d, model, part_proj)
-    state = ShardedForestState(
+    return ShardedForestState(
         model=model,
         part_proj=part_proj,
         sorted_keys=sk,
@@ -174,6 +161,90 @@ def fit_sharded(
             else None
         ),
     )
+
+
+def fit_sharded(
+    conf: RDFConfig,
+    batch: DenseBatch,
+    mesh: Optional[Mesh] = None,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+) -> Tuple[ShardedForestState, Mesh]:
+    """Single-process fit: shard the (host-resident) corpus over the mesh.
+    For multi-host runs where no host can hold the global corpus, use
+    :func:`fit_sharded_distributed`."""
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    n = batch.n
+    nloc = _pad_to(int(np.ceil(n / ndev)), 128)
+    values = np.zeros((ndev, nloc, batch.dim), dtype=np.float32)
+    row_ids = np.full((ndev, nloc), -1, dtype=np.int32)
+    flat_v = values.reshape(ndev * nloc, -1)
+    flat_i = row_ids.reshape(ndev * nloc)
+    flat_v[:n] = batch.values
+    flat_i[:n] = batch.ids
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    values_d = jax.device_put(values, shard)
+    row_ids_d = jax.device_put(row_ids, shard)
+    state = _fit_from_device_arrays(conf, values_d, row_ids_d, mesh, model, part_proj)
+    return state, mesh
+
+
+def fit_sharded_distributed(
+    conf: RDFConfig,
+    local_batch: DenseBatch,
+    mesh: Optional[Mesh] = None,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+    nloc: Optional[int] = None,
+) -> Tuple[ShardedForestState, Mesh]:
+    """Multi-process fit: every process supplies only ITS host-local rows;
+    the global [ndev, Nloc, D] corpus is assembled as a distributed
+    `jax.Array` from per-device shards and never exists on any single host
+    (at Deep-100M the global corpus is ~38 GB — SURVEY.md §7.5, BASELINE
+    configs[4]). Call `parallel.mesh.init_distributed` first; the model and
+    partition projections must be seeded identically in every process (they
+    are, by conf.seed).
+
+    `nloc` (rows per device) must agree across processes; when None it is
+    derived from the LARGEST per-process load via a process allgather."""
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    my_proc = jax.process_index()
+    local_devs = [d for d in mesh.devices.flat if d.process_index == my_proc]
+    if not local_devs:
+        raise ValueError(f"process {my_proc} owns no devices of the mesh")
+    ndev_local = len(local_devs)
+
+    n = local_batch.n
+    if nloc is None:
+        need = int(np.ceil(n / ndev_local))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            all_need = multihost_utils.process_allgather(
+                np.asarray([need], dtype=np.int64)
+            )
+            need = int(np.max(all_need))
+        nloc = _pad_to(need, 128)
+
+    d = local_batch.dim
+    values = np.zeros((ndev_local, nloc, d), dtype=np.float32)
+    row_ids = np.full((ndev_local, nloc), -1, dtype=np.int32)
+    values.reshape(ndev_local * nloc, d)[:n] = local_batch.values
+    row_ids.reshape(ndev_local * nloc)[:n] = local_batch.ids
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    values_d = jax.make_array_from_single_device_arrays(
+        (ndev, nloc, d), shard,
+        [jax.device_put(values[i : i + 1], dev) for i, dev in enumerate(local_devs)],
+    )
+    row_ids_d = jax.make_array_from_single_device_arrays(
+        (ndev, nloc), shard,
+        [jax.device_put(row_ids[i : i + 1], dev) for i, dev in enumerate(local_devs)],
+    )
+    state = _fit_from_device_arrays(conf, values_d, row_ids_d, mesh, model, part_proj)
     return state, mesh
 
 

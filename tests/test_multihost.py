@@ -1,0 +1,132 @@
+"""Multi-process (multi-host) sharded forest: 2-process CPU validation.
+
+Each process owns 4 virtual CPU devices and supplies only its host-local
+half of the corpus (`fit_sharded_distributed` — no global host array); the
+8-shard query must answer exactly like a single-process 8-device fit over
+the full corpus (SURVEY.md §7.5, the Deep-100M multi-host contract).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+from similaritysearchbyrdf_tpu.parallel.mesh import init_distributed, make_forest_mesh
+init_distributed(f"localhost:{port}", num_processes=2, process_id=proc_id)
+
+import jax
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8
+
+from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+from similaritysearchbyrdf_tpu.index.bucket_table import KeyLayout
+from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+    fit_sharded_distributed, make_query_fn)
+from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+conf = RDFConfig(
+    vector_dim=16, table_num=3, permutation_num=1, family_size=20,
+    partition_bits=2, lsh_table=TableConfig(chain_length=12, bucket_overflow=16),
+    query_batch_size=16, max_candidates=512, top_k=5, seed=77,
+)
+rng = np.random.default_rng(0)
+centers = rng.normal(size=(16, 16))
+x = centers[rng.integers(0, 16, 1024)] + 0.1 * rng.normal(size=(1024, 16))
+x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+half = 512
+lo, hi = proc_id * half, (proc_id + 1) * half
+local = DenseBatch(np.arange(lo, hi, dtype=np.int32), x[lo:hi])
+
+mesh = make_forest_mesh(8)
+state, _ = fit_sharded_distributed(conf, local, mesh)
+layout = KeyLayout.from_config(conf, conf.lsh_table)
+qfn = make_query_fn(mesh, layout, steps=1, m_cap=512, k=5,
+                    multiprobe=True, exclude_self=True,
+                    has_lp=state.corpus_lp is not None)
+import jax.numpy as jnp
+q = jnp.asarray(x[:32]); qids = jnp.arange(32, dtype=jnp.int32)
+ids, scores, total = qfn(state, q, qids)
+ids = np.asarray(jax.device_get(ids))
+if proc_id == 0:
+    np.save(out, ids)
+print("WORKER", proc_id, "OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_fit_matches_single(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "ids0.npy")
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS=env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        )
+        + " --xla_force_host_platform_device_count=4",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(port), out],
+            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+
+    # single-process reference: same corpus, same seeds, 8-device mesh
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.bucket_table import KeyLayout
+    from similaritysearchbyrdf_tpu.parallel.mesh import make_forest_mesh
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        fit_sharded, make_query_fn)
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=3, permutation_num=1, family_size=20,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=512, top_k=5, seed=77,
+    )
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(16, 16))
+    x = centers[rng.integers(0, 16, 1024)] + 0.1 * rng.normal(size=(1024, 16))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    mesh = make_forest_mesh(8)
+    state, _ = fit_sharded(
+        conf, DenseBatch(np.arange(1024, dtype=np.int32), x), mesh
+    )
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    qfn = make_query_fn(mesh, layout, steps=1, m_cap=512, k=5,
+                        multiprobe=True, exclude_self=True,
+                        has_lp=state.corpus_lp is not None)
+    ids_ref, _, _ = qfn(state, jnp.asarray(x[:32]),
+                        jnp.arange(32, dtype=jnp.int32))
+    ids_dist = np.load(out)
+    np.testing.assert_array_equal(ids_dist, np.asarray(ids_ref))
