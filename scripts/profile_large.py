@@ -6,6 +6,7 @@ bottleneck, plus an m_cap=8192 variant of the expensive stages to measure
 the cap's cost share. Run: python scripts/profile_large.py [n_corpus]
 """
 
+import functools
 import json
 import sys
 import time
@@ -90,37 +91,33 @@ def main():
     out["lookup_ms"] = t_lookup * 1e3
     print(f"lookup={t_lookup*1e3:.2f}ms (R={l*s*p})", flush=True)
 
+    # big arrays are passed as jit ARGUMENTS, never closures: a closed-over
+    # device array becomes an HLO constant and a 240MB constant can stall
+    # the remote compile for tens of minutes
+    gather_j = jax.jit(functools.partial(
+        gather_candidates, layout=layout, steps=STEPS, multiprobe=True),
+        static_argnames=("m_cap",))
+    coarse_j = jax.jit(
+        lambda lp, c, qq: rr.score_candidates(lp, c, qq, jnp.bfloat16))
+    rerank_j = jax.jit(
+        lambda lp, fp, c, qq: rr.rerank_dense_two_stage(
+            lp, fp, c, qq, 10, dup_bound=l))
     for m_cap in (M_CAP, 8192):
-        gather_j = jax.jit(
-            lambda hh, ho: gather_candidates(
-                state.tables, hh, ho, layout, STEPS, m_cap, True
-            )
-        )
-        t_gather = timeit(gather_j, h, home)
-        cand, total = gather_j(h, home)
+        gj = functools.partial(gather_j, m_cap=m_cap)
+        t_gather = timeit(gj, state.tables, h, home)
+        cand, total = gj(state.tables, h, home)
         mean_c = float(jnp.mean(total))
         out[f"gather_ms_cap{m_cap}"] = t_gather * 1e3
         out[f"mean_cand_cap{m_cap}"] = mean_c
         print(f"gather(cap={m_cap})={t_gather*1e3:.2f}ms mean_cand={mean_c:.0f}",
               flush=True)
 
-        # rerank two-stage split: coarse score, select, refine
-        t_coarse = timeit(
-            jax.jit(lambda c, qq: rr.score_candidates(state.corpus_lp, c, qq, jnp.bfloat16)),
-            cand, q,
-        )
-        t_rerank = timeit(
-            jax.jit(
-                lambda c, qq: rr.rerank_dense_two_stage(
-                    state.corpus_lp, state.corpus, c, qq, 10, dup_bound=l
-                )
-            ),
-            cand, q,
-        )
+        t_coarse = timeit(coarse_j, state.corpus_lp, cand, q)
         out[f"coarse_score_ms_cap{m_cap}"] = t_coarse * 1e3
+        print(f"  coarse_score={t_coarse*1e3:.2f}ms", flush=True)
+        t_rerank = timeit(rerank_j, state.corpus_lp, state.corpus, cand, q)
         out[f"rerank_ms_cap{m_cap}"] = t_rerank * 1e3
-        print(f"  coarse_score={t_coarse*1e3:.2f}ms rerank_total={t_rerank*1e3:.2f}ms",
-              flush=True)
+        print(f"  rerank_total={t_rerank*1e3:.2f}ms", flush=True)
 
     # end-to-end anchor: 1024 queries through query_dense_many (bench path)
     nq = 1024

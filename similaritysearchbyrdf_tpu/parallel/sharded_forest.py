@@ -409,3 +409,219 @@ class ShardedRDFForest:
         id_d = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
         ids, scores, _ = fn(self.state, qd, id_d, chunk=bs)
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
+
+
+# ---------------------------------------------------------------------------
+# Sparse-corpus sharding (P7 covers both data formats: the reference's
+# SparsevectorRDFInit is a full mirror of the dense front-end)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedSparseForestState:
+    """Per-device sparse forest shards (leading [ndev] axis sharded)."""
+
+    model: HashModel             # replicated
+    part_proj: jax.Array         # replicated
+    sorted_keys: jax.Array       # u32[ndev, L, Nloc]
+    sorted_ids: jax.Array        # i32[ndev, L, Nloc]
+    bucket_keys: jax.Array       # u32[ndev, L, NB]
+    bucket_starts: jax.Array     # i32[ndev, L, NB+1]
+    bucket_shifts: jax.Array     # u32[ndev, L, NB]
+    records: jax.Array           # i32[ndev, L, NB, 4]
+    corpus_indices: jax.Array    # i32[ndev, Nloc, NNZ]
+    corpus_values: jax.Array     # f32[ndev, Nloc, NNZ]
+    row_ids: jax.Array           # i32[ndev, Nloc]
+
+    def local_tables(self) -> BucketTables:
+        return BucketTables(
+            sorted_keys=self.sorted_keys[0],
+            sorted_ids=self.sorted_ids[0],
+            bucket_keys=self.bucket_keys[0],
+            bucket_starts=self.bucket_starts[0],
+            bucket_shifts=self.bucket_shifts[0],
+            records=self.records[0],
+        )
+
+
+def _local_sparse_fit(
+    indices: jax.Array,    # [1, Nloc, NNZ]
+    values: jax.Array,     # [1, Nloc, NNZ]
+    row_ids: jax.Array,    # [1, Nloc]
+    model: HashModel,
+    part_proj: jax.Array,
+    layout: KeyLayout,
+    overflow: int,
+    nb_pad: int,
+    dim: int,
+):
+    from ..index.sparse_forest import _hash_batch
+
+    idx, val, rid = indices[0], values[0], row_ids[0]
+    valid = rid >= 0
+    h = _hash_batch(model, idx, val, dim)              # [Nloc, L]
+    p = partition_of_hash(h, part_proj)
+    keys = composite_keys(h, p, layout)
+    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF)).T
+    nloc = idx.shape[0]
+    ids = jnp.broadcast_to(
+        jnp.where(valid, jnp.arange(nloc, dtype=jnp.int32), -1)[None, :],
+        keys.shape,
+    )
+    sk, si, elem_start, elem_shift = _sort_and_depths(keys, ids, layout, overflow)
+    bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
+    rec = _build_records(bk, bs, bsh)
+    return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
+
+
+def fit_sparse_sharded(
+    conf: RDFConfig,
+    batch,  # SparseBatch
+    mesh: Optional[Mesh] = None,
+    model: Optional[HashModel] = None,
+    part_proj: Optional[jax.Array] = None,
+) -> Tuple[ShardedSparseForestState, Mesh]:
+    """Shard a sparse corpus over the mesh; every shard builds all L tables
+    locally (collective-free, like the dense fit)."""
+    mesh = mesh or make_forest_mesh()
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    model = model if model is not None else generate_model(conf)
+    part_proj = (
+        part_proj if part_proj is not None else generate_partition_projections(conf)
+    )
+    ndev = mesh.shape[SHARD_AXIS]
+    n = batch.n
+    nloc = _pad_to(int(np.ceil(n / ndev)), 128)
+    nnz = batch.nnz_pad
+    idx = np.zeros((ndev, nloc, nnz), dtype=np.int32)
+    val = np.zeros((ndev, nloc, nnz), dtype=np.float32)
+    row_ids = np.full((ndev, nloc), -1, dtype=np.int32)
+    idx.reshape(ndev * nloc, nnz)[:n] = batch.indices
+    val.reshape(ndev * nloc, nnz)[:n] = batch.values
+    row_ids.reshape(ndev * nloc)[:n] = batch.ids
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    idx_d = jax.device_put(idx, shard)
+    val_d = jax.device_put(val, shard)
+    row_ids_d = jax.device_put(row_ids, shard)
+    nb_pad = nloc
+
+    fit_fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _local_sparse_fit,
+                layout=layout,
+                overflow=conf.lsh_table.bucket_overflow,
+                nb_pad=nb_pad,
+                dim=batch.size,
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=(P(SHARD_AXIS),) * 6,
+        )
+    )
+    sk, si, bk, bs, bsh, rec = fit_fn(idx_d, val_d, row_ids_d, model, part_proj)
+    state = ShardedSparseForestState(
+        model=model,
+        part_proj=part_proj,
+        sorted_keys=sk,
+        sorted_ids=si,
+        bucket_keys=bk,
+        bucket_starts=bs,
+        bucket_shifts=bsh,
+        records=rec,
+        corpus_indices=idx_d,
+        corpus_values=val_d,
+        row_ids=row_ids_d,
+    )
+    return state, mesh
+
+
+def _local_sparse_query(
+    state: ShardedSparseForestState,
+    q_indices: jax.Array,        # [B, NNZq] replicated
+    q_values: jax.Array,         # [B, NNZq] replicated
+    query_ids: jax.Array,        # [B] replicated
+    layout: KeyLayout,
+    dim: int,
+    steps: int,
+    m_cap: int,
+    k: int,
+    exclude_self: bool,
+):
+    from ..index.sparse_forest import _hash_batch
+
+    tables = state.local_tables()
+    h = _hash_batch(state.model, q_indices, q_values, dim)
+    home = partition_of_hash(h, state.part_proj)
+    # the reference's sparse query has no multi-probe (`:686-732`)
+    cand, total = gather_candidates(
+        tables, h, home, layout, steps, m_cap, multiprobe=False
+    )
+    row_ids = state.row_ids[0]
+    if exclude_self:
+        cand = _exclude_self(cand, row_ids, query_ids)
+
+    b, nnzq = q_indices.shape
+    q_dense = jnp.zeros((b, dim), dtype=jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, nnzq))
+    q_dense = q_dense.at[rows, q_indices].add(q_values)
+    rows_out, scores = rerank_ops.rerank_sparse(
+        state.corpus_indices[0], state.corpus_values[0], cand, q_dense, k,
+        dup_bound=h.shape[1],
+    )
+    ids = jnp.where(rows_out >= 0, row_ids[jnp.maximum(rows_out, 0)], -1)
+
+    g_ids = jax.lax.all_gather(ids, SHARD_AXIS)
+    g_scores = jax.lax.all_gather(scores, SHARD_AXIS)
+    ndev = g_ids.shape[0]
+    flat_ids = jnp.moveaxis(g_ids, 0, 1).reshape(b, ndev * k)
+    flat_scores = jnp.moveaxis(g_scores, 0, 1).reshape(b, ndev * k)
+    m_scores, m_idx = jax.lax.top_k(flat_scores, k)
+    m_ids = jnp.take_along_axis(flat_ids, m_idx, axis=1)
+    m_ids = jnp.where(m_scores > rerank_ops.NEG_INF, m_ids, -1)
+    total_all = jax.lax.psum(total, SHARD_AXIS)
+    return m_ids, m_scores, total_all
+
+
+def make_sparse_query_fn(
+    mesh: Mesh,
+    layout: KeyLayout,
+    dim: int,
+    steps: int = 0,
+    m_cap: int = 4096,
+    k: int = 10,
+    exclude_self: bool = True,
+):
+    """Compiled sharded sparse query: (state, q_indices [B,NNZ], q_values,
+    query_ids) → replicated (ids [B,k], scores [B,k], total [B])."""
+    state_specs = ShardedSparseForestState(
+        model=P(),  # type: ignore[arg-type]
+        part_proj=P(),
+        sorted_keys=P(SHARD_AXIS),
+        sorted_ids=P(SHARD_AXIS),
+        bucket_keys=P(SHARD_AXIS),
+        bucket_starts=P(SHARD_AXIS),
+        bucket_shifts=P(SHARD_AXIS),
+        records=P(SHARD_AXIS),
+        corpus_indices=P(SHARD_AXIS),
+        corpus_values=P(SHARD_AXIS),
+        row_ids=P(SHARD_AXIS),
+    )
+    fn = jax.shard_map(
+        functools.partial(
+            _local_sparse_query,
+            layout=layout,
+            dim=dim,
+            steps=steps,
+            m_cap=m_cap,
+            k=k,
+            exclude_self=exclude_self,
+        ),
+        mesh=mesh,
+        in_specs=(state_specs, P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -95,3 +95,63 @@ def test_sharded_corpus_larger_than_queries():
     sharded = ShardedRDFForest(_conf()).fit(batch)
     ids, scores = sharded.query(x[:4], steps=0)
     assert (np.asarray(ids) >= -1).all()
+
+
+def _sparse_data(rng, n=800, dim=128, nnz=12):
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+
+    idx = np.stack([rng.choice(dim, size=nnz, replace=False) for _ in range(n)])
+    val = rng.normal(size=(n, nnz)).astype(np.float32)
+    val /= np.linalg.norm(val, axis=1, keepdims=True)
+    return SparseBatch(
+        ids=np.arange(n, dtype=np.int32), size=dim,
+        indices=idx.astype(np.int32), values=val,
+        lengths=np.full(n, nnz, np.int32),
+    )
+
+
+def test_sharded_sparse_matches_single():
+    """Sharded sparse query (8 shards, all-gather merge) must return the
+    same top-k sets as the single-device sparse forest — P7 over the sparse
+    data format (SparsevectorRDFInit mirror)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.index.bucket_table import KeyLayout
+    from similaritysearchbyrdf_tpu.index.sparse_forest import SparseRDFForest
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        fit_sparse_sharded, make_sparse_query_fn)
+
+    conf = _conf(vector_dim=128)
+    rng = np.random.default_rng(11)
+    batch = _sparse_data(rng)
+    nq = 32
+    queries_idx = batch.indices[:nq]
+    queries_val = batch.values[:nq]
+
+    single = SparseRDFForest(conf)
+    single.fit(batch)
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+    qb = SparseBatch(ids=np.arange(nq, dtype=np.int32), size=128,
+                     indices=queries_idx, values=queries_val,
+                     lengths=np.full(nq, batch.nnz_pad, np.int32))
+    ids_single, sc_single = single.query(qb, steps=1,
+                                         query_ids=np.arange(nq))
+
+    mesh = make_forest_mesh(8)
+    state, _ = fit_sparse_sharded(conf, batch, mesh,
+                                  model=single.model,
+                                  part_proj=single.part_proj)
+    layout = KeyLayout.from_config(conf, conf.lsh_table)
+    qfn = make_sparse_query_fn(mesh, layout, dim=128, steps=1,
+                               m_cap=conf.max_candidates, k=conf.top_k)
+    ids_sh, sc_sh, total = qfn(
+        state, jnp.asarray(queries_idx), jnp.asarray(queries_val),
+        jnp.arange(nq, dtype=jnp.int32))
+    ids_sh = np.asarray(ids_sh)
+
+    # same candidate semantics → same top-k id sets (per-query; order can
+    # differ on exact score ties)
+    for i in range(nq):
+        a = set(int(v) for v in ids_single[i] if v >= 0)
+        b = set(int(v) for v in ids_sh[i] if v >= 0)
+        assert a == b, f"query {i}: {a} != {b}"
