@@ -96,8 +96,34 @@ class DenseRDFInit:
     querySingleKey = query_single_key
 
     def query_batch(self, keys: Sequence[int], steps: int = 0) -> List[List[int]]:
-        """Serial batch query by key — `queryBatch` (`:311-317`)."""
-        return [self.query_single_key(k, steps) or [] for k in keys]
+        """Batch query by key — `queryBatch` (`:311-317`). The reference
+        loops single-key queries; here all requested keys resolve to rows
+        host-side and go through ONE batched device query (a remote-attached
+        TPU pays a round trip per device call)."""
+        forest = self._require()
+        if self._all_vectors is None:
+            print("need to fit the data first")
+            return [[] for _ in keys]
+        keys_arr = np.asarray(list(keys), dtype=np.int64)
+        id_to_row = {int(v): i for i, v in enumerate(self._all_vectors.ids)}
+        rows = np.asarray([id_to_row.get(int(k), -1) for k in keys_arr])
+        found = rows >= 0
+        if not found.any():
+            return [[] for _ in keys_arr]
+        ids, _ = forest.query(
+            self._all_vectors.values[rows[found]], steps=steps,
+            query_ids=keys_arr[found].astype(np.int32),
+            k=self.conf.top_k if self.conf else 10,
+        )
+        out: List[List[int]] = []
+        j = 0
+        for ok in found:
+            if ok:
+                out.append([int(i) for i in ids[j] if i >= 0])
+                j += 1
+            else:
+                out.append([])
+        return out
 
     queryBatch = query_batch
 

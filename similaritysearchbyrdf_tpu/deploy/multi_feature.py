@@ -68,19 +68,42 @@ class MultiFeatureRDFInit:
             )
             per_family.append((ids, scores * weights.get(name, 1.0)))
 
-        q = per_family[0][0].shape[0]
+        # vectorized merge (no per-query Python dict loop): per row, sort the
+        # concatenated (id, score) pairs by id, segment-sum scores of equal
+        # ids via cumsum differences at run boundaries, then top-k
+        ids = np.concatenate([i for i, _ in per_family], axis=1)      # [Q, M]
+        scores = np.concatenate([s for _, s in per_family], axis=1)
+        q, m = ids.shape
+        valid = (ids >= 0) & np.isfinite(scores)
+        big = np.iinfo(np.int32).max
+        key = np.where(valid, ids, big)
+        sc = np.where(valid, scores, 0.0).astype(np.float64)
+        order = np.argsort(key, axis=1, kind="stable")
+        ids_s = np.take_along_axis(key, order, axis=1)
+        sc_s = np.take_along_axis(sc, order, axis=1)
+        csum = np.cumsum(sc_s, axis=1)
+        is_first = np.concatenate(
+            [np.ones((q, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1
+        )
+        is_last = np.concatenate(
+            [ids_s[:, 1:] != ids_s[:, :-1], np.ones((q, 1), bool)], axis=1
+        )
+        col = np.broadcast_to(np.arange(m), (q, m))
+        first_idx = np.maximum.accumulate(np.where(is_first, col, 0), axis=1)
+        base = np.take_along_axis(csum - sc_s, first_idx, axis=1)
+        gsum = np.where(is_last & (ids_s != big), csum - base, -np.inf)
+        kk = min(k, m)
+        top = np.argpartition(-gsum, kth=kk - 1, axis=1)[:, :kk]
+        top_scores = np.take_along_axis(gsum, top, axis=1)
+        ord2 = np.argsort(-top_scores, axis=1, kind="stable")
+        top = np.take_along_axis(top, ord2, axis=1)
+        top_scores = np.take_along_axis(top_scores, ord2, axis=1)
+        top_ids = np.take_along_axis(ids_s, top, axis=1)
         out_ids = np.full((q, k), -1, dtype=np.int32)
         out_scores = np.full((q, k), -np.inf, dtype=np.float32)
-        for b in range(q):
-            agg: Dict[int, float] = {}
-            for ids, scores in per_family:
-                for i, s in zip(ids[b], scores[b]):
-                    if i >= 0 and np.isfinite(s):
-                        agg[int(i)] = agg.get(int(i), 0.0) + float(s)
-            top = sorted(agg.items(), key=lambda kv: -kv[1])[:k]
-            for j, (i, s) in enumerate(top):
-                out_ids[b, j] = i
-                out_scores[b, j] = s
+        keep = np.isfinite(top_scores)
+        out_ids[:, :kk] = np.where(keep, top_ids, -1)
+        out_scores[:, :kk] = np.where(keep, top_scores, -np.inf)
         return out_ids, out_scores
 
     multiFeatureSingleQuery = multi_feature_query

@@ -79,7 +79,38 @@ class SparseRDFInit:
     querySingleKey = query_single_key
 
     def query_batch(self, keys: Sequence[int], steps: int = 0) -> List[List[int]]:
-        return [self.query_single_key(k, steps) or [] for k in keys]
+        """Batch query by key in ONE device call (the reference loops
+        single-key queries; a remote-attached TPU pays a round trip per
+        call)."""
+        forest = self._require()
+        if self._all_vectors is None:
+            print("need to fit the data first")
+            return [[] for _ in keys]
+        av = self._all_vectors
+        keys_arr = np.asarray(list(keys), dtype=np.int64)
+        id_to_row = {int(v): i for i, v in enumerate(av.ids)}
+        rows = np.asarray([id_to_row.get(int(k), -1) for k in keys_arr])
+        found = rows >= 0
+        if not found.any():
+            return [[] for _ in keys_arr]
+        sel = rows[found]
+        sub = SparseBatch(
+            ids=av.ids[sel], size=av.size, indices=av.indices[sel],
+            values=av.values[sel], lengths=av.lengths[sel],
+        )
+        ids, _ = forest.query(
+            sub, steps=steps, query_ids=keys_arr[found].astype(np.int32),
+            k=self.conf.top_k if self.conf else 10,
+        )
+        out: List[List[int]] = []
+        j = 0
+        for ok in found:
+            if ok:
+                out.append([int(i) for i in ids[j] if i >= 0])
+                j += 1
+            else:
+                out.append([])
+        return out
 
     queryBatch = query_batch
 

@@ -103,3 +103,79 @@ def test_ground_truth_file(tmp_path):
     gt = front.get_top_k_ground_truth(str(p), 3)
     assert gt[0] == {1, 2, 3}
     assert gt[1] == {6, 7, 8}
+
+
+def test_query_batch_matches_single_key(tmp_path):
+    """query_batch (one device call) must equal per-key query_single_key,
+    including missing keys -> []."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.deploy.dense import DenseRDFInit
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=3, permutation_num=1, family_size=20,
+        partition_bits=2, lsh_table=TableConfig(chain_length=10,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=512, top_k=5, seed=3,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    front = DenseRDFInit()
+    front.initializeRDFHashMap(conf)
+    front.fit_batch(DenseBatch(np.arange(200, dtype=np.int32), x))
+    keys = [3, 999, 17, 42]                       # 999 does not exist
+    got = front.query_batch(keys, steps=1)
+    want = [front.query_single_key(k, steps=1) or [] for k in keys]
+    assert got == want
+    assert got[1] == []
+
+
+def test_multi_feature_merge_matches_dict_reference():
+    """The vectorized multi-feature merge must equal the brute-force
+    dict-accumulation semantics (sum of per-family weighted scores)."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.deploy.multi_feature import MultiFeatureRDFInit
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=12, table_num=2, permutation_num=1, family_size=16,
+        partition_bits=2, lsh_table=TableConfig(chain_length=8,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=512, top_k=4, seed=8,
+    )
+    rng = np.random.default_rng(1)
+    front = MultiFeatureRDFInit(("a", "b"))
+    front.initialize_multiple({"a": conf, "b": conf.replace(seed=9)})
+    batches = {}
+    for name in ("a", "b"):
+        x = rng.normal(size=(150, 12)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        batches[name] = DenseBatch(np.arange(150, dtype=np.int32), x)
+    front.new_multi_fast_fit(batches)
+    queries = {n: batches[n].values[:8] for n in ("a", "b")}
+    weights = {"a": 1.0, "b": 0.5}
+    ids, scores = front.multi_feature_query(queries, steps=1, k=4,
+                                            weights=weights)
+
+    # dict reference over the same per-family results
+    per_family = []
+    for n in ("a", "b"):
+        i_, s_ = front.forests[n].query(queries[n], steps=1, k=max(4 * 4, 32))
+        per_family.append((i_, s_ * weights[n]))
+    for b in range(8):
+        agg = {}
+        for i_, s_ in per_family:
+            for i, s in zip(i_[b], s_[b]):
+                if i >= 0 and np.isfinite(s):
+                    agg[int(i)] = agg.get(int(i), 0.0) + float(s)
+        want = sorted(agg.items(), key=lambda kv: -kv[1])[:4]
+        got = [(int(i), float(s)) for i, s in zip(ids[b], scores[b]) if i >= 0]
+        assert [i for i, _ in got] == [i for i, _ in want] or \
+            sorted(round(s, 5) for _, s in got) == sorted(round(s, 5) for _, s in want)
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-4
