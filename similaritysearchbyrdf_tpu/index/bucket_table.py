@@ -349,12 +349,12 @@ def lookup_ranges(
     ...), so the search vmaps over the L tables directly — no [R, NB] bucket
     array materialization.
 
-    Fast path (when the build produced a radix head): TPU gathers cost
-    per-offset, so a full binary search (~15 narrow gathers/probe) loses to
-    3 wide gathers — head cell pair, a contiguous key window of `occ_pad`,
-    and one packed 16-byte bucket record — plus a vectorized compare-count
-    inside the window. The window starts one bucket BEFORE the cell's first
-    boundary because a bucket with a shorter prefix can cover the whole cell.
+    Fast path (when the build packed bucket records): rank every probe with
+    a merge-based `searchsorted(method='sort')` (TPU sorts are VPU-wide;
+    per-step binary-search gathers cost per element), then ONE 16-byte
+    packed-record gather per probe yields (key, shift, start, end) for the
+    prefix-validity check. The generic path does the same with four narrow
+    gathers.
     """
     l = tables.num_tables
     b, r = probe_keys.shape

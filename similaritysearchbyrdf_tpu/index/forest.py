@@ -276,11 +276,18 @@ def gather_candidates(
     # gracefully).
     cap = tables.capacity
     table_b = jnp.broadcast_to(table_of[None, :], (b, r))
-    # step distance of each range (pattern index s = (r // p) % s_count)
+    # priority = step distance (home partition first), then probe quality
+    # within a step: the self-probe (the query's own bucket) outranks every
+    # flip, and flips rank by flip order — ascending bit index for reference
+    # probes (low-bit flips share the longest trie prefix), margin order for
+    # margin probes (both generators emit [flips..., self]). When m_cap
+    # truncates, the LOWEST-VALUE buckets are dropped first.
     dist = jax.lax.population_count(patterns).astype(jnp.int32)       # [S]
-    prio_r = jnp.broadcast_to(
-        jnp.repeat(jnp.tile(dist, l), p)[None, :], (b, r)
-    )
+    probe_rank = jnp.concatenate(
+        [jnp.arange(1, p, dtype=jnp.int32), jnp.zeros((1,), jnp.int32)]
+    ) if p > 1 else jnp.zeros((p,), jnp.int32)
+    prio_sp = (dist[:, None] * jnp.int32(p) + probe_rank[None, :]).reshape(-1)
+    prio_r = jnp.broadcast_to(jnp.tile(prio_sp, l)[None, :], (b, r))
     # Packing (bucket id → one int32 key; (start, table) → one int32 value)
     # halves the sort operand count but silently overflows once
     # l*(cap+1) or cap*64+l exceed int32 — exactly the ≥2^25-rows/table
@@ -335,65 +342,100 @@ def gather_candidates(
     # together with the slot indices, prefix-sum the deltas so every slot
     # accumulates exactly the deltas of ranges starting at or before it,
     # then compact the slot entries back out with a second (stable) sort.
-    #   pos[m]  = pos_base[r(m)] + m  where pos_base[r] = start[r] - cum[r-1]
+    #   pos[m]  = block_base[r(m)] + m  where block_base[r] = start[r] - cum[r-1]
     #   tab[m]  = table[r(m)]
-    cum = jnp.cumsum(length_s, axis=1)                          # [B, R]
-    total = cum[:, -1]
-    first_slot = jnp.minimum(cum - length_s, m_cap)             # [B, R]
-    pos_base = start_s - (cum - length_s)                       # [B, R]
-    # deltas vs previous range (range order == slot order since cum is
-    # nondecreasing). Zero-length ranges share their successor's first slot,
+    #
+    # Sort cost scales with width, so for large caps the merge runs at BLOCK
+    # granularity: each range's slot allocation is rounded up to BS slots and
+    # the merged sort covers R + M/BS block entries instead of R + M slots
+    # (~5x cheaper at the 1.2M bench shapes). Rows past a range's true end
+    # land inside its padding blocks and are masked by a per-block `end`
+    # channel. BS=1 degenerates to the exact slot-level merge.
+    bs_block = 8 if (m_cap % 8 == 0 and m_cap >= 4096) else 1
+    mb_cap = m_cap // bs_block
+    total = jnp.cumsum(length_s, axis=1)[:, -1]
+    alen = (
+        (length_s + (bs_block - 1)) // bs_block * bs_block
+        if bs_block > 1
+        else length_s
+    )
+    cum = jnp.cumsum(alen, axis=1)                              # [B, R]
+    first_block = jnp.minimum((cum - alen) // bs_block, mb_cap)  # [B, R]
+    block_base = start_s - (cum - alen)                         # [B, R]
+    end_r = start_s + length_s                                  # [B, R]
+    # deltas vs previous range (range order == block order since cum is
+    # nondecreasing). Zero-length ranges share their successor's first block,
     # so their deltas telescope away as long as every delta participates.
-    pb_delta = jnp.diff(pos_base, axis=1, prepend=0)
+    pb_delta = jnp.diff(block_base, axis=1, prepend=0)
     tb_delta = jnp.diff(table_s, axis=1, prepend=0)
+    en_delta = jnp.diff(end_r, axis=1, prepend=0)
 
-    m = jnp.arange(m_cap, dtype=jnp.int32)
-    # merged keys: range markers sort BEFORE the slot with the same index
-    # (bit 0 distinguishes slot entries — no separate is_slot operand).
-    # Sort cost scales with operand count, so both value channels are packed
-    # into one int32: (delta + offset) * 64 + (table_delta + 32). Valid for
-    # capacities below ~16M rows per table; the offset keeps values
-    # nonnegative.
-    range_keys = first_slot * 2                                  # [B, R]
-    slot_keys = jnp.broadcast_to(m * 2 + 1, (b, m_cap))
-    keys = jnp.concatenate([range_keys, slot_keys], axis=1)      # [B, R+M]
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
+    # merged keys: range markers sort BEFORE the block with the same index
+    # (bit 0 distinguishes block entries — no separate is_block operand).
+    # The (base, table) channels pack into one int32:
+    # (delta + offset) * 64 + (table_delta + 32); floor div/mod recover
+    # signed deltas. Valid while cap + m_cap < 2^23 and L <= 32.
+    range_keys = first_block * 2                                 # [B, R]
+    block_keys = jnp.broadcast_to(mb * 2 + 1, (b, mb_cap))
+    keys = jnp.concatenate([range_keys, block_keys], axis=1)     # [B, R+MB]
+    zeros_mb = jnp.zeros((b, mb_cap), jnp.int32)
     can_pack = (cap + m_cap + 1) < (1 << 23) and l <= 32
     if can_pack:
         off = jnp.int32(cap + m_cap + 1)
         packed_rng = (pb_delta + off) * 64 + (tb_delta + 32)
-        packed_slot = jnp.broadcast_to(off * 64 + 32, (b, m_cap))  # zero deltas
-        packed = jnp.concatenate([packed_rng, packed_slot], axis=1)
-        keys_s, packed_s = jax.lax.sort((keys, packed), dimension=1, num_keys=1)
+        packed_blk = jnp.broadcast_to(off * 64 + 32, (b, mb_cap))  # zero deltas
+        packed = jnp.concatenate([packed_rng, packed_blk], axis=1)
+        dend = jnp.concatenate([en_delta, zeros_mb], axis=1)
+        keys_s, packed_s, dend_s = jax.lax.sort(
+            (keys, packed, dend), dimension=1, num_keys=1
+        )
         dpos_s = packed_s // 64 - off
         dtab_s = packed_s % 64 - 32
     else:
-        dpos = jnp.concatenate([pb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
-        dtab = jnp.concatenate([tb_delta, jnp.zeros((b, m_cap), jnp.int32)], axis=1)
-        keys_s, dpos_s, dtab_s = jax.lax.sort(
-            (keys, dpos, dtab), dimension=1, num_keys=1
+        dpos = jnp.concatenate([pb_delta, zeros_mb], axis=1)
+        dtab = jnp.concatenate([tb_delta, zeros_mb], axis=1)
+        dend = jnp.concatenate([en_delta, zeros_mb], axis=1)
+        keys_s, dpos_s, dtab_s, dend_s = jax.lax.sort(
+            (keys, dpos, dtab, dend), dimension=1, num_keys=1
         )
     pos_fill = jnp.cumsum(dpos_s, axis=1)
     tab_fill = jnp.cumsum(dtab_s, axis=1)
-    # compact slots back out (stable: slots stay in m order)
+    end_fill = jnp.cumsum(dend_s, axis=1)
+    # compact blocks back out (stable: blocks stay in mb order)
     if can_pack:
         packed2 = (pos_fill + jnp.int32(m_cap)) * 64 + tab_fill
-        _, packed2_s = jax.lax.sort(
-            (1 - (keys_s & 1), packed2), dimension=1, num_keys=1, is_stable=True
-        )
-        pos = packed2_s[:, :m_cap] // 64 - jnp.int32(m_cap) + m[None, :]
-        slot_table = packed2_s[:, :m_cap] % 64
-    else:
-        _, pos_out, tab_out = jax.lax.sort(
-            (1 - (keys_s & 1), pos_fill, tab_fill), dimension=1, num_keys=1,
+        _, packed2_s, end_out = jax.lax.sort(
+            (1 - (keys_s & 1), packed2, end_fill), dimension=1, num_keys=1,
             is_stable=True,
         )
-        pos = pos_out[:, :m_cap] + m[None, :]
-        slot_table = tab_out[:, :m_cap]
+        base_b = packed2_s[:, :mb_cap] // 64 - jnp.int32(m_cap)   # [B, MB]
+        table_b2 = packed2_s[:, :mb_cap] % 64
+    else:
+        _, pos_out, tab_out, end_out = jax.lax.sort(
+            (1 - (keys_s & 1), pos_fill, tab_fill, end_fill), dimension=1,
+            num_keys=1, is_stable=True,
+        )
+        base_b = pos_out[:, :mb_cap]
+        table_b2 = tab_out[:, :mb_cap]
+    end_b = end_out[:, :mb_cap]
+    # expand blocks to slots: pos = base[mb] + mb*BS + j
+    if bs_block > 1:
+        j = jnp.arange(bs_block, dtype=jnp.int32)
+        pos = (
+            base_b[:, :, None] + (mb * bs_block)[None, :, None] + j[None, None, :]
+        ).reshape(b, m_cap)
+        slot_table = jnp.repeat(table_b2, bs_block, axis=1)
+        slot_end = jnp.repeat(end_b, bs_block, axis=1)
+    else:
+        pos = base_b + mb[None, :]
+        slot_table = table_b2
+        slot_end = end_b
     cand = tables.sorted_ids[
         jnp.clip(slot_table, 0, tables.num_tables - 1), jnp.clip(pos, 0, cap - 1)
     ]
-    slot_valid = m[None, :] < jnp.minimum(total, m_cap)[:, None]
-    cand = jnp.where(slot_valid & (cand >= 0), cand, -1)
+    slot_valid = pos < slot_end                 # masks block padding AND
+    cand = jnp.where(slot_valid & (cand >= 0), cand, -1)  # slots past the data
     return cand, jnp.minimum(total, m_cap)
 
 

@@ -313,13 +313,13 @@ def load_ground_truth(path: str, k: int) -> np.ndarray:
 def read_fvecs(path: str, limit: Optional[int] = None) -> np.ndarray:
     """Read the standard .fvecs binary format (SIFT/GloVe distributions).
     Not in the reference; added because BASELINE.json configs use SIFT-1M."""
-    data = np.fromfile(path, dtype=np.int32, count=-1 if limit is None else limit * 0)
-    if limit is not None:
-        # re-read enough bytes: peek dim from the first record
+    if limit is None:
+        data = np.fromfile(path, dtype=np.int32)
+    else:
+        # peek dim from the first record, then read exactly `limit` records
         with open(path, "rb") as f:
             dim = int(np.frombuffer(f.read(4), dtype=np.int32)[0])
-        count = limit * (dim + 1)
-        data = np.fromfile(path, dtype=np.int32, count=count)
+        data = np.fromfile(path, dtype=np.int32, count=limit * (dim + 1))
     dim = int(data[0])
     data = data.reshape(-1, dim + 1)
     return data[:, 1:].view(np.float32).copy()
