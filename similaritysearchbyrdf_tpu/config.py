@@ -137,6 +137,18 @@ class RDFConfig:
     # ranking of top-10 candidates is essentially unaffected. f32 default
     # keeps bit-exact parity with the scalar oracle.
     rerank_dtype: str = "float32"         # float32 | bfloat16
+    # Table-ordered coarse scoring tier (TPU extension; no reference
+    # counterpart). When set, the fit keeps a low-dim (coarse_dim) random
+    # projection of every corpus row PER TABLE IN BUCKET-SORTED ORDER, so
+    # coarse candidate scoring gathers CONTIGUOUS blocks (gather cost on
+    # TPU is per-index, so scoring 32k candidates costs ~4k block gathers
+    # instead of 32k row gathers). Only the top `coarse_refine` coarse
+    # candidates are exactly re-scored at full precision. Costs
+    # L × N × coarse_dim × 2 bytes of HBM.
+    coarse_dim: Optional[int] = None      # projection dim; = vector_dim for
+    #                                       full-dim (no projection loss)
+    coarse_dtype: str = "int8"            # int8 | bfloat16 storage
+    coarse_refine: int = 2048             # exact-rescore width
 
     # --- reproducibility ---
     seed: int = 31258                     # mclab.lsh.seed1

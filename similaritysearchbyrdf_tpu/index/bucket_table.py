@@ -125,6 +125,12 @@ def composite_keys(
 # ---------------------------------------------------------------------------
 
 
+# trailing columns of -1 appended to sorted_ids so fixed-width slice gathers
+# never run off the end (see forest._gather_id_blocks); must be >= the
+# largest block size the flatten uses
+ID_PAD = 8
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BucketTables:
@@ -132,7 +138,9 @@ class BucketTables:
 
     sorted_keys   u32[L, Npad]  — composite keys, ascending per table
                                   (padding rows = 0xFFFFFFFF)
-    sorted_ids    i32[L, Npad]  — vector ids in key order (padding = -1)
+    sorted_ids    i32[L, Npad+ID_PAD] — vector ids in key order (padding = -1;
+                                  the extra ID_PAD trailing -1s keep
+                                  block-slice gathers in bounds)
     bucket_keys   u32[L, NB]    — prefix-aligned lower boundary of each leaf
                                   bucket (padding = 0xFFFFFFFF)
     bucket_starts i32[L, NB+1]  — start offset of each leaf bucket into
@@ -308,6 +316,12 @@ def build_tables(
     (e.g. from a previous build of the same distribution)."""
     sorted_keys, sorted_ids, elem_start, elem_shift = _sort_and_depths(
         keys, ids, layout, overflow
+    )
+    # trailing -1 pad so block-granular slice gathers (width ID_PAD) never
+    # clip-shift near the end of the array (`forest._gather_id_blocks`)
+    sorted_ids = jnp.concatenate(
+        [sorted_ids, jnp.full((sorted_ids.shape[0], ID_PAD), -1, jnp.int32)],
+        axis=1,
     )
     if nb_pad is None:
         n = sorted_keys.shape[1]

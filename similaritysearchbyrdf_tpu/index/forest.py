@@ -73,6 +73,10 @@ class ForestState:
     # optional bf16 copy: coarse-pass rerank at half the gather traffic,
     # refined exactly from `corpus` (rerank_dtype="bfloat16")
     corpus_lp: Optional[jax.Array] = None
+    # table-ordered coarse tier (conf.coarse_dim): per-table, bucket-sorted
+    # low-dim projections so coarse scoring gathers CONTIGUOUS blocks
+    coarse_proj: Optional[jax.Array] = None      # f32[D, Cd]
+    coarse_by_table: Optional[jax.Array] = None  # bf16[L, Npad+ID_PAD, Cd]
 
     @property
     def capacity(self) -> int:
@@ -155,6 +159,12 @@ def fit_dense(
     tables = build_tables(
         keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
     )
+    coarse_proj = coarse_by_table = None
+    if conf.coarse_dim:
+        coarse_proj, coarse_by_table = _build_coarse_tier(
+            values_d, tables.sorted_ids, conf.coarse_dim,
+            conf.coarse_dtype, conf.seed,
+        )
     return ForestState(
         model=model,
         part_proj=part_proj,
@@ -162,7 +172,55 @@ def fit_dense(
         corpus=values_d,
         row_ids=jnp.asarray(row_ids),
         corpus_lp=corpus_lp,
+        coarse_proj=coarse_proj,
+        coarse_by_table=coarse_by_table,
     )
+
+
+def _build_coarse_tier(
+    corpus: jax.Array,       # f32[Npad, D]
+    sorted_ids: jax.Array,   # i32[L, Npad+ID_PAD]
+    coarse_dim: int,
+    coarse_dtype: str,
+    seed: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Coarse rows replicated per table in BUCKET-SORTED order (padding
+    rows = 0), so a query block's coarse rows are one contiguous slice.
+    coarse_dim == D keeps full dimensionality (identity projection — no
+    ordering loss beyond quantization); smaller dims use a random
+    orthonormal projection. int8 storage quantizes with one global scale —
+    scores scale uniformly per query, so coarse ORDER is preserved to ~0.8%.
+    One-time fit cost: one [N, D] x [D, Cd] matmul + L gathers of N rows."""
+    d = corpus.shape[1]
+    cd = min(coarse_dim, d)
+    if cd == d:
+        coarse_proj = jnp.eye(d, dtype=jnp.float32)
+    else:
+        rng = np.random.default_rng(seed ^ 0x5EED)
+        q_full = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd]
+        coarse_proj = jnp.asarray(q_full.astype(np.float32))
+    store_int8 = coarse_dtype == "int8"
+
+    @jax.jit
+    def build(cp, c, si):
+        low = c @ cp                                           # [Npad, Cd] f32
+        if store_int8:
+            scale = jnp.float32(127.0) / jnp.maximum(
+                jnp.max(jnp.abs(low)), 1e-20
+            )
+            low = jnp.clip(
+                jnp.round(low * scale), -127, 127
+            ).astype(jnp.int8)
+        else:
+            low = low.astype(jnp.bfloat16)
+
+        def per_table(si_t):
+            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+            return jnp.where((si_t >= 0)[:, None], rows, 0)
+
+        return jax.lax.map(per_table, si)                      # [L, Npad+P, Cd]
+
+    return coarse_proj, build(coarse_proj, corpus, sorted_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +283,7 @@ def _probe_hashes(
     return probes, valid
 
 
-def gather_candidates(
+def gather_blocks(
     tables: BucketTables,
     h: jax.Array,                # u32[B, L]
     home: jax.Array,             # i32[B, L]
@@ -235,12 +293,14 @@ def gather_candidates(
     multiprobe: bool,
     probes: Optional[jax.Array] = None,       # u32[B, L, P] (override)
     probe_valid: Optional[jax.Array] = None,  # bool[B, L, P]
-) -> Tuple[jax.Array, jax.Array]:
-    """Probe fan-out → bucket ranges → ragged flatten into a fixed candidate
-    buffer. Returns (cand i32[B, m_cap] row positions with -1 invalid,
-    total i32[B] pre-cap candidate count). Shared by the dense, sparse and
-    sharded query paths. Pass explicit (probes, probe_valid) to override the
-    reference probe generator (e.g. margin-guided probing)."""
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, int]:
+    """Probe fan-out → bucket ranges → dedup/priority → ragged flatten at
+    BLOCK granularity. Returns (base i32[B, MB], table i32[B, MB],
+    end i32[B, MB], total i32[B], bs_block): block mb covers sorted-order
+    positions [base[mb] + mb*bs, base[mb] + (mb+1)*bs) of its table, valid
+    while pos < end[mb]. Callers expand to per-slot candidates
+    (`gather_candidates`) or consume blocks directly (the table-ordered
+    coarse rerank, which gathers CONTIGUOUS coarse rows per block)."""
     b, l = h.shape
 
     # step-wise partition fan-out (P3): static pattern list
@@ -419,24 +479,199 @@ def gather_candidates(
         base_b = pos_out[:, :mb_cap]
         table_b2 = tab_out[:, :mb_cap]
     end_b = end_out[:, :mb_cap]
-    # expand blocks to slots: pos = base[mb] + mb*BS + j
+    return base_b, table_b2, end_b, jnp.minimum(total, m_cap), bs_block
+
+
+def _gather_id_blocks(
+    sorted_ids: jax.Array,   # i32[L, cap]
+    base_b: jax.Array,       # i32[B, MB]
+    table_b2: jax.Array,     # i32[B, MB]
+    bs_block: int,
+) -> jax.Array:
+    """Candidate row ids for every block: ONE (1, bs) slice gather per block
+    instead of bs element gathers — gather cost on TPU is per-INDEX, so this
+    is ~bs× cheaper than `sorted_ids[slot_table, pos]` (measured ~11 ns per
+    gather index on v5e regardless of small slice width). Returns
+    i32[B, MB*bs]."""
+    l, cap = sorted_ids.shape
+    b, mb_cap = base_b.shape
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
+    blk_start = base_b + mb[None, :] * bs_block              # [B, MB]
+    idx = jnp.stack(
+        [
+            jnp.clip(table_b2, 0, l - 1),
+            jnp.clip(blk_start, 0, cap - bs_block),
+        ],
+        axis=-1,
+    )                                                         # [B, MB, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    out = jax.lax.gather(
+        sorted_ids, idx, dn, slice_sizes=(1, bs_block),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )                                                         # [B, MB, bs]
+    # clip shifted the slice start for blocks near the end; recover the true
+    # per-slot position alignment via the mask in the caller (positions past
+    # `end` are invalid anyway, and base+mb*bs is only clipped when the block
+    # is entirely padding)
+    return out.reshape(b, mb_cap * bs_block)
+
+
+def gather_candidates(
+    tables: BucketTables,
+    h: jax.Array,                # u32[B, L]
+    home: jax.Array,             # i32[B, L]
+    layout: KeyLayout,
+    steps: int,
+    m_cap: int,
+    multiprobe: bool,
+    probes: Optional[jax.Array] = None,       # u32[B, L, P] (override)
+    probe_valid: Optional[jax.Array] = None,  # bool[B, L, P]
+) -> Tuple[jax.Array, jax.Array]:
+    """Probe fan-out → bucket ranges → ragged flatten into a fixed candidate
+    buffer. Returns (cand i32[B, m_cap] row positions with -1 invalid,
+    total i32[B] pre-cap candidate count). Shared by the dense, sparse and
+    sharded query paths. Pass explicit (probes, probe_valid) to override the
+    reference probe generator (e.g. margin-guided probing)."""
+    b, l = h.shape
+    cap = tables.capacity
+    base_b, table_b2, end_b, total, bs_block = gather_blocks(
+        tables, h, home, layout, steps, m_cap, multiprobe,
+        probes=probes, probe_valid=probe_valid,
+    )
+    mb_cap = m_cap // bs_block
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
     if bs_block > 1:
         j = jnp.arange(bs_block, dtype=jnp.int32)
         pos = (
             base_b[:, :, None] + (mb * bs_block)[None, :, None] + j[None, None, :]
         ).reshape(b, m_cap)
-        slot_table = jnp.repeat(table_b2, bs_block, axis=1)
         slot_end = jnp.repeat(end_b, bs_block, axis=1)
+        cand = _gather_id_blocks(tables.sorted_ids, base_b, table_b2, bs_block)
+        # a clipped block start shifts its slice; recompute validity against
+        # the unclipped positions and re-read nothing: clipped blocks are
+        # fully masked (their pos >= end)
     else:
         pos = base_b + mb[None, :]
-        slot_table = table_b2
         slot_end = end_b
-    cand = tables.sorted_ids[
-        jnp.clip(slot_table, 0, tables.num_tables - 1), jnp.clip(pos, 0, cap - 1)
-    ]
+        cand = tables.sorted_ids[
+            jnp.clip(table_b2, 0, tables.num_tables - 1),
+            jnp.clip(pos, 0, cap - 1),
+        ]
     slot_valid = pos < slot_end                 # masks block padding AND
     cand = jnp.where(slot_valid & (cand >= 0), cand, -1)  # slots past the data
-    return cand, jnp.minimum(total, m_cap)
+    return cand, total
+
+
+def _coarse_block_scores(
+    coarse_by_table: jax.Array,  # bf16[L, caprows, Cd]
+    coarse_proj: jax.Array,      # f32[D, Cd]
+    queries: jax.Array,          # f32[B, D]
+    base_b: jax.Array,           # i32[B, MB]
+    table_b2: jax.Array,         # i32[B, MB]
+    end_b: jax.Array,            # i32[B, MB]
+    bs_block: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Coarse inner-product scores for every candidate slot, gathered as
+    CONTIGUOUS (1, bs, Cd) slices from the table-ordered coarse tier — one
+    gather index per BLOCK instead of per candidate. Returns
+    (scores f32[B, M] with -inf invalid, pos i32[B, M], table i32[B, M])."""
+    l, caprows, cd = coarse_by_table.shape
+    b, mb_cap = base_b.shape
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
+    blk_start = base_b + mb[None, :] * bs_block               # [B, MB]
+    idx = jnp.stack(
+        [
+            jnp.clip(table_b2, 0, l - 1),
+            jnp.clip(blk_start, 0, caprows - bs_block),
+        ],
+        axis=-1,
+    )
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    rows = jax.lax.gather(
+        coarse_by_table, idx, dn, slice_sizes=(1, bs_block, cd),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )                                                          # [B, MB, bs, Cd]
+    q_low = (queries @ coarse_proj).astype(jnp.bfloat16)       # [B, Cd]
+    scores = jnp.einsum(
+        "bmjc,bc->bmj", rows.astype(jnp.bfloat16), q_low,
+        preferred_element_type=jnp.float32,
+    )                                                          # [B, MB, bs]
+    j = jnp.arange(bs_block, dtype=jnp.int32)
+    pos = blk_start[:, :, None] + j[None, None, :]             # [B, MB, bs]
+    valid = pos < end_b[:, :, None]
+    m = mb_cap * bs_block
+    scores = jnp.where(valid, scores, NEG_INF_F32).reshape(b, m)
+    pos = pos.reshape(b, m)
+    table_slot = jnp.repeat(table_b2, bs_block, axis=1)
+    return scores, pos, table_slot
+
+
+NEG_INF_F32 = float("-inf")
+
+
+def _query_dense_coarse(
+    state: ForestState,
+    queries: jax.Array,
+    query_ids: jax.Array,
+    layout: KeyLayout,
+    steps: int,
+    m_cap: int,
+    k: int,
+    multiprobe: bool,
+    exclude_self: bool,
+    refine: int,
+    probes: Optional[jax.Array] = None,
+    probe_valid: Optional[jax.Array] = None,
+    h: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Query via the table-ordered coarse tier: block-contiguous coarse
+    scoring of ALL candidates, then exact full-precision re-scoring of the
+    top `refine` slice only. With refine >= m_cap this is exhaustive and
+    matches `_query_dense` bit-for-bit on the surviving candidate set."""
+    if h is None:
+        h = hash_dense(state.model, queries)
+    home = partition_of_hash(h, state.part_proj)
+    base_b, table_b2, end_b, total, bs_block = gather_blocks(
+        state.tables, h, home, layout, steps, m_cap, multiprobe,
+        probes=probes, probe_valid=probe_valid,
+    )
+    scores, pos, table_slot = _coarse_block_scores(
+        state.coarse_by_table, state.coarse_proj, queries,
+        base_b, table_b2, end_b, bs_block,
+    )
+    b = queries.shape[0]
+    l = state.tables.num_tables
+    cap = state.tables.capacity
+    m2 = min(max(refine, (k + 1) * l), m_cap)
+
+    # top-m2 by coarse score; payload = (table, pos) packed when it fits
+    can_pack = l * (cap + 1) < 2**31
+    if can_pack:
+        payload = table_slot * jnp.int32(cap + 1) + pos
+        neg_s, payload_s = jax.lax.sort((-scores, payload), dimension=1,
+                                        num_keys=1)
+        t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
+        p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
+    else:
+        neg_s, t_s, p_s = jax.lax.sort((-scores, table_slot, pos),
+                                       dimension=1, num_keys=1)
+        t2, p2 = t_s[:, :m2], p_s[:, :m2]
+    sel_valid = jnp.isfinite(-neg_s[:, :m2])
+
+    cand2 = state.tables.sorted_ids[
+        jnp.clip(t2, 0, l - 1), jnp.clip(p2, 0, cap - 1)
+    ]
+    cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
+    if exclude_self:
+        cand2 = _exclude_self(cand2, state.row_ids, query_ids)
+    exact = rerank_ops.score_candidates(state.corpus, cand2, queries)
+    ids_k, sc_k = rerank_ops.dedup_topk(cand2, exact, k)
+    ids = jnp.where(ids_k >= 0, state.row_ids[jnp.maximum(ids_k, 0)], -1)
+    return ids, sc_k, total
 
 
 def _exclude_self(cand: jax.Array, row_ids: jax.Array, query_ids: jax.Array) -> jax.Array:
@@ -459,13 +694,16 @@ def _query_dense(
     exclude_self: bool = True,
     probe_mode: str = "reference",
     probe_budget: int = 8,
+    coarse_refine: int = 2048,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
 
     probe_mode: "reference" reproduces the reference's blind low-bit flips;
     "margin" probes only the `probe_budget` smallest-margin bits per table
-    (query-directed probing — fewer probes, equal or better recall)."""
+    (query-directed probing — fewer probes, equal or better recall).
+    When the state carries a table-ordered coarse tier (conf.coarse_dim),
+    scoring runs coarse-first with `coarse_refine` exact re-scores."""
     probes = probe_valid = None
     if probe_mode == "margin" and multiprobe:
         from ..ops.hashing import hash_dense_with_margins
@@ -476,6 +714,12 @@ def _query_dense(
         )
     else:
         h = hash_dense(state.model, queries)                    # [B, L] u32
+    if state.coarse_by_table is not None:
+        return _query_dense_coarse(
+            state, queries, query_ids, layout, steps, m_cap, k,
+            multiprobe, exclude_self, refine=coarse_refine,
+            probes=probes, probe_valid=probe_valid, h=h,
+        )
     home = partition_of_hash(h, state.part_proj)                # [B, L] i32
     cand, total = gather_candidates(
         state.tables, h, home, layout, steps, m_cap, multiprobe,
@@ -503,7 +747,7 @@ query_dense = jax.jit(
     _query_dense,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
-        "probe_mode", "probe_budget",
+        "probe_mode", "probe_budget", "coarse_refine",
     ),
 )
 
@@ -512,7 +756,7 @@ query_dense = jax.jit(
     jax.jit,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
-        "probe_mode", "probe_budget",
+        "probe_mode", "probe_budget", "coarse_refine",
     ),
 )
 def query_dense_many(
@@ -528,6 +772,7 @@ def query_dense_many(
     chunk: int = 256,
     probe_mode: str = "reference",
     probe_budget: int = 8,
+    coarse_refine: int = 2048,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -542,6 +787,7 @@ def query_dense_many(
             state, qs, qi, layout, steps=steps, m_cap=m_cap, k=k,
             multiprobe=multiprobe, exclude_self=exclude_self,
             probe_mode=probe_mode, probe_budget=probe_budget,
+            coarse_refine=coarse_refine,
         )
 
     ids, scores, total = jax.lax.map(
@@ -633,6 +879,7 @@ class RDFForest:
             steps=steps, m_cap=self.conf.max_candidates, k=k,
             multiprobe=multiprobe, exclude_self=exclude, chunk=bs,
             probe_mode=probe_mode, probe_budget=probe_budget,
+            coarse_refine=self.conf.coarse_refine,
         )
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
 
@@ -652,7 +899,7 @@ class RDFForest:
         2793-2802`) / `getDtAndHtNumDistribution`."""
         assert self.state is not None
         keys = np.asarray(self.state.tables.sorted_keys)
-        ids = np.asarray(self.state.tables.sorted_ids)
+        ids = np.asarray(self.state.tables.sorted_ids)[:, : keys.shape[1]]
         parts = (keys >> (self.layout.seg_bits + self.layout.consumed_bits)).astype(
             np.int64
         )

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RDFConfig
 from ..index.bucket_table import (
+    ID_PAD,
     BucketTables,
     KeyLayout,
     _build_records,
@@ -103,6 +104,9 @@ def _local_fit(
         jnp.where(valid, jnp.arange(nloc, dtype=jnp.int32), -1)[None, :], keys.shape
     )
     sk, si, elem_start, elem_shift = _sort_and_depths(keys, ids, layout, overflow)
+    si = jnp.concatenate(
+        [si, jnp.full((si.shape[0], ID_PAD), -1, jnp.int32)], axis=1
+    )
     bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
     rec = _build_records(bk, bs, bsh)
     return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
@@ -470,6 +474,9 @@ def _local_sparse_fit(
         keys.shape,
     )
     sk, si, elem_start, elem_shift = _sort_and_depths(keys, ids, layout, overflow)
+    si = jnp.concatenate(
+        [si, jnp.full((si.shape[0], ID_PAD), -1, jnp.int32)], axis=1
+    )
     bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
     rec = _build_records(bk, bs, bsh)
     return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])

@@ -90,9 +90,17 @@ def load_forest(path: str) -> RDFForest:
     bkeys = jnp.asarray(z["bucket_keys"])
     bstarts = jnp.asarray(z["bucket_starts"])
     bshifts = jnp.asarray(z["bucket_shifts"])
+    sorted_ids = z["sorted_ids"]
+    if sorted_ids.shape[1] == z["sorted_keys"].shape[1]:
+        # pre-ID_PAD save: append the trailing -1 pad the block gather needs
+        from ..index.bucket_table import ID_PAD
+
+        sorted_ids = np.concatenate(
+            [sorted_ids,
+             np.full((sorted_ids.shape[0], ID_PAD), -1, np.int32)], axis=1)
     tables = BucketTables(
         sorted_keys=jnp.asarray(z["sorted_keys"]),
-        sorted_ids=jnp.asarray(z["sorted_ids"]),
+        sorted_ids=jnp.asarray(sorted_ids),
         bucket_keys=bkeys,
         bucket_starts=bstarts,
         bucket_shifts=bshifts,

@@ -165,3 +165,63 @@ def test_empty_and_tiny_corpus():
     forest = RDFForest(conf).fit(DenseBatch(np.arange(3, dtype=np.int32), x))
     ids, scores = forest.query(x, steps=0)
     assert ids.shape == (3, conf.top_k)
+
+
+def test_coarse_tier_exhaustive_matches_reference_path():
+    """With refine >= m_cap the coarse path exactly re-scores every
+    candidate, so results must match the reference scoring path
+    id-for-id."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=1024, top_k=8, seed=11,
+    )
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 500)] + 0.1 * rng.normal(size=(500, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(500, dtype=np.int32), x)
+
+    ref = RDFForest(RDFConfig(**base)).fit(batch)
+    co = RDFForest(RDFConfig(**base, coarse_dim=16,
+                             coarse_refine=1024)).fit(batch)
+    ids_a, sc_a = ref.query(x[:16], steps=1, query_ids=np.arange(16))
+    ids_b, sc_b = co.query(x[:16], steps=1, query_ids=np.arange(16))
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
+
+
+def test_coarse_tier_small_refine_recall():
+    """A narrow refine slice must still recover nearly all of the
+    exhaustive path's top-k on clustered data."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=2048, top_k=10, seed=11,
+    )
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 2000)] + 0.1 * rng.normal(size=(2000, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(2000, dtype=np.int32), x)
+
+    ref = RDFForest(RDFConfig(**base)).fit(batch)
+    co = RDFForest(RDFConfig(**base, coarse_dim=24,
+                             coarse_refine=256)).fit(batch)  # full-dim int8
+    ids_a, _ = ref.query(x[:32], steps=1, query_ids=np.arange(32))
+    ids_b, _ = co.query(x[:32], steps=1, query_ids=np.arange(32))
+    hits = 0
+    for i in range(32):
+        hits += len(set(ids_a[i][ids_a[i] >= 0].tolist())
+                    & set(ids_b[i][ids_b[i] >= 0].tolist()))
+    assert hits / max((ids_a >= 0).sum(), 1) > 0.95
