@@ -49,15 +49,18 @@ def main():
     qids = jnp.arange(NQ, dtype=jnp.int32)
 
     configs = [
-        dict(steps=0, chunk=64, coarse_refine=2048),
-        dict(steps=0, chunk=128, coarse_refine=2048),
-        dict(steps=0, chunk=128, coarse_refine=1024),
-        dict(steps=1, chunk=128, coarse_refine=2048),
+        dict(steps=0, chunk=128, coarse_refine=512),
+        dict(steps=0, chunk=256, coarse_refine=1024),
+        dict(steps=1, chunk=128, coarse_refine=1024),
+        dict(steps=1, chunk=128, coarse_refine=1024,
+             probe_mode="margin", probe_budget=12),
     ]
     for cfg in configs:
         kw = dict(steps=cfg["steps"], m_cap=32768, k=10, multiprobe=True,
                   exclude_self=True, chunk=cfg["chunk"],
-                  coarse_refine=cfg["coarse_refine"])
+                  coarse_refine=cfg["coarse_refine"],
+                  probe_mode=cfg.get("probe_mode", "reference"),
+                  probe_budget=cfg.get("probe_budget", 8))
         ids, _, _ = query_dense_many(state, qd, qids, layout, **kw)
         jax.block_until_ready(ids)
         t0 = time.perf_counter()

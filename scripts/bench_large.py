@@ -37,10 +37,11 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
         vector_dim=d, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
         # large corpora produce tens of thousands of candidates per query
-        # (the reference walks them all); a large cap + bf16 coarse rerank
-        # keeps the chunk memory bounded
-        query_batch_size=64, max_candidates=32768, top_k=max(ks),
-        rerank_dtype="bfloat16",
+        # (the reference walks them all); the table-ordered int8 coarse tier
+        # scores them at one gather index per 8-row block, then exactly
+        # re-scores the top `coarse_refine`
+        query_batch_size=128, max_candidates=32768, top_k=max(ks),
+        coarse_dim=d, coarse_dtype="int8", coarse_refine=1024,
     )
     x = clustered(n, d, n_clusters, noise)
     ids = np.arange(n, dtype=np.int32)
@@ -63,7 +64,7 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
     print(f"[{name}] build: {build_s:.2f}s steady ({n / build_s:.0f} vec/s), "
           f"{forest.index_bytes_per_vector():.0f} B/vec", flush=True)
 
-    modes = [("reference", 0)] + [("margin", b) for b in (8,)]
+    modes = [("reference", 0)] + [("margin", b) for b in (12,)]
     for steps in steps_list:
         for mode, budget in modes:
             kw = dict(steps=steps, query_ids=ids[:n_query],
