@@ -63,6 +63,11 @@ def main():
         max_candidates=4096,
         top_k=TOP_K,
         seed=31258,
+        # table-ordered int8 coarse tier: candidate scoring gathers one
+        # index per 8-row block instead of one per candidate
+        coarse_dim=DIM,
+        coarse_dtype="int8",
+        coarse_refine=512,
     )
 
     x = make_data()
@@ -121,6 +126,10 @@ def main():
     qps, recall = results[best_steps]
 
     bytes_per_vec = forest.index_bytes_per_vector()
+    coarse_bpv = 0.0
+    if forest.state.coarse_by_table is not None:
+        cbt = forest.state.coarse_by_table
+        coarse_bpv = cbt.size * cbt.dtype.itemsize / N_CORPUS
 
     print(
         json.dumps(
@@ -132,6 +141,7 @@ def main():
                 "recall_at_10": round(recall, 4),
                 "build_vectors_per_sec": round(build_vps, 1),
                 "index_bytes_per_vector": round(bytes_per_vec, 1),
+                "coarse_tier_bytes_per_vector": round(coarse_bpv, 1),
                 "steps": best_steps,
                 "query_time_s_per_1000": round(1000.0 / qps, 4),
                 "all_points": {str(s): [round(q, 1), round(r, 4)] for s, (q, r) in results.items()},
