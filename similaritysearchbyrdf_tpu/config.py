@@ -145,6 +145,10 @@ class RDFConfig:
     # instead of 32k row gathers). Only the top `coarse_refine` coarse
     # candidates are exactly re-scored at full precision. Costs
     # L × N × coarse_dim × 2 bytes of HBM.
+    # route angle hashing through the Pallas fused matmul+sign+bitpack
+    # kernel (measured ~10% faster than the XLA path on v5e at bench
+    # shapes; bit-identical — scripts/bench_pallas_hash.py)
+    use_pallas_hash: bool = False
     coarse_dim: Optional[int] = None      # projection dim; = vector_dim for
     #                                       full-dim (no projection loss)
     coarse_dtype: str = "int8"            # int8 | bfloat16 storage

@@ -65,8 +65,11 @@ def _hash_kernel(x_ref, proj_ref, whi_ref, wlo_ref, out_ref, *, t, c, tp):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    packed = (hi.astype(jnp.uint32) << jnp.uint32(16)) + lo.astype(jnp.uint32)
-    out_ref[:] = packed
+    # Mosaic has no f32->u32 cast; round-trip through int32 (values are
+    # exact integers < 2^16 so the signed cast is lossless)
+    hi_i = hi.astype(jnp.int32).astype(jnp.uint32)
+    lo_i = lo.astype(jnp.int32).astype(jnp.uint32)
+    out_ref[:] = (hi_i << jnp.uint32(16)) + lo_i
 
 
 def _prepare_weights(model: HashModel):

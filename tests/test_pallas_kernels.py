@@ -47,3 +47,33 @@ def test_pallas_hash_with_transform():
         pallas_hash_dense(model, jnp.asarray(x), block_b=8, interpret=True)
     )
     np.testing.assert_array_equal(got, expect)
+
+
+def test_use_pallas_hash_config_end_to_end():
+    """conf.use_pallas_hash routes hashing through the kernel (interpret
+    mode on CPU) and the whole fit+query must answer identically to the
+    XLA path."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=16, table_num=2, permutation_num=2, family_size=20,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=512, top_k=5, seed=21,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    batch = DenseBatch(np.arange(300, dtype=np.int32), x)
+
+    ref = RDFForest(RDFConfig(**base)).fit(batch)
+    pal = RDFForest(RDFConfig(**base, use_pallas_hash=True)).fit(batch)
+    assert pal.model.pack_whi is not None
+    a, sa = ref.query(x[:8], steps=1, query_ids=np.arange(8))
+    b, sb = pal.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
