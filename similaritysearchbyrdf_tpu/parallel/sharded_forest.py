@@ -64,6 +64,8 @@ class ShardedForestState:
     corpus: jax.Array           # f32[ndev, Nloc, D]
     row_ids: jax.Array          # i32[ndev, Nloc]
     corpus_lp: Optional[jax.Array] = None  # bf16[ndev, Nloc, D] coarse copy
+    coarse_proj: Optional[jax.Array] = None      # replicated f32[D, Cd]
+    coarse_by_table: Optional[jax.Array] = None  # [ndev, L, Nloc+ID_PAD, Cd]
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -77,6 +79,26 @@ class ShardedForestState:
             records=self.records[0],
         )
 
+    def local_forest_state(self) -> "ForestState":
+        """This shard's slice as a single-device ForestState (inside
+        shard_map only) — the sharded query runs the SAME `_query_dense`
+        pipeline as one chip, then merges top-k over the mesh."""
+        from ..index.forest import ForestState
+
+        return ForestState(
+            model=self.model,
+            part_proj=self.part_proj,
+            tables=self.local_tables(),
+            corpus=self.corpus[0],
+            row_ids=self.row_ids[0],
+            corpus_lp=None if self.corpus_lp is None else self.corpus_lp[0],
+            coarse_proj=self.coarse_proj,
+            coarse_by_table=(
+                None if self.coarse_by_table is None
+                else self.coarse_by_table[0]
+            ),
+        )
+
 
 # ---------------------------------------------------------------------------
 # fit
@@ -88,9 +110,11 @@ def _local_fit(
     row_ids: jax.Array,    # [1, Nloc]
     model: HashModel,
     part_proj: jax.Array,
+    coarse_proj,           # f32[D, Cd] or None (replicated)
     layout: KeyLayout,
     overflow: int,
     nb_pad: int,
+    coarse_int8: bool,
 ):
     v = values[0]
     rid = row_ids[0]
@@ -109,7 +133,26 @@ def _local_fit(
     )
     bk, bs, bsh = _compact_buckets(sk, elem_start, elem_shift, nb_pad)
     rec = _build_records(bk, bs, bsh)
-    return (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
+    out = (sk[None], si[None], bk[None], bs[None], bsh[None], rec[None])
+    if coarse_proj is not None:
+        low = v @ coarse_proj                                   # [Nloc, Cd]
+        if coarse_int8:
+            # per-shard scale: coarse scores are compared only within a
+            # shard's own candidate list before its exact re-rank, so the
+            # scale constant cancels
+            scale = jnp.float32(127.0) / jnp.maximum(
+                jnp.max(jnp.abs(low)), 1e-20)
+            low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
+        else:
+            low = low.astype(jnp.bfloat16)
+
+        def per_table(si_t):
+            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+            return jnp.where((si_t >= 0)[:, None], rows, 0)
+
+        cbt = jax.lax.map(per_table, si)                        # [L, Nloc+P, Cd]
+        out = out + (cbt[None],)
+    return out
 
 
 def _fit_from_device_arrays(
@@ -132,21 +175,49 @@ def _fit_from_device_arrays(
     # Nloc-sized pad keeps the build collective- and sync-free per shard.
     nb_pad = values_d.shape[1]
 
-    fit_fn = jax.jit(
-        jax.shard_map(
-            functools.partial(
-                _local_fit,
-                layout=layout,
-                overflow=conf.lsh_table.bucket_overflow,
-                nb_pad=nb_pad,
-            ),
-            mesh=mesh,
-            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
-            out_specs=(P(SHARD_AXIS),) * 6,
-        ),
-        static_argnums=(),
+    coarse_proj = None
+    if conf.coarse_dim:
+        d = values_d.shape[2]
+        cd = min(conf.coarse_dim, d)
+        if cd == d:
+            coarse_proj = jnp.eye(d, dtype=jnp.float32)
+        else:
+            rng = np.random.default_rng(conf.seed ^ 0x5EED)
+            coarse_proj = jnp.asarray(
+                np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd]
+                .astype(np.float32)
+            )
+    n_out = 7 if coarse_proj is not None else 6
+
+    body = functools.partial(
+        _local_fit,
+        layout=layout,
+        overflow=conf.lsh_table.bucket_overflow,
+        nb_pad=nb_pad,
+        coarse_int8=conf.coarse_dtype == "int8",
     )
-    sk, si, bk, bs, bsh, rec = fit_fn(values_d, row_ids_d, model, part_proj)
+    if coarse_proj is None:
+        fit_fn = jax.jit(
+            jax.shard_map(
+                lambda v, r, m, pp: body(v, r, m, pp, None),
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+                out_specs=(P(SHARD_AXIS),) * n_out,
+            )
+        )
+        out = fit_fn(values_d, row_ids_d, model, part_proj)
+    else:
+        fit_fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P()),
+                out_specs=(P(SHARD_AXIS),) * n_out,
+            )
+        )
+        out = fit_fn(values_d, row_ids_d, model, part_proj, coarse_proj)
+    sk, si, bk, bs, bsh, rec = out[:6]
+    cbt = out[6] if coarse_proj is not None else None
     return ShardedForestState(
         model=model,
         part_proj=part_proj,
@@ -164,6 +235,8 @@ def _fit_from_device_arrays(
             if conf.rerank_dtype == "bfloat16"
             else None
         ),
+        coarse_proj=coarse_proj,
+        coarse_by_table=cbt,
     )
 
 
@@ -267,24 +340,20 @@ def _local_query(
     k: int,
     multiprobe: bool,
     exclude_self: bool,
+    probe_mode: str = "reference",
+    probe_budget: int = 8,
+    coarse_refine: int = 2048,
 ):
-    tables = state.local_tables()
-    h = hash_dense(state.model, queries)
-    home = partition_of_hash(h, state.part_proj)
-    cand, total = gather_candidates(tables, h, home, layout, steps, m_cap, multiprobe)
-    row_ids = state.row_ids[0]
-    if exclude_self:
-        cand = _exclude_self(cand, row_ids, query_ids)
-    l = h.shape[1]
-    if state.corpus_lp is not None:
-        rows, scores = rerank_ops.rerank_dense_two_stage(
-            state.corpus_lp[0], state.corpus[0], cand, queries, k, dup_bound=l
-        )
-    else:
-        rows, scores = rerank_ops.rerank_dense(
-            state.corpus[0], cand, queries, k, dup_bound=l
-        )
-    ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
+    # the shard-local search IS the single-chip pipeline (classic, margin
+    # probes, or the table-ordered coarse tier — whatever the state carries)
+    from ..index.forest import _query_dense
+
+    ids, scores, total = _query_dense(
+        state.local_forest_state(), queries, query_ids, layout,
+        steps=steps, m_cap=m_cap, k=k, multiprobe=multiprobe,
+        exclude_self=exclude_self, probe_mode=probe_mode,
+        probe_budget=probe_budget, coarse_refine=coarse_refine,
+    )
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
     # the collective counterpart of the reference's synchronized result-set
@@ -311,11 +380,15 @@ def make_query_fn(
     multiprobe: bool = True,
     exclude_self: bool = True,
     has_lp: bool = False,
+    has_coarse: bool = False,
+    probe_mode: str = "reference",
+    probe_budget: int = 8,
+    coarse_refine: int = 2048,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
-    total [B]), all replicated outputs. `has_lp` must match whether the
-    state carries the bf16 coarse-rerank copy."""
+    total [B]), all replicated outputs. `has_lp`/`has_coarse` must match
+    whether the state carries the bf16 rerank copy / coarse tier."""
     state_specs = ShardedForestState(
         model=P(),  # type: ignore[arg-type]
         part_proj=P(),
@@ -328,6 +401,8 @@ def make_query_fn(
         corpus=P(SHARD_AXIS),
         row_ids=P(SHARD_AXIS),
         corpus_lp=P(SHARD_AXIS) if has_lp else None,
+        coarse_proj=P() if has_coarse else None,
+        coarse_by_table=P(SHARD_AXIS) if has_coarse else None,
     )
     fn = jax.shard_map(
         functools.partial(
@@ -338,6 +413,9 @@ def make_query_fn(
             k=k,
             multiprobe=multiprobe,
             exclude_self=exclude_self,
+            probe_mode=probe_mode,
+            probe_budget=probe_budget,
+            coarse_refine=coarse_refine,
         ),
         mesh=mesh,
         in_specs=(state_specs, P(), P()),
@@ -405,6 +483,8 @@ class ShardedRDFForest:
                 m_cap=self.conf.max_candidates, k=k,
                 multiprobe=multiprobe, exclude_self=exclude,
                 has_lp=self.state.corpus_lp is not None,
+                has_coarse=self.state.coarse_by_table is not None,
+                coarse_refine=self.conf.coarse_refine,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs

@@ -155,3 +155,27 @@ def test_sharded_sparse_matches_single():
         a = set(int(v) for v in ids_single[i] if v >= 0)
         b = set(int(v) for v in ids_sh[i] if v >= 0)
         assert a == b, f"query {i}: {a} != {b}"
+
+
+def test_sharded_coarse_tier_matches_classic():
+    """Sharded query with the per-shard coarse tier (exhaustive refine)
+    must equal the classic sharded scoring path."""
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        ShardedRDFForest)
+
+    rng = np.random.default_rng(21)
+    x = _data(rng, 1200)
+    batch = DenseBatch(np.arange(1200, dtype=np.int32), x)
+
+    classic = ShardedRDFForest(_conf(), mesh=make_forest_mesh(8), seed=3)
+    classic.fit(batch)
+    co = ShardedRDFForest(
+        _conf(coarse_dim=24, coarse_refine=8192), mesh=make_forest_mesh(8),
+        seed=3)
+    co.fit(batch)
+    assert co.state.coarse_by_table is not None
+
+    a, sa = classic.query(x[:16], steps=1, query_ids=np.arange(16))
+    b, sb = co.query(x[:16], steps=1, query_ids=np.arange(16))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
