@@ -85,6 +85,7 @@ def sparse_row():
         partition_bits=3, lsh_table=TableConfig(chain_length=32,
                                                 bucket_overflow=500),
         query_batch_size=64, max_candidates=16384, top_k=10,
+        coarse_dim=64, coarse_dtype="int8", coarse_refine=2048,
     )
     t0 = time.perf_counter()
     forest = SparseRDFForest(conf).fit(batch)

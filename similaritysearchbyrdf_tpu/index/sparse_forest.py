@@ -43,6 +43,12 @@ class SparseForestState:
     corpus_indices: jax.Array    # i32[Npad, NNZ]
     corpus_values: jax.Array     # f32[Npad, NNZ]
     row_ids: jax.Array           # i32[Npad]
+    # table-ordered coarse tier (conf.coarse_dim): DENSE low-dim projections
+    # of the sparse rows, per table in bucket-sorted order — coarse scoring
+    # of a candidate block is one contiguous slice gather + a dense dot,
+    # instead of [B, M, NNZ] per-element gathers (the sparse hot spot)
+    coarse_proj: Optional[jax.Array] = None      # f32[dim, Cd]
+    coarse_by_table: Optional[jax.Array] = None  # int8/bf16[L, Npad+P, Cd]
 
     @property
     def capacity(self) -> int:
@@ -131,6 +137,13 @@ def fit_sparse(
     tables = build_tables(
         keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
     )
+    coarse_proj = coarse_by_table = None
+    if conf.coarse_dim:
+        coarse_proj, coarse_by_table = _build_sparse_coarse_tier(
+            idx_d, val_d, tables.sorted_ids, batch.size,
+            min(conf.coarse_dim, batch.size), conf.coarse_dtype, conf.seed,
+            chunk,
+        )
     return SparseForestState(
         model=model,
         part_proj=part_proj,
@@ -138,7 +151,62 @@ def fit_sparse(
         corpus_indices=idx_d,
         corpus_values=val_d,
         row_ids=jnp.asarray(row_ids),
+        coarse_proj=coarse_proj,
+        coarse_by_table=coarse_by_table,
     )
+
+
+def _build_sparse_coarse_tier(
+    indices: jax.Array,      # i32[Npad, NNZ]
+    values: jax.Array,       # f32[Npad, NNZ]
+    sorted_ids: jax.Array,   # i32[L, Npad+ID_PAD]
+    dim: int,
+    coarse_dim: int,
+    coarse_dtype: str,
+    seed: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense low-dim projection of every sparse row (low[n] = Σ_j v[n,j] ·
+    P[idx[n,j]]), replicated per table in bucket-sorted order. The random
+    Gaussian projection preserves inner products in expectation
+    (Johnson–Lindenstrauss); the exact refine pass corrects any coarse
+    misordering inside the top slice."""
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    p = (rng.normal(size=(dim, coarse_dim)) / np.sqrt(coarse_dim)).astype(
+        np.float32
+    )
+    coarse_proj = jnp.asarray(p)
+    store_int8 = coarse_dtype == "int8"
+
+    @jax.jit
+    def project(cp, idx, val):
+        n = idx.shape[0]
+        nc = n // chunk
+
+        def one(args):
+            ic, vc = args
+            rows = jnp.take(cp, ic, axis=0)            # [chunk, NNZ, Cd]
+            return jnp.einsum("bnc,bn->bc", rows, vc)  # [chunk, Cd]
+
+        low = jax.lax.map(
+            one, (idx.reshape(nc, chunk, -1), val.reshape(nc, chunk, -1))
+        ).reshape(n, -1)
+        if store_int8:
+            scale = jnp.float32(127.0) / jnp.maximum(
+                jnp.max(jnp.abs(low)), 1e-20
+            )
+            low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
+        else:
+            low = low.astype(jnp.bfloat16)
+
+        def per_table(si_t):
+            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+            return jnp.where((si_t >= 0)[:, None], rows, 0)
+
+        return low, jax.lax.map(per_table, sorted_ids)
+
+    _, cbt = project(coarse_proj, indices, values)
+    return coarse_proj, cbt
 
 
 def _query_sparse(
@@ -153,20 +221,51 @@ def _query_sparse(
     k: int = 10,
     multiprobe: bool = False,    # the reference's sparse path has no probes
     exclude_self: bool = True,
+    coarse_refine: int = 2048,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     h = _hash_batch(state.model, q_indices, q_values, dim)
     home = partition_of_hash(h, state.part_proj)
-    cand, total = gather_candidates(
-        state.tables, h, home, layout, steps, m_cap, multiprobe
-    )
-    if exclude_self:
-        cand = _exclude_self(cand, state.row_ids, query_ids)
 
     # densified query side for the correct sparse·sparse dot
     b, nnzq = q_indices.shape
     q_dense = jnp.zeros((b, dim), dtype=jnp.float32)
     rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, nnzq))
     q_dense = q_dense.at[rows, q_indices].add(q_values)
+
+    if state.coarse_by_table is not None:
+        from .forest import _coarse_block_scores, gather_blocks
+
+        base_b, table_b2, end_b, total, bs_block = gather_blocks(
+            state.tables, h, home, layout, steps, m_cap, multiprobe
+        )
+        scores_c, pos, table_slot = _coarse_block_scores(
+            state.coarse_by_table, state.coarse_proj, q_dense,
+            base_b, table_b2, end_b, bs_block,
+        )
+        l = state.tables.num_tables
+        cap = state.tables.capacity
+        m2 = min(max(coarse_refine, (k + 1) * l), m_cap)
+        if l * (cap + 1) < 2**31:
+            payload = table_slot * jnp.int32(cap + 1) + pos
+            neg_s, payload_s = jax.lax.sort((-scores_c, payload),
+                                            dimension=1, num_keys=1)
+            t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
+            p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
+        else:
+            neg_s, t_s, p_s = jax.lax.sort((-scores_c, table_slot, pos),
+                                           dimension=1, num_keys=1)
+            t2, p2 = t_s[:, :m2], p_s[:, :m2]
+        sel_valid = jnp.isfinite(-neg_s[:, :m2])
+        cand = state.tables.sorted_ids[
+            jnp.clip(t2, 0, l - 1), jnp.clip(p2, 0, cap - 1)
+        ]
+        cand = jnp.where(sel_valid & (cand >= 0), cand, -1)
+    else:
+        cand, total = gather_candidates(
+            state.tables, h, home, layout, steps, m_cap, multiprobe
+        )
+    if exclude_self:
+        cand = _exclude_self(cand, state.row_ids, query_ids)
 
     rows_out, scores = rerank_ops.rerank_sparse(
         state.corpus_indices, state.corpus_values, cand, q_dense, k,
@@ -179,7 +278,8 @@ def _query_sparse(
 query_sparse = jax.jit(
     _query_sparse,
     static_argnames=(
-        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self"
+        "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self",
+        "coarse_refine",
     ),
 )
 
@@ -188,7 +288,7 @@ query_sparse = jax.jit(
     jax.jit,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self",
-        "chunk",
+        "chunk", "coarse_refine",
     ),
 )
 def query_sparse_many(
@@ -204,6 +304,7 @@ def query_sparse_many(
     multiprobe: bool = False,
     exclude_self: bool = True,
     chunk: int = 256,
+    coarse_refine: int = 2048,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set sparse search in one device program (lax.map over
     chunks — see `query_dense_many`)."""
@@ -215,6 +316,7 @@ def query_sparse_many(
         return _query_sparse(
             state, qi, qv, qid, layout, dim, steps=steps, m_cap=m_cap, k=k,
             multiprobe=multiprobe, exclude_self=exclude_self,
+            coarse_refine=coarse_refine,
         )
 
     ids, scores, total = jax.lax.map(
@@ -277,6 +379,7 @@ class SparseRDFForest:
             self.state, qi, qv, ic, self.layout, self.dim,
             steps=steps, m_cap=self.conf.max_candidates, k=k,
             exclude_self=exclude, chunk=bs,
+            coarse_refine=self.conf.coarse_refine,
         )
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
 

@@ -113,3 +113,43 @@ def test_sparse_rerank_correct_dot():
         assert abs(got[0] - 2.0) < 1e-5
     if 2 in got:
         assert abs(got[2] - 2.0) < 1e-5
+
+
+def test_sparse_coarse_tier_exhaustive_matches_classic():
+    """Sparse coarse path with refine >= m_cap must match the classic
+    sparse scoring path id-for-id."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.sparse_forest import SparseRDFForest
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+
+    rng = np.random.default_rng(9)
+    n, dim, nnz = 600, 256, 16
+    base = dict(
+        vector_dim=dim, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=1024, top_k=8, seed=13,
+    )
+    supports = np.stack([rng.choice(dim, size=nnz, replace=False)
+                         for _ in range(20)])
+    assign = rng.integers(0, 20, n)
+    idx = supports[assign].astype(np.int32)
+    val = (0.5 + rng.random((n, nnz))).astype(np.float32)
+    val /= np.linalg.norm(val, axis=1, keepdims=True)
+    batch = SparseBatch(ids=np.arange(n, dtype=np.int32), size=dim,
+                        indices=idx, values=val,
+                        lengths=np.full(n, nnz, np.int32))
+    qb = SparseBatch(ids=np.arange(16, dtype=np.int32), size=dim,
+                     indices=idx[:16], values=val[:16],
+                     lengths=np.full(16, nnz, np.int32))
+
+    classic = SparseRDFForest(RDFConfig(**base)).fit(batch)
+    co = SparseRDFForest(RDFConfig(**base, coarse_dim=64,
+                                   coarse_refine=1024)).fit(batch)
+    assert co.state.coarse_by_table is not None
+    a, sa = classic.query(qb, steps=1, query_ids=np.arange(16))
+    b, sb = co.query(qb, steps=1, query_ids=np.arange(16))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
