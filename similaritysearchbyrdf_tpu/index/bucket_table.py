@@ -126,9 +126,10 @@ def composite_keys(
 
 
 # trailing columns of -1 appended to sorted_ids so fixed-width slice gathers
-# never run off the end (see forest._gather_id_blocks); must be >= the
-# largest block size the flatten uses
-ID_PAD = 8
+# never run off the end (see forest._gather_id_blocks); must be >= 2x the
+# largest block size the flatten uses (the Pallas coarse kernel reads
+# 8-ALIGNED 2*bs-row windows, which can run bs past a block's end)
+ID_PAD = 16
 
 
 @jax.tree_util.register_dataclass

@@ -194,11 +194,19 @@ def _build_coarse_tier(
     d = corpus.shape[1]
     cd = min(coarse_dim, d)
     if cd == d:
-        coarse_proj = jnp.eye(d, dtype=jnp.float32)
+        proj = np.eye(d, dtype=np.float32)
     else:
         rng = np.random.default_rng(seed ^ 0x5EED)
-        q_full = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd]
-        coarse_proj = jnp.asarray(q_full.astype(np.float32))
+        proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
+            np.float32
+        )
+    # pad the projection to a 128-lane multiple: TPU DMA slices must cover
+    # whole 128-lane tiles (the tiled layout already allocates them, so the
+    # zero columns cost no extra HBM and contribute nothing to the dot)
+    cd_pad = int(np.ceil(max(cd, 1) / 128.0) * 128)
+    if cd_pad != proj.shape[1]:
+        proj = np.pad(proj, ((0, 0), (0, cd_pad - proj.shape[1])))
+    coarse_proj = jnp.asarray(proj)
     store_int8 = coarse_dtype == "int8"
 
     @jax.jit

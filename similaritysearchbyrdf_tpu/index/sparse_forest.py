@@ -175,6 +175,10 @@ def _build_sparse_coarse_tier(
     p = (rng.normal(size=(dim, coarse_dim)) / np.sqrt(coarse_dim)).astype(
         np.float32
     )
+    # pad to a 128-lane multiple (see forest._build_coarse_tier)
+    cd_pad = int(np.ceil(max(coarse_dim, 1) / 128.0) * 128)
+    if cd_pad != p.shape[1]:
+        p = np.pad(p, ((0, 0), (0, cd_pad - p.shape[1])))
     coarse_proj = jnp.asarray(p)
     store_int8 = coarse_dtype == "int8"
 

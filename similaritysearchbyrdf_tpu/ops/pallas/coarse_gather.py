@@ -1,0 +1,134 @@
+"""Pallas DMA gather+score kernel for the table-ordered coarse tier.
+
+STATUS: experiment, NOT wired into the query path. Measured on v5e at the
+1.2M bench shapes (B=128, 4096 blocks/query, 800B slices): 32.6 ms —
+exactly XLA's gather (32-34 ms, ~13 GB/s). The per-transfer issue overhead
+(~60 ns/DMA here, ~same per-index inside XLA's gather engine) is the wall
+for both; beating it needs FEWER, BIGGER transfers (range-aligned 64-row
+windows), which costs ~2x candidate-slot padding and extra flatten payload
+channels — parked until the coarse gather is again the top cost.
+
+Mechanically the kernel is sound and numerically equivalent to the XLA
+scoring path (f32-accumulation-order differences only): each grid step
+issues `GRP` independent slice copies HBM→VMEM (hundreds in flight), waits,
+and runs one MXU matmul over the staged rows.
+
+Mosaic requires DMA slice starts in the tiled (second-minor) dimension to be
+8-aligned, and bucket starts are arbitrary — so each block's copy reads the
+ALIGNED 2*bs-row window containing its rows and the kernel emits 2*bs
+scores; the caller selects the 8 in-window scores with a static 8-way
+shifted-slice select (pure XLA elementwise, see `shift_select`).
+
+Numerically identical to the XLA scoring path (same int8 rows, same bf16
+dot) — asserted in tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NSEM = 16          # DMA semaphores cycled across the group's copies
+
+
+def _kernel(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *, grp, win, cd):
+    # issue the whole group's copies (deep DMA pipeline)
+    def issue(g, _):
+        t = idx_ref[0, g, 0]
+        s8 = idx_ref[0, g, 1]          # window start / 8 (host-precomputed)
+        pltpu.make_async_copy(
+            cbt_ref.at[t, pl.ds(s8 * 8, win), :],
+            scratch.at[g],
+            sems.at[g % _NSEM],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, grp, issue, 0)
+
+    # barrier: consume one completion signal per issued copy
+    def drain(g, _):
+        pltpu.make_async_copy(
+            cbt_ref.at[0, pl.ds(0, win), :],
+            scratch.at[g],
+            sems.at[g % _NSEM],
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, grp, drain, 0)
+
+    rows = scratch[:].reshape(grp * win, cd).astype(jnp.bfloat16)
+    # score against ALL query rows (clean MXU shapes), then select this grid
+    # step's column with a one-hot matmul — dynamic row/lane indexing of
+    # VMEM vectors is not lowerable, and the extra flops are negligible
+    b_all = q_ref.shape[0]
+    scores_all = jax.lax.dot_general(
+        rows, q_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [grp*win, B]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (b_all, 1), 0) == pl.program_id(0)
+    ).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        scores_all, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [grp*win, 1]
+    out_ref[0] = scores[:, 0].reshape(grp, win)
+
+
+@functools.partial(jax.jit, static_argnames=("bs_block", "grp"))
+def pallas_coarse_scores(
+    coarse_by_table: jax.Array,   # int8/bf16[L, caprows, Cd] (HBM-resident)
+    q_low: jax.Array,             # bf16/f32[B, Cd]
+    table_b2: jax.Array,          # i32[B, MB] (will be clipped)
+    blk_start: jax.Array,         # i32[B, MB] (will be clipped)
+    bs_block: int,
+    grp: int = 512,
+) -> jax.Array:
+    """Coarse scores f32[B, MB, bs] for every candidate block (shift-
+    selected to the true block rows)."""
+    l, caprows, cd = coarse_by_table.shape
+    b, mb_cap = table_b2.shape
+    grp = min(grp, mb_cap)
+    assert mb_cap % grp == 0, (mb_cap, grp)
+    win = 2 * bs_block
+    start = jnp.clip(blk_start, 0, caprows - win)
+    idx = jnp.stack(
+        [jnp.clip(table_b2, 0, l - 1), start >> 3],
+        axis=-1,
+    ).astype(jnp.int32)                                    # [B, MB, 2]
+    shift = start - ((start >> 3) << 3)                    # [B, MB] in [0, 8)
+
+    scores_w = pl.pallas_call(
+        functools.partial(_kernel, grp=grp, win=win, cd=cd),
+        out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
+        grid=(b, mb_cap // grp),
+        in_specs=[
+            pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            # whole query matrix resident (tiny); a (1, cd) block would
+            # violate the (8, 128) VMEM tiling rule
+            pl.BlockSpec((b, cd), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((grp, win, cd), coarse_by_table.dtype),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+    )(idx, q_low.astype(jnp.bfloat16), coarse_by_table)
+
+    # static 8-way shifted-slice select: out[.., j] = scores_w[.., shift+j]
+    out = jnp.zeros((b, mb_cap, bs_block), jnp.float32)
+    for o in range(8):
+        out = jnp.where(
+            (shift == o)[:, :, None], scores_w[:, :, o:o + bs_block], out
+        )
+    return out

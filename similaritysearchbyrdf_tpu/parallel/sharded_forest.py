@@ -180,13 +180,15 @@ def _fit_from_device_arrays(
         d = values_d.shape[2]
         cd = min(conf.coarse_dim, d)
         if cd == d:
-            coarse_proj = jnp.eye(d, dtype=jnp.float32)
+            proj = np.eye(d, dtype=np.float32)
         else:
             rng = np.random.default_rng(conf.seed ^ 0x5EED)
-            coarse_proj = jnp.asarray(
-                np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd]
-                .astype(np.float32)
-            )
+            proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
+                np.float32)
+        cd_pad = int(np.ceil(max(cd, 1) / 128.0) * 128)
+        if cd_pad != proj.shape[1]:
+            proj = np.pad(proj, ((0, 0), (0, cd_pad - proj.shape[1])))
+        coarse_proj = jnp.asarray(proj)
     n_out = 7 if coarse_proj is not None else 6
 
     body = functools.partial(
