@@ -466,6 +466,8 @@ class ShardedRDFForest:
         query_ids: Optional[np.ndarray] = None,
         k: Optional[int] = None,
         multiprobe: bool = True,
+        probe_mode: str = "reference",
+        probe_budget: int = 8,
     ) -> Tuple[np.ndarray, np.ndarray]:
         assert self.state is not None, "need to fit the data first"
         k = k or self.conf.top_k
@@ -478,7 +480,7 @@ class ShardedRDFForest:
             else np.full((q,), -1, dtype=np.int32)
         )
         bs = self.conf.query_batch_size
-        key = (steps, k, multiprobe, exclude)
+        key = (steps, k, multiprobe, exclude, probe_mode, probe_budget)
         if key not in self._query_fns:
             self._query_fns[key] = make_query_fn(
                 self.mesh, self.layout, steps=steps,
@@ -487,6 +489,7 @@ class ShardedRDFForest:
                 has_lp=self.state.corpus_lp is not None,
                 has_coarse=self.state.coarse_by_table is not None,
                 coarse_refine=self.conf.coarse_refine,
+                probe_mode=probe_mode, probe_budget=probe_budget,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs

@@ -179,3 +179,17 @@ def test_sharded_coarse_tier_matches_classic():
     b, sb = co.query(x[:16], steps=1, query_ids=np.arange(16))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
+def test_sharded_margin_probes():
+    """Margin-guided probing works through the sharded path."""
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        ShardedRDFForest)
+
+    rng = np.random.default_rng(31)
+    x = _data(rng, 800)
+    f = ShardedRDFForest(_conf(), mesh=make_forest_mesh(8), seed=5)
+    f.fit(DenseBatch(np.arange(800, dtype=np.int32), x))
+    ids, _ = f.query(x[:16], steps=1, query_ids=np.arange(16),
+                     probe_mode="margin", probe_budget=8)
+    assert (ids >= 0).sum() > 0
