@@ -8,12 +8,15 @@ transport from the device topology; the framework only names the axis.
 
 Per-chip HBM budget at Deep-100M (100M rows × 96d, canonical 10×3 tables):
   corpus f32            100M·96·4   = 38.4 GB
-  corpus_lp bf16        100M·96·2   = 19.2 GB
   sorted keys+ids       100M·30·8   = 24.0 GB
   bucket arrays (≈N/overflow·30·28) ≈  1.7 GB   (overflow 500)
-  total ≈ 83 GB  → ≥ 8 × v5e-16GB chips at ~10.4 GB/chip for the index
-  (leaving ~5 GB workspace), i.e. one v5e-8 slice; f32-only rerank or
-  larger corpora scale linearly in chips.
+  total ≈ 64 GB  → one v5e-8 slice at ~8 GB/chip for the index
+  (leaving ~8 GB workspace); larger corpora scale linearly in chips.
+  The optional coarse tier costs 128 B/row/table on TPU (the int8 lane
+  dim pads to 128 physically), i.e. 384 GB at 100M×30 tables — at that
+  scale run it with fewer tables (10×1 → 128 GB / 16 GB per chip) or
+  disable it (`coarse_dim=None`; the classic exhaustive-scoring path has
+  no extra memory).
 """
 
 from __future__ import annotations
