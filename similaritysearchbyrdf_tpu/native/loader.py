@@ -69,8 +69,140 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.rdf_free_sparse.argtypes = [ctypes.c_void_p]
+        # batch wire-format codecs (rdf_codec.cc)
+        lib.rdf_encode_dense_batch.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rdf_encode_dense_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rdf_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.rdf_decode_dense_batch.restype = ctypes.c_void_p
+        lib.rdf_decode_dense_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rdf_copy_dense_batch.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.rdf_free_dense_batch.argtypes = [ctypes.c_void_p]
+        lib.rdf_encode_sparse_batch.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rdf_encode_sparse_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rdf_decode_sparse_batch.restype = ctypes.c_void_p
+        lib.rdf_decode_sparse_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rdf_copy_sparse_batch.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.rdf_free_sparse_batch.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+# ---------------------------------------------------------------------------
+# batch wire-format codecs (native; None when unavailable)
+# ---------------------------------------------------------------------------
+
+
+def encode_dense_batch(ids: np.ndarray, values: np.ndarray) -> Optional[bytes]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    n, dim = values.shape
+    out_len = ctypes.c_int64()
+    p = lib.rdf_encode_dense_batch(ids, values, n, dim,
+                                   ctypes.byref(out_len))
+    if not p:
+        return None
+    try:
+        return ctypes.string_at(p, out_len.value)
+    finally:
+        lib.rdf_free_buf(p)
+
+
+def decode_dense_batch(buf: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    dim = ctypes.c_int64()
+    h = lib.rdf_decode_dense_batch(buf, len(buf), ctypes.byref(n),
+                                   ctypes.byref(dim))
+    if not h:
+        return None
+    try:
+        ids = np.empty(n.value, dtype=np.int32)
+        values = np.empty((n.value, dim.value), dtype=np.float64)
+        lib.rdf_copy_dense_batch(h, ids, values)
+        return ids, values
+    finally:
+        lib.rdf_free_dense_batch(h)
+
+
+def encode_sparse_batch(
+    ids: np.ndarray, size: int, idx: np.ndarray, val: np.ndarray,
+    nnz: np.ndarray,
+) -> Optional[bytes]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.float64)
+    nnz = np.ascontiguousarray(nnz, dtype=np.int32)
+    n, max_nnz = idx.shape
+    out_len = ctypes.c_int64()
+    p = lib.rdf_encode_sparse_batch(ids, size, idx, val, nnz, n, max_nnz,
+                                    ctypes.byref(out_len))
+    if not p:
+        return None
+    try:
+        return ctypes.string_at(p, out_len.value)
+    finally:
+        lib.rdf_free_buf(p)
+
+
+def decode_sparse_batch(
+    buf: bytes,
+) -> Optional[Tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray]]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    size = ctypes.c_int64()
+    max_nnz = ctypes.c_int64()
+    h = lib.rdf_decode_sparse_batch(buf, len(buf), ctypes.byref(n),
+                                    ctypes.byref(size), ctypes.byref(max_nnz))
+    if not h:
+        return None
+    try:
+        ids = np.empty(n.value, dtype=np.int32)
+        idx = np.empty((n.value, max_nnz.value), dtype=np.int32)
+        val = np.empty((n.value, max_nnz.value), dtype=np.float64)
+        nnz = np.empty(n.value, dtype=np.int32)
+        lib.rdf_copy_sparse_batch(h, ids, idx.reshape(-1), val.reshape(-1),
+                                  nnz)
+        return ids, int(size.value), idx, val, nnz
+    finally:
+        lib.rdf_free_sparse_batch(h)
 
 
 def load_dense_file(

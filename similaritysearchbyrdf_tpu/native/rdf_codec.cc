@@ -1,0 +1,259 @@
+// Native batch codecs for the reference wire formats.
+//
+// The per-record codecs (`storage/serializers.py`) are bit-compatible with
+// the reference's `utils/Serializers.scala` + `DataIO.packInt`, but encoding
+// a million-row corpus record-at-a-time in Python is minutes of work. These
+// batch codecs produce the IDENTICAL byte stream (concatenated records) with
+// a multithreaded native pass — the framework's runtime-tier equivalent of
+// the reference's DataIO/Serializer layer (SURVEY.md §2.4-5).
+//
+// Wire formats (cites in serializers.py):
+//   dense : packInt(id) packInt(dim) dim x big-endian f64
+//   sparse: packInt(id) packInt(size) packInt(nnz) nnz x packInt(idx)
+//           nnz x big-endian f64
+//
+// Built into librdf_loader.so (see Makefile), loaded via ctypes.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// MapDB packInt: 7-bit groups, MSB-first, continuation bit on all but the
+// last byte (`DataIO.java:60-130`).
+inline size_t pack_int(uint32_t v, uint8_t* out) {
+  size_t n = 0;
+  bool started = false;
+  for (int shift = 28; shift > 0; shift -= 7) {
+    uint8_t g = (v >> shift) & 0x7F;
+    if (g || started) {
+      out[n++] = 0x80 | g;
+      started = true;
+    }
+  }
+  out[n++] = v & 0x7F;
+  return n;
+}
+
+inline uint32_t unpack_int(const uint8_t* buf, size_t* off) {
+  uint32_t v = 0;
+  for (;;) {
+    uint8_t b = buf[(*off)++];
+    v = (v << 7) | (b & 0x7F);
+    if (!(b & 0x80)) return v;
+  }
+}
+
+inline void put_be64(double d, uint8_t* out) {
+  uint64_t u;
+  std::memcpy(&u, &d, 8);
+  u = __builtin_bswap64(u);
+  std::memcpy(out, &u, 8);
+}
+
+inline double get_be64(const uint8_t* p) {
+  uint64_t u;
+  std::memcpy(&u, p, 8);
+  u = __builtin_bswap64(u);
+  double d;
+  std::memcpy(&d, &u, 8);
+  return d;
+}
+
+int n_threads() {
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? static_cast<int>(hc) : 4;
+}
+
+struct Buf {
+  uint8_t* data = nullptr;
+  int64_t len = 0;
+};
+
+struct DenseBatch {
+  std::vector<int32_t> ids;
+  std::vector<double> values;
+  int64_t n = 0, dim = 0;
+};
+
+struct SparseBatch {
+  std::vector<int32_t> ids;
+  std::vector<int32_t> idx;    // n * max_nnz (padded 0)
+  std::vector<double> val;     // n * max_nnz (padded 0)
+  std::vector<int32_t> nnz;
+  int64_t n = 0, size = 0, max_nnz = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+uint8_t* rdf_encode_dense_batch(const int32_t* ids, const double* values,
+                                int64_t n, int64_t dim, int64_t* out_len) {
+  // per-record offsets: varint id (<=5B) + varint dim (<=5B) + 8*dim
+  std::vector<int64_t> offs(n + 1, 0);
+  std::vector<uint8_t> hdrs(static_cast<size_t>(n) * 10);
+  std::vector<size_t> hdr_len(n);
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* h = hdrs.data() + i * 10;
+    size_t hl = pack_int(static_cast<uint32_t>(ids[i]), h);
+    hl += pack_int(static_cast<uint32_t>(dim), h + hl);
+    hdr_len[i] = hl;
+    offs[i + 1] = offs[i] + static_cast<int64_t>(hl) + 8 * dim;
+  }
+  int64_t total = offs[n];
+  uint8_t* out = static_cast<uint8_t*>(std::malloc(total));
+  if (!out) return nullptr;
+  int nt = n_threads();
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      for (int64_t i = t; i < n; i += nt) {
+        uint8_t* p = out + offs[i];
+        std::memcpy(p, hdrs.data() + i * 10, hdr_len[i]);
+        p += hdr_len[i];
+        const double* row = values + i * dim;
+        for (int64_t j = 0; j < dim; ++j) put_be64(row[j], p + 8 * j);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  *out_len = total;
+  return out;
+}
+
+void rdf_free_buf(uint8_t* p) { std::free(p); }
+
+void* rdf_decode_dense_batch(const uint8_t* buf, int64_t len, int64_t* n,
+                             int64_t* dim) {
+  auto* b = new DenseBatch();
+  size_t off = 0;
+  while (static_cast<int64_t>(off) < len) {
+    uint32_t id = unpack_int(buf, &off);
+    uint32_t d = unpack_int(buf, &off);
+    if (b->dim == 0) b->dim = d;
+    if (d != static_cast<uint32_t>(b->dim) ||
+        static_cast<int64_t>(off) + 8 * static_cast<int64_t>(d) > len) {
+      delete b;
+      return nullptr;
+    }
+    b->ids.push_back(static_cast<int32_t>(id));
+    for (uint32_t j = 0; j < d; ++j)
+      b->values.push_back(get_be64(buf + off + 8 * j));
+    off += 8 * static_cast<size_t>(d);
+    ++b->n;
+  }
+  *n = b->n;
+  *dim = b->dim;
+  return b;
+}
+
+void rdf_copy_dense_batch(void* h, int32_t* ids, double* values) {
+  auto* b = static_cast<DenseBatch*>(h);
+  std::memcpy(ids, b->ids.data(), b->ids.size() * 4);
+  std::memcpy(values, b->values.data(), b->values.size() * 8);
+}
+
+void rdf_free_dense_batch(void* h) { delete static_cast<DenseBatch*>(h); }
+
+uint8_t* rdf_encode_sparse_batch(const int32_t* ids, int32_t size,
+                                 const int32_t* idx, const double* val,
+                                 const int32_t* nnz, int64_t n,
+                                 int64_t max_nnz, int64_t* out_len) {
+  // headers and index varints are variable — precompute per-record byte
+  // lengths serially (cheap), write payloads in parallel
+  std::vector<int64_t> offs(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t tmp[5];
+    int64_t rec = 0;
+    rec += pack_int(static_cast<uint32_t>(ids[i]), tmp);
+    rec += pack_int(static_cast<uint32_t>(size), tmp);
+    rec += pack_int(static_cast<uint32_t>(nnz[i]), tmp);
+    const int32_t* row_idx = idx + i * max_nnz;
+    for (int32_t j = 0; j < nnz[i]; ++j)
+      rec += pack_int(static_cast<uint32_t>(row_idx[j]), tmp);
+    rec += 8 * static_cast<int64_t>(nnz[i]);
+    offs[i + 1] = offs[i] + rec;
+  }
+  int64_t total = offs[n];
+  uint8_t* out = static_cast<uint8_t*>(std::malloc(total));
+  if (!out) return nullptr;
+  int nt = n_threads();
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      for (int64_t i = t; i < n; i += nt) {
+        uint8_t* p = out + offs[i];
+        p += pack_int(static_cast<uint32_t>(ids[i]), p);
+        p += pack_int(static_cast<uint32_t>(size), p);
+        p += pack_int(static_cast<uint32_t>(nnz[i]), p);
+        const int32_t* row_idx = idx + i * max_nnz;
+        const double* row_val = val + i * max_nnz;
+        for (int32_t j = 0; j < nnz[i]; ++j)
+          p += pack_int(static_cast<uint32_t>(row_idx[j]), p);
+        for (int32_t j = 0; j < nnz[i]; ++j) put_be64(row_val[j], p + 8 * j);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  *out_len = total;
+  return out;
+}
+
+void* rdf_decode_sparse_batch(const uint8_t* buf, int64_t len, int64_t* n,
+                              int64_t* size, int64_t* max_nnz) {
+  auto* b = new SparseBatch();
+  size_t off = 0;
+  std::vector<std::vector<int32_t>> all_idx;
+  std::vector<std::vector<double>> all_val;
+  while (static_cast<int64_t>(off) < len) {
+    uint32_t id = unpack_int(buf, &off);
+    uint32_t sz = unpack_int(buf, &off);
+    uint32_t k = unpack_int(buf, &off);
+    b->ids.push_back(static_cast<int32_t>(id));
+    b->size = sz;
+    std::vector<int32_t> ri(k);
+    for (uint32_t j = 0; j < k; ++j)
+      ri[j] = static_cast<int32_t>(unpack_int(buf, &off));
+    if (static_cast<int64_t>(off) + 8 * static_cast<int64_t>(k) > len) {
+      delete b;
+      return nullptr;
+    }
+    std::vector<double> rv(k);
+    for (uint32_t j = 0; j < k; ++j) rv[j] = get_be64(buf + off + 8 * j);
+    off += 8 * static_cast<size_t>(k);
+    if (static_cast<int64_t>(k) > b->max_nnz) b->max_nnz = k;
+    b->nnz.push_back(static_cast<int32_t>(k));
+    all_idx.push_back(std::move(ri));
+    all_val.push_back(std::move(rv));
+    ++b->n;
+  }
+  b->idx.assign(b->n * b->max_nnz, 0);
+  b->val.assign(b->n * b->max_nnz, 0.0);
+  for (int64_t i = 0; i < b->n; ++i) {
+    std::memcpy(b->idx.data() + i * b->max_nnz, all_idx[i].data(),
+                all_idx[i].size() * 4);
+    std::memcpy(b->val.data() + i * b->max_nnz, all_val[i].data(),
+                all_val[i].size() * 8);
+  }
+  *n = b->n;
+  *size = b->size;
+  *max_nnz = b->max_nnz;
+  return b;
+}
+
+void rdf_copy_sparse_batch(void* h, int32_t* ids, int32_t* idx, double* val,
+                           int32_t* nnz) {
+  auto* b = static_cast<SparseBatch*>(h);
+  std::memcpy(ids, b->ids.data(), b->ids.size() * 4);
+  std::memcpy(idx, b->idx.data(), b->idx.size() * 4);
+  std::memcpy(val, b->val.data(), b->val.size() * 8);
+  std::memcpy(nnz, b->nnz.data(), b->nnz.size() * 4);
+}
+
+void rdf_free_sparse_batch(void* h) { delete static_cast<SparseBatch*>(h); }
+
+}  // extern "C"

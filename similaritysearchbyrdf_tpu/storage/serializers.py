@@ -158,3 +158,91 @@ def deserialize_dense_vector(
     vals = np.frombuffer(buf, dtype=">f8", count=dim, offset=offset).astype(np.float64)
     offset += 8 * dim
     return (vid, vals), offset
+
+
+# ---------------------------------------------------------------------------
+# Batch codecs (native fast path; byte-identical to the per-record codecs)
+# ---------------------------------------------------------------------------
+
+
+def serialize_dense_batch(ids: np.ndarray, values: np.ndarray) -> bytes:
+    """Concatenated dense-vector records for a whole corpus. Uses the
+    multithreaded native codec (`native/rdf_codec.cc`) when available;
+    falls back to the per-record python codec. The byte stream is identical
+    either way (tested)."""
+    from ..native import loader as native
+
+    out = native.encode_dense_batch(ids, values)
+    if out is not None:
+        return out
+    buf = bytearray()
+    for i in range(len(ids)):
+        buf += serialize_dense_vector(int(ids[i]), values[i])
+    return bytes(buf)
+
+
+def deserialize_dense_batch(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (ids i32[N], values f64[N, dim])."""
+    from ..native import loader as native
+
+    out = native.decode_dense_batch(buf)
+    if out is not None:
+        return out
+    ids: List[int] = []
+    rows: List[np.ndarray] = []
+    offset = 0
+    while offset < len(buf):
+        (vid, vals), offset = deserialize_dense_vector(buf, offset)
+        ids.append(vid)
+        rows.append(vals)
+    return np.asarray(ids, np.int32), np.stack(rows) if rows else np.zeros((0, 0))
+
+
+def serialize_sparse_batch(
+    ids: np.ndarray, size: int, indices: np.ndarray, values: np.ndarray,
+    lengths: np.ndarray,
+) -> bytes:
+    """Concatenated sparse-vector records (padded-COO input; only the first
+    lengths[i] entries of row i are encoded)."""
+    from ..native import loader as native
+
+    out = native.encode_sparse_batch(ids, size, indices, values, lengths)
+    if out is not None:
+        return out
+    buf = bytearray()
+    for i in range(len(ids)):
+        k = int(lengths[i])
+        buf += serialize_sparse_vector(
+            int(ids[i]), size, indices[i, :k], values[i, :k]
+        )
+    return bytes(buf)
+
+
+def deserialize_sparse_batch(
+    buf: bytes,
+) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (ids, size, indices [N, max_nnz], values [N, max_nnz],
+    lengths [N]) — padded-COO, ready for `vectors.SparseBatch`."""
+    from ..native import loader as native
+
+    out = native.decode_sparse_batch(buf)
+    if out is not None:
+        return out
+    ids: List[int] = []
+    rows = []
+    size = 0
+    offset = 0
+    while offset < len(buf):
+        (vid, size, idx, vals), offset = deserialize_sparse_vector(buf, offset)
+        ids.append(vid)
+        rows.append((idx, vals))
+    max_nnz = max((len(r[0]) for r in rows), default=0)
+    n = len(rows)
+    indices = np.zeros((n, max_nnz), np.int32)
+    values = np.zeros((n, max_nnz), np.float64)
+    lengths = np.zeros(n, np.int32)
+    for i, (idx, vals) in enumerate(rows):
+        indices[i, :len(idx)] = idx
+        values[i, :len(vals)] = vals
+        lengths[i] = len(idx)
+    return np.asarray(ids, np.int32), size, indices, values, lengths

@@ -59,3 +59,62 @@ def test_dense_vector_roundtrip():
     (vid, v2), off = S.deserialize_dense_vector(buf)
     assert vid == 3 and off == len(buf)
     np.testing.assert_allclose(v2, vals)
+
+
+def test_dense_batch_codec_matches_per_record():
+    """Native batch encoding must be byte-identical to the per-record
+    python codec, and decode must round-trip."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.storage.serializers import (
+        deserialize_dense_batch, serialize_dense_batch,
+        serialize_dense_vector,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d = 200, 24
+    ids = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+    values = rng.normal(size=(n, d))
+    batch = serialize_dense_batch(ids, values)
+    per_record = b"".join(
+        serialize_dense_vector(int(ids[i]), values[i]) for i in range(n)
+    )
+    assert batch == per_record
+    ids2, values2 = deserialize_dense_batch(batch)
+    np.testing.assert_array_equal(ids2, ids)
+    np.testing.assert_allclose(values2, values)
+
+
+def test_sparse_batch_codec_matches_per_record():
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu.storage.serializers import (
+        deserialize_sparse_batch, serialize_sparse_batch,
+        serialize_sparse_vector,
+    )
+
+    rng = np.random.default_rng(1)
+    n, dim, max_nnz = 150, 512, 12
+    ids = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+    lengths = rng.integers(1, max_nnz + 1, n).astype(np.int32)
+    indices = np.zeros((n, max_nnz), np.int32)
+    values = np.zeros((n, max_nnz), np.float64)
+    for i in range(n):
+        k = lengths[i]
+        indices[i, :k] = np.sort(rng.choice(dim, size=k, replace=False))
+        values[i, :k] = rng.normal(size=k)
+    batch = serialize_sparse_batch(ids, dim, indices, values, lengths)
+    per_record = b"".join(
+        serialize_sparse_vector(int(ids[i]), dim, indices[i, :lengths[i]],
+                                values[i, :lengths[i]])
+        for i in range(n)
+    )
+    assert batch == per_record
+    ids2, size2, idx2, val2, len2 = deserialize_sparse_batch(batch)
+    assert size2 == dim
+    np.testing.assert_array_equal(ids2, ids)
+    np.testing.assert_array_equal(len2, lengths)
+    for i in range(n):
+        k = lengths[i]
+        np.testing.assert_array_equal(idx2[i, :k], indices[i, :k])
+        np.testing.assert_allclose(val2[i, :k], values[i, :k])
