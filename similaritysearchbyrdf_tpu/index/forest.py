@@ -657,7 +657,7 @@ def _query_dense_coarse(
     m2 = min(max(refine, (k + 1) * l), m_cap)
 
     # top-m2 by coarse score; payload = (table, pos) packed when it fits
-    can_pack = l * (cap + 1) < 2**31
+    can_pack = l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES
     if can_pack:
         payload = table_slot * jnp.int32(cap + 1) + pos
         neg_s, payload_s = jax.lax.sort((-scores, payload), dimension=1,

@@ -249,7 +249,9 @@ def _query_sparse(
         l = state.tables.num_tables
         cap = state.tables.capacity
         m2 = min(max(coarse_refine, (k + 1) * l), m_cap)
-        if l * (cap + 1) < 2**31:
+        from .forest import _FORCE_UNPACKED_RANGES
+
+        if l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES:
             payload = table_slot * jnp.int32(cap + 1) + pos
             neg_s, payload_s = jax.lax.sort((-scores_c, payload),
                                             dimension=1, num_keys=1)

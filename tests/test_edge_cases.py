@@ -194,3 +194,34 @@ def test_huge_capacity_candidates_correct():
     np.testing.assert_array_equal(
         got[:tgt_len], np.arange(tgt_start, tgt_start + tgt_len))
     assert (got[tgt_len:] == -1).all()
+
+
+def test_coarse_unpacked_select_matches_packed():
+    """The coarse path's top-m2 select falls back to a multi-operand sort
+    at >=2^25-row capacities; both branches must answer identically."""
+    from similaritysearchbyrdf_tpu.index import forest as forest_mod
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=3, permutation_num=2, family_size=24,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=8, max_candidates=1024, top_k=6, seed=2,
+        coarse_dim=16, coarse_refine=128,
+    )
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(600, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(600, dtype=np.int32), x))
+    st = forest.state
+
+    args = (st, jnp.asarray(x[:8]), jnp.arange(8, dtype=jnp.int32),
+            forest.layout, 1, 1024, 6, True, True, 128)
+    a = forest_mod._query_dense_coarse(*args)
+    assert not forest_mod._FORCE_UNPACKED_RANGES
+    try:
+        forest_mod._FORCE_UNPACKED_RANGES = True
+        b = forest_mod._query_dense_coarse(*args)
+    finally:
+        forest_mod._FORCE_UNPACKED_RANGES = False
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
