@@ -208,27 +208,28 @@ def _build_coarse_tier(
         proj = np.pad(proj, ((0, 0), (0, cd_pad - proj.shape[1])))
     coarse_proj = jnp.asarray(proj)
     store_int8 = coarse_dtype == "int8"
+    return coarse_proj, _coarse_tier_build(
+        coarse_proj, corpus, sorted_ids, store_int8
+    )
 
-    @jax.jit
-    def build(cp, c, si):
-        low = c @ cp                                           # [Npad, Cd] f32
-        if store_int8:
-            scale = jnp.float32(127.0) / jnp.maximum(
-                jnp.max(jnp.abs(low)), 1e-20
-            )
-            low = jnp.clip(
-                jnp.round(low * scale), -127, 127
-            ).astype(jnp.int8)
-        else:
-            low = low.astype(jnp.bfloat16)
 
-        def per_table(si_t):
-            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
-            return jnp.where((si_t >= 0)[:, None], rows, 0)
+@functools.partial(jax.jit, static_argnames=("store_int8",))
+def _coarse_tier_build(cp, c, si, store_int8):
+    """Module-level jit (a closure-local jit would recompile on every
+    fit call — measured as a ~2x build-rate regression on the smoke
+    bench)."""
+    low = c @ cp                                               # [Npad, Cd] f32
+    if store_int8:
+        scale = jnp.float32(127.0) / jnp.maximum(jnp.max(jnp.abs(low)), 1e-20)
+        low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
+    else:
+        low = low.astype(jnp.bfloat16)
 
-        return jax.lax.map(per_table, si)                      # [L, Npad+P, Cd]
+    def per_table(si_t):
+        rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+        return jnp.where((si_t >= 0)[:, None], rows, 0)
 
-    return coarse_proj, build(coarse_proj, corpus, sorted_ids)
+    return jax.lax.map(per_table, si)                          # [L, Npad+P, Cd]
 
 
 # ---------------------------------------------------------------------------

@@ -181,36 +181,37 @@ def _build_sparse_coarse_tier(
         p = np.pad(p, ((0, 0), (0, cd_pad - p.shape[1])))
     coarse_proj = jnp.asarray(p)
     store_int8 = coarse_dtype == "int8"
-
-    @jax.jit
-    def project(cp, idx, val):
-        n = idx.shape[0]
-        nc = n // chunk
-
-        def one(args):
-            ic, vc = args
-            rows = jnp.take(cp, ic, axis=0)            # [chunk, NNZ, Cd]
-            return jnp.einsum("bnc,bn->bc", rows, vc)  # [chunk, Cd]
-
-        low = jax.lax.map(
-            one, (idx.reshape(nc, chunk, -1), val.reshape(nc, chunk, -1))
-        ).reshape(n, -1)
-        if store_int8:
-            scale = jnp.float32(127.0) / jnp.maximum(
-                jnp.max(jnp.abs(low)), 1e-20
-            )
-            low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
-        else:
-            low = low.astype(jnp.bfloat16)
-
-        def per_table(si_t):
-            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
-            return jnp.where((si_t >= 0)[:, None], rows, 0)
-
-        return low, jax.lax.map(per_table, sorted_ids)
-
-    _, cbt = project(coarse_proj, indices, values)
+    cbt = _sparse_coarse_build(
+        coarse_proj, indices, values, sorted_ids, chunk, store_int8
+    )
     return coarse_proj, cbt
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "store_int8"))
+def _sparse_coarse_build(cp, idx, val, sorted_ids, chunk, store_int8):
+    """Module-level jit (closure-local jits recompile on every fit)."""
+    n = idx.shape[0]
+    nc = n // chunk
+
+    def one(args):
+        ic, vc = args
+        rows = jnp.take(cp, ic, axis=0)            # [chunk, NNZ, Cd]
+        return jnp.einsum("bnc,bn->bc", rows, vc)  # [chunk, Cd]
+
+    low = jax.lax.map(
+        one, (idx.reshape(nc, chunk, -1), val.reshape(nc, chunk, -1))
+    ).reshape(n, -1)
+    if store_int8:
+        scale = jnp.float32(127.0) / jnp.maximum(jnp.max(jnp.abs(low)), 1e-20)
+        low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
+    else:
+        low = low.astype(jnp.bfloat16)
+
+    def per_table(si_t):
+        rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+        return jnp.where((si_t >= 0)[:, None], rows, 0)
+
+    return jax.lax.map(per_table, sorted_ids)
 
 
 def _query_sparse(
