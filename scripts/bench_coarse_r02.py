@@ -49,14 +49,15 @@ def main():
     qids = jnp.arange(NQ, dtype=jnp.int32)
 
     configs = [
-        dict(steps=0, chunk=128, coarse_refine=512),
-        dict(steps=0, chunk=256, coarse_refine=1024),
-        dict(steps=1, chunk=128, coarse_refine=1024),
-        dict(steps=1, chunk=128, coarse_refine=1024,
+        dict(steps=0, chunk=128, coarse_refine=512, m_cap=65536),
+        dict(steps=0, chunk=128, coarse_refine=1024, m_cap=65536),
+        dict(steps=1, chunk=128, coarse_refine=1024, m_cap=65536,
              probe_mode="margin", probe_budget=12),
+        dict(steps=1, chunk=128, coarse_refine=1024, m_cap=65536),
     ]
     for cfg in configs:
-        kw = dict(steps=cfg["steps"], m_cap=32768, k=10, multiprobe=True,
+        kw = dict(steps=cfg["steps"], m_cap=cfg["m_cap"], k=10,
+                  multiprobe=True,
                   exclude_self=True, chunk=cfg["chunk"],
                   coarse_refine=cfg["coarse_refine"],
                   probe_mode=cfg.get("probe_mode", "reference"),

@@ -61,7 +61,7 @@ def main():
             home = partition_of_hash(h, part_proj)
             if stage == "hash+part":
                 return h.sum() + home.sum()
-            base_b, table_b2, end_b, total, bs = F.gather_blocks(
+            base_b, table_b2, _sb, end_b, total, bs = F.gather_blocks(
                 tables, h, home, layout, 0, M_CAP, True)
             if stage == "blocks":
                 return base_b.sum() + table_b2.sum() + end_b.sum() + total.sum()

@@ -126,10 +126,10 @@ def composite_keys(
 
 
 # trailing columns of -1 appended to sorted_ids so fixed-width slice gathers
-# never run off the end (see forest._gather_id_blocks); must be >= 2x the
-# largest block size the flatten uses (the Pallas coarse kernel reads
-# 8-ALIGNED 2*bs-row windows, which can run bs past a block's end)
-ID_PAD = 16
+# never run off the end (see forest._gather_id_blocks); must be >= the
+# largest aligned WINDOW the coarse scoring reads (64-slot windows whose
+# 8-aligned start can sit up to 63 rows before the table's end)
+ID_PAD = 64
 
 
 @jax.tree_util.register_dataclass

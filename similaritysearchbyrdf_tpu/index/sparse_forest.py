@@ -240,29 +240,38 @@ def _query_sparse(
     if state.coarse_by_table is not None:
         from .forest import _coarse_block_scores, gather_blocks
 
-        base_b, table_b2, end_b, total, bs_block = gather_blocks(
-            state.tables, h, home, layout, steps, m_cap, multiprobe
+        win = 64 if m_cap % 64 == 0 and m_cap >= 4096 else 0
+        base_b, table_b2, start_b, end_b, total, bs_block = gather_blocks(
+            state.tables, h, home, layout, steps, m_cap, multiprobe,
+            window=win,
         )
         scores_c, pos, table_slot = _coarse_block_scores(
             state.coarse_by_table, state.coarse_proj, q_dense,
-            base_b, table_b2, end_b, bs_block,
+            base_b, table_b2, end_b, bs_block, start_b=start_b,
         )
         l = state.tables.num_tables
         cap = state.tables.capacity
         m2 = min(max(coarse_refine, (k + 1) * l), m_cap)
         from .forest import _FORCE_UNPACKED_RANGES
 
-        if l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES:
+        if m2 * 8 <= scores_c.shape[1]:
+            vals, idxs = jax.lax.approx_max_k(scores_c, m2,
+                                              recall_target=0.98)
+            t2 = jnp.take_along_axis(table_slot, idxs, axis=1)
+            p2 = jnp.take_along_axis(pos, idxs, axis=1)
+            sel_valid = jnp.isfinite(vals)
+        elif l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES:
             payload = table_slot * jnp.int32(cap + 1) + pos
             neg_s, payload_s = jax.lax.sort((-scores_c, payload),
                                             dimension=1, num_keys=1)
             t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
             p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
+            sel_valid = jnp.isfinite(-neg_s[:, :m2])
         else:
             neg_s, t_s, p_s = jax.lax.sort((-scores_c, table_slot, pos),
                                            dimension=1, num_keys=1)
             t2, p2 = t_s[:, :m2], p_s[:, :m2]
-        sel_valid = jnp.isfinite(-neg_s[:, :m2])
+            sel_valid = jnp.isfinite(-neg_s[:, :m2])
         cand = state.tables.sorted_ids[
             jnp.clip(t2, 0, l - 1), jnp.clip(p2, 0, cap - 1)
         ]

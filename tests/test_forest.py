@@ -225,3 +225,32 @@ def test_coarse_tier_small_refine_recall():
         hits += len(set(ids_a[i][ids_a[i] >= 0].tolist())
                     & set(ids_b[i][ids_b[i] >= 0].tolist()))
     assert hits / max((ids_a >= 0).sum(), 1) > 0.95
+
+
+def test_coarse_window_mode_matches_reference_path():
+    """m_cap >= 4096 triggers the aligned-window flatten; with exhaustive
+    refine it must still match the classic scoring path id-for-id (window
+    head/tail rows masked correctly)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=4096, top_k=8, seed=19,
+    )
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 700)] + 0.1 * rng.normal(size=(700, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(700, dtype=np.int32), x)
+
+    ref = RDFForest(RDFConfig(**base)).fit(batch)
+    co = RDFForest(RDFConfig(**base, coarse_dim=24,
+                             coarse_refine=4096)).fit(batch)
+    ids_a, sc_a = ref.query(x[:16], steps=1, query_ids=np.arange(16))
+    ids_b, sc_b = co.query(x[:16], steps=1, query_ids=np.arange(16))
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
