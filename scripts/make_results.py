@@ -135,11 +135,13 @@ def main():
         vector_dim=100, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32,
                                                 bucket_overflow=500),
-        query_batch_size=128, max_candidates=32768, top_k=10,
+        # m_cap=65536 + auto aligned-window mode: the Pallas DMA coarse
+        # gather runs at ~94 GB/s and windows eliminate flatten truncation
+        query_batch_size=128, max_candidates=65536, top_k=10,
         coarse_dim=100, coarse_dtype="int8", coarse_refine=1024, seed=31258,
     )
     curve("1p2m", 1_200_000, 100, 20_000, 0.05, conf_12m, [
-        {"steps": 0, "probe_mode": "margin", "probe_budget": 8},
+        {"steps": 0, "coarse_refine": 512},
         {"steps": 0},
         {"steps": 1},
         {"steps": 1, "probe_mode": "margin", "probe_budget": 12},

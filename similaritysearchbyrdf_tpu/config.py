@@ -153,6 +153,11 @@ class RDFConfig:
     #                                       full-dim (no projection loss)
     coarse_dtype: str = "int8"            # int8 | bfloat16 storage
     coarse_refine: int = 2048             # exact-rescore width
+    # aligned-window flatten for the coarse gather: -1 auto (64-slot
+    # windows when max_candidates >= 32768 — the regime where the Pallas
+    # DMA gather's bandwidth win beats the per-range window round-up),
+    # 0 force block mode, >0 explicit window size in slots
+    coarse_window: int = -1
 
     # --- reproducibility ---
     seed: int = 31258                     # mclab.lsh.seed1

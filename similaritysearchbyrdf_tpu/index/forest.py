@@ -716,6 +716,7 @@ def _query_dense_coarse(
     probes: Optional[jax.Array] = None,
     probe_valid: Optional[jax.Array] = None,
     h: Optional[jax.Array] = None,
+    window: int = -1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query via the table-ordered coarse tier: block-contiguous coarse
     scoring of ALL candidates, then exact full-precision re-scoring of the
@@ -724,9 +725,17 @@ def _query_dense_coarse(
     if h is None:
         h = hash_dense(state.model, queries)
     home = partition_of_hash(h, state.part_proj)
-    # aligned-window flatten: DMA-friendly 64-slot windows (slot budget
-    # inflates by the per-range round-up; m_cap counts SLOTS)
-    win = 64 if m_cap % 64 == 0 and m_cap >= 4096 else 0
+    # aligned-window flatten: DMA-friendly 64-slot windows. Each nonempty
+    # bucket range rounds its slot allocation up to a whole window, so the
+    # mode only pays off when m_cap dwarfs the probe-range count (measured
+    # crossover on v5e: the 1.2M config at m_cap=65536 gains 25-45%; the
+    # 20k smoke config at m_cap=4096 loses 4 recall points to window
+    # round-up truncation). window: -1 = auto threshold, 0 = block mode,
+    # >0 = explicit window size (slots; multiple of 8).
+    if window < 0:
+        win = 64 if m_cap % 64 == 0 and m_cap >= 32768 else 0
+    else:
+        win = window if (window and m_cap % window == 0) else 0
     base_b, table_b2, start_b, end_b, total, bs_block = gather_blocks(
         state.tables, h, home, layout, steps, m_cap, multiprobe,
         probes=probes, probe_valid=probe_valid, window=win,
@@ -798,6 +807,7 @@ def _query_dense(
     probe_mode: str = "reference",
     probe_budget: int = 8,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
@@ -822,6 +832,7 @@ def _query_dense(
             state, queries, query_ids, layout, steps, m_cap, k,
             multiprobe, exclude_self, refine=coarse_refine,
             probes=probes, probe_valid=probe_valid, h=h,
+            window=coarse_window,
         )
     home = partition_of_hash(h, state.part_proj)                # [B, L] i32
     cand, total = gather_candidates(
@@ -850,7 +861,7 @@ query_dense = jax.jit(
     _query_dense,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
-        "probe_mode", "probe_budget", "coarse_refine",
+        "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
     ),
 )
 
@@ -859,7 +870,7 @@ query_dense = jax.jit(
     jax.jit,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
-        "probe_mode", "probe_budget", "coarse_refine",
+        "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
     ),
 )
 def query_dense_many(
@@ -876,6 +887,7 @@ def query_dense_many(
     probe_mode: str = "reference",
     probe_budget: int = 8,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -890,7 +902,7 @@ def query_dense_many(
             state, qs, qi, layout, steps=steps, m_cap=m_cap, k=k,
             multiprobe=multiprobe, exclude_self=exclude_self,
             probe_mode=probe_mode, probe_budget=probe_budget,
-            coarse_refine=coarse_refine,
+            coarse_refine=coarse_refine, coarse_window=coarse_window,
         )
 
     ids, scores, total = jax.lax.map(
@@ -959,9 +971,13 @@ class RDFForest:
         multiprobe: bool = True,
         probe_mode: str = "reference",
         probe_budget: int = 8,
+        coarse_refine: Optional[int] = None,
+        m_cap: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
-        Returns (ids [Q,k], scores [Q,k])."""
+        Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap default to
+        the config's coarse_refine / max_candidates (per-call overrides let
+        operating-point sweeps reuse one fitted forest)."""
         assert self.state is not None, "need to fit the data first"
         k = k or self.conf.top_k
         queries = np.asarray(queries, dtype=np.float32)
@@ -979,10 +995,11 @@ class RDFForest:
         id_d = jnp.asarray(np.pad(qids, (0, nb * bs - q), constant_values=-1))
         ids, scores, _ = query_dense_many(
             self.state, qd, id_d, self.layout,
-            steps=steps, m_cap=self.conf.max_candidates, k=k,
+            steps=steps, m_cap=m_cap or self.conf.max_candidates, k=k,
             multiprobe=multiprobe, exclude_self=exclude, chunk=bs,
             probe_mode=probe_mode, probe_budget=probe_budget,
-            coarse_refine=self.conf.coarse_refine,
+            coarse_refine=coarse_refine or self.conf.coarse_refine,
+            coarse_window=self.conf.coarse_window,
         )
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
 

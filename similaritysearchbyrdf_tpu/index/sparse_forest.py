@@ -227,6 +227,7 @@ def _query_sparse(
     multiprobe: bool = False,    # the reference's sparse path has no probes
     exclude_self: bool = True,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     h = _hash_batch(state.model, q_indices, q_values, dim)
     home = partition_of_hash(h, state.part_proj)
@@ -240,7 +241,14 @@ def _query_sparse(
     if state.coarse_by_table is not None:
         from .forest import _coarse_block_scores, gather_blocks
 
-        win = 64 if m_cap % 64 == 0 and m_cap >= 4096 else 0
+        if coarse_window < 0:
+            win = 64 if m_cap % 64 == 0 and m_cap >= 32768 else 0
+        else:
+            win = (
+                coarse_window
+                if (coarse_window and m_cap % coarse_window == 0)
+                else 0
+            )
         base_b, table_b2, start_b, end_b, total, bs_block = gather_blocks(
             state.tables, h, home, layout, steps, m_cap, multiprobe,
             window=win,
@@ -295,7 +303,7 @@ query_sparse = jax.jit(
     _query_sparse,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self",
-        "coarse_refine",
+        "coarse_refine", "coarse_window",
     ),
 )
 
@@ -304,7 +312,7 @@ query_sparse = jax.jit(
     jax.jit,
     static_argnames=(
         "layout", "steps", "m_cap", "k", "dim", "multiprobe", "exclude_self",
-        "chunk", "coarse_refine",
+        "chunk", "coarse_refine", "coarse_window",
     ),
 )
 def query_sparse_many(
@@ -321,6 +329,7 @@ def query_sparse_many(
     exclude_self: bool = True,
     chunk: int = 256,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set sparse search in one device program (lax.map over
     chunks — see `query_dense_many`)."""
@@ -332,7 +341,7 @@ def query_sparse_many(
         return _query_sparse(
             state, qi, qv, qid, layout, dim, steps=steps, m_cap=m_cap, k=k,
             multiprobe=multiprobe, exclude_self=exclude_self,
-            coarse_refine=coarse_refine,
+            coarse_refine=coarse_refine, coarse_window=coarse_window,
         )
 
     ids, scores, total = jax.lax.map(
@@ -396,6 +405,7 @@ class SparseRDFForest:
             steps=steps, m_cap=self.conf.max_candidates, k=k,
             exclude_self=exclude, chunk=bs,
             coarse_refine=self.conf.coarse_refine,
+            coarse_window=self.conf.coarse_window,
         )
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
 

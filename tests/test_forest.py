@@ -228,7 +228,7 @@ def test_coarse_tier_small_refine_recall():
 
 
 def test_coarse_window_mode_matches_reference_path():
-    """m_cap >= 4096 triggers the aligned-window flatten; with exhaustive
+    """coarse_window forces the aligned-window flatten; with exhaustive
     refine it must still match the classic scoring path id-for-id (window
     head/tail rows masked correctly)."""
     from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
@@ -248,8 +248,8 @@ def test_coarse_window_mode_matches_reference_path():
     batch = DenseBatch(np.arange(700, dtype=np.int32), x)
 
     ref = RDFForest(RDFConfig(**base)).fit(batch)
-    co = RDFForest(RDFConfig(**base, coarse_dim=24,
-                             coarse_refine=4096)).fit(batch)
+    co = RDFForest(RDFConfig(**base, coarse_dim=24, coarse_refine=4096,
+                             coarse_window=64)).fit(batch)
     ids_a, sc_a = ref.query(x[:16], steps=1, query_ids=np.arange(16))
     ids_b, sc_b = co.query(x[:16], steps=1, query_ids=np.arange(16))
     np.testing.assert_array_equal(ids_a, ids_b)
