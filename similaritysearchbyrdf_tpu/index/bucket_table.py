@@ -45,6 +45,13 @@ import numpy as np
 from ..config import RDFConfig, TableConfig
 
 
+# Test hook: force the table-serial depth computation that Deep-scale row
+# counts take (l*n >= 64M), so its parity with the vectorized path can be
+# asserted on small corpora (tests/test_bucket_table.py). Read at trace
+# time — flip it before the first build of a given shape.
+_FORCE_SERIAL_DEPTHS = False
+
+
 # ---------------------------------------------------------------------------
 # Key layout
 # ---------------------------------------------------------------------------
@@ -191,6 +198,49 @@ class BucketTables:
 # ---------------------------------------------------------------------------
 
 
+def _depths_progressive(
+    sorted_keys: jax.Array,  # u32[L, N] ascending per table
+    layout: KeyLayout,
+    overflow: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Each element's leaf-bucket (start, prefix shift) by the overflow rule:
+    the SMALLEST depth whose prefix population <= overflow wins, capped at
+    the deepest level (level 0 in the reference: splits stop at level >= 1,
+    `putInner:1719`). Selection runs progressively per depth — first fit
+    wins — so peak memory is a few [L, N] temporaries, never [L, N, D]
+    (which at Deep-scale row counts is tens of GB)."""
+    l, n = sorted_keys.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    done = jnp.zeros((l, n), dtype=bool)
+    elem_start = jnp.zeros((l, n), dtype=jnp.int32)
+    elem_shift = jnp.zeros((l, n), dtype=jnp.uint32)
+    for d in range(layout.num_levels):
+        s = layout.depth_shift(d)
+        pref = sorted_keys >> jnp.uint32(s)
+        # each element's prefix-group bounds come from run boundaries of the
+        # (already sorted) keys — pure prefix scans, no binary searches
+        # (this is what makes the build O(N) per depth on the VPU)
+        bm = jnp.concatenate(
+            [jnp.ones((l, 1), dtype=bool), pref[:, 1:] != pref[:, :-1]],
+            axis=1,
+        )
+        lo = jax.lax.cummax(jnp.where(bm, idx, 0), axis=1)
+        nxt = jnp.where(bm, idx, n)
+        suffix_min = jnp.flip(
+            jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1
+        )
+        hi = jnp.concatenate(
+            [suffix_min[:, 1:], jnp.full((l, 1), n, jnp.int32)], axis=1
+        )
+        fit = ((hi - lo) <= jnp.int32(overflow)) & ~done
+        if d == layout.num_levels - 1:
+            fit |= ~done                  # deepest level takes the leftovers
+        elem_start = jnp.where(fit, lo, elem_start)
+        elem_shift = jnp.where(fit, jnp.uint32(s), elem_shift)
+        done |= fit
+    return elem_start, elem_shift
+
+
 @functools.partial(jax.jit, static_argnames=("layout", "overflow"))
 def _sort_and_depths(
     keys: jax.Array,  # u32[L, Npad] composite keys (pad rows = 0xFFFFFFFF)
@@ -200,49 +250,21 @@ def _sort_and_depths(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort each table and compute each element's leaf-bucket start and
     prefix shift via the overflow rule. Returns (sorted_keys, sorted_ids,
-    elem_bucket_start, elem_shift, start_mask is derivable)."""
+    elem_bucket_start, elem_shift)."""
     sorted_keys, sorted_ids = jax.lax.sort((keys, ids), dimension=1, num_keys=1)
-
-    n = sorted_keys.shape[1]
-    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-    depth_lo = []
-    depth_hi = []
-    for d in range(layout.num_levels):
-        s = layout.depth_shift(d)
-        pref = sorted_keys >> jnp.uint32(s)
-        # each element's prefix-group bounds come from run boundaries of the
-        # (already sorted) keys — pure prefix scans, no binary searches
-        # (this is what makes the build O(N) per depth on the VPU)
-        bm = jnp.concatenate(
-            [
-                jnp.ones((pref.shape[0], 1), dtype=bool),
-                pref[:, 1:] != pref[:, :-1],
-            ],
-            axis=1,
+    l, n = sorted_keys.shape
+    if l * n >= 64_000_000 or _FORCE_SERIAL_DEPTHS:
+        # Deep-scale tables: bound peak memory to a single table's scans
+        # (the vectorized path's [L, N] temporaries would add several GB on
+        # top of the corpus at >=8M rows x 30 tables)
+        es, sh = jax.lax.map(
+            lambda sk: tuple(
+                a[0] for a in _depths_progressive(sk[None, :], layout, overflow)
+            ),
+            sorted_keys,
         )
-        lo = jax.lax.cummax(jnp.where(bm, idx, 0), axis=1)
-        nxt = jnp.where(bm, idx, n)
-        suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
-        hi = jnp.concatenate(
-            [suffix_min[:, 1:], jnp.full((pref.shape[0], 1), n, jnp.int32)], axis=1
-        )
-        depth_lo.append(lo)
-        depth_hi.append(hi)
-    lo_all = jnp.stack(depth_lo, axis=-1).astype(jnp.int32)   # [L, N, D]
-    hi_all = jnp.stack(depth_hi, axis=-1).astype(jnp.int32)
-    counts = hi_all - lo_all
-
-    fits = counts <= jnp.int32(overflow)                       # [L, N, D]
-    # smallest depth whose population fits; cap at the deepest level
-    # (level 0 in the reference: splits stop at level >= 1, `:1719`)
-    first_fit = jnp.argmax(fits, axis=-1)
-    depth = jnp.where(jnp.any(fits, axis=-1), first_fit, layout.num_levels - 1)
-
-    elem_start = jnp.take_along_axis(lo_all, depth[..., None], axis=-1)[..., 0]
-    shifts = jnp.asarray(
-        [layout.depth_shift(d) for d in range(layout.num_levels)], dtype=jnp.uint32
-    )
-    elem_shift = shifts[depth]
+        return sorted_keys, sorted_ids, es, sh
+    elem_start, elem_shift = _depths_progressive(sorted_keys, layout, overflow)
     return sorted_keys, sorted_ids, elem_start, elem_shift
 
 

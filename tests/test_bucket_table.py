@@ -127,3 +127,29 @@ def test_buckets_cover_all_elements():
         starts = bstarts[t, real]
         assert starts[0] == 0
         assert (np.diff(starts) > 0).all()
+
+
+def test_serial_depths_matches_vectorized():
+    """The table-serial depth path (taken when l*n >= 64M, the Deep-scale
+    regime) must produce bit-identical bucket tables to the vectorized
+    path."""
+    import jax
+
+    from similaritysearchbyrdf_tpu.index import bucket_table as bt
+
+    lay, keys, ids, tables, overflow = _build_random(n=1500, l=3, seed=9)
+    bt._FORCE_SERIAL_DEPTHS = True
+    jax.clear_caches()   # _sort_and_depths is jitted; force a re-trace
+    try:
+        tables_s = build_tables(
+            jnp.asarray(keys), jnp.asarray(ids), lay, overflow
+        )
+    finally:
+        bt._FORCE_SERIAL_DEPTHS = False
+        jax.clear_caches()
+    for field in ("sorted_keys", "sorted_ids", "bucket_keys",
+                  "bucket_starts", "bucket_shifts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tables, field)),
+            np.asarray(getattr(tables_s, field)),
+        )
