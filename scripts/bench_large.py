@@ -38,9 +38,10 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
         partition_bits=3, lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
         # large corpora produce tens of thousands of candidates per query
         # (the reference walks them all); the table-ordered int8 coarse tier
-        # scores them at one gather index per 8-row block, then exactly
-        # re-scores the top `coarse_refine`
-        query_batch_size=128, max_candidates=32768, top_k=max(ks),
+        # scores them at one DMA slice per 64-slot aligned window
+        # (m_cap >= 32768 enables window mode + the Pallas coarse gather),
+        # then exactly re-scores the top `coarse_refine`
+        query_batch_size=128, max_candidates=65536, top_k=max(ks),
         coarse_dim=d, coarse_dtype="int8", coarse_refine=1024,
     )
     x = clustered(n, d, n_clusters, noise)
@@ -69,10 +70,16 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
         for mode, budget in modes:
             kw = dict(steps=steps, query_ids=ids[:n_query],
                       probe_mode=mode, probe_budget=budget or 8)
-            forest.query(queries, **kw)  # compile with the exact timed shapes
+            # compile+warm, then average 3 steady-state calls (each call
+            # still blocks on its np outputs; at 1000-query batches the
+            # ~34 ms dispatch round trip is <10% — recall_time_curve has
+            # the fully pipelined variant)
+            forest.query(queries, **kw)
             t0 = time.perf_counter()
-            got, _ = forest.query(queries, **kw)
-            dt = time.perf_counter() - t0
+            reps = 3
+            for _ in range(reps):
+                got, _ = forest.query(queries, **kw)
+            dt = (time.perf_counter() - t0) / reps
             line = {"bench": name, "steps": steps, "mode": mode,
                     "qps": round(n_query / dt, 1)}
             for k in ks:

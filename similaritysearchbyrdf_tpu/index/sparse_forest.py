@@ -291,9 +291,9 @@ def _query_sparse(
     if exclude_self:
         cand = _exclude_self(cand, state.row_ids, query_ids)
 
-    rows_out, scores = rerank_ops.rerank_sparse(
-        state.corpus_indices, state.corpus_values, cand, q_dense, k,
-        dup_bound=h.shape[1],
+    rows_out, scores = rerank_ops.rerank_sparse_merge(
+        state.corpus_indices, state.corpus_values, cand,
+        q_indices, q_values, k, dup_bound=h.shape[1],
     )
     ids = jnp.where(rows_out >= 0, state.row_ids[jnp.maximum(rows_out, 0)], -1)
     return ids, scores, total

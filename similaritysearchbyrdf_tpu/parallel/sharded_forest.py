@@ -655,13 +655,10 @@ def _local_sparse_query(
     if exclude_self:
         cand = _exclude_self(cand, row_ids, query_ids)
 
-    b, nnzq = q_indices.shape
-    q_dense = jnp.zeros((b, dim), dtype=jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, nnzq))
-    q_dense = q_dense.at[rows, q_indices].add(q_values)
-    rows_out, scores = rerank_ops.rerank_sparse(
-        state.corpus_indices[0], state.corpus_values[0], cand, q_dense, k,
-        dup_bound=h.shape[1],
+    b = q_indices.shape[0]
+    rows_out, scores = rerank_ops.rerank_sparse_merge(
+        state.corpus_indices[0], state.corpus_values[0], cand,
+        q_indices, q_values, k, dup_bound=h.shape[1],
     )
     ids = jnp.where(rows_out >= 0, row_ids[jnp.maximum(rows_out, 0)], -1)
 

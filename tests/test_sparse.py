@@ -153,3 +153,46 @@ def test_sparse_coarse_tier_exhaustive_matches_classic():
     b, sb = co.query(qb, steps=1, query_ids=np.arange(16))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
+def test_rerank_sparse_merge_matches_gather():
+    """The sort-merge re-rank must score identically to the gather
+    formulation (same dots, different op shape), including padded and
+    zero-valued entries."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops import rerank as rr
+
+    rng = np.random.default_rng(3)
+    n, nnz, dim, b, m, nnzq, k = 50, 6, 64, 4, 16, 5, 5
+    c_idx = np.stack([
+        np.sort(rng.choice(dim, size=nnz, replace=False)) for _ in range(n)
+    ]).astype(np.int32)
+    c_val = rng.normal(size=(n, nnz)).astype(np.float32)
+    # padding rows: trailing entries idx 0 / val 0 (the SparseBatch layout)
+    c_idx[:, -2:] = 0
+    c_val[:, -2:] = 0.0
+    c_val[5, 1] = 0.0                       # a real zero value
+    q_idx = np.stack([
+        np.sort(rng.choice(dim, size=nnzq, replace=False)) for _ in range(b)
+    ]).astype(np.int32)
+    q_val = rng.normal(size=(b, nnzq)).astype(np.float32)
+    q_idx[:, -1] = 0
+    q_val[:, -1] = 0.0
+    cand = rng.integers(-1, n, size=(b, m)).astype(np.int32)
+
+    q_dense = np.zeros((b, dim), dtype=np.float32)
+    for i in range(b):
+        for j in range(nnzq):
+            q_dense[i, q_idx[i, j]] += q_val[i, j]
+    ids_a, sc_a = rr.rerank_sparse(
+        jnp.asarray(c_idx), jnp.asarray(c_val), jnp.asarray(cand),
+        jnp.asarray(q_dense), k,
+    )
+    ids_b, sc_b = rr.rerank_sparse_merge(
+        jnp.asarray(c_idx), jnp.asarray(c_val), jnp.asarray(cand),
+        jnp.asarray(q_idx), jnp.asarray(q_val), k,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                               rtol=1e-5, atol=1e-6)
