@@ -43,6 +43,10 @@ def main():
     from similaritysearchbyrdf_tpu.vectors import DenseBatch
 
     N, D, B, M_CAP = 1_200_000, 100, 64, 32768
+    if len(sys.argv) > 1:              # e.g. bisect_query.py 8000000 96
+        N = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        D = int(sys.argv[2])
     conf = RDFConfig(
         vector_dim=D, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
