@@ -94,6 +94,12 @@ def main():
             length = jnp.where(valid_r, length, 0)
             if stage == "lookup":
                 return start.sum() + length.sum()
+            if stage == "ranges":
+                base_b, table_b2, _, end_b, total, _bs = F.gather_blocks(
+                    tables, h, home, layout, 0, M_CAP, True
+                )
+                return (base_b.sum() + table_b2.sum() + end_b.sum()
+                        + total.sum())
             cand, total = F.gather_candidates(tables, h, home, layout, 0,
                                               M_CAP, True)
             if stage == "flatten":
@@ -114,8 +120,8 @@ def main():
 
     prev = 0.0
     outd = {}
-    for stage in ("hash", "part", "lookup", "flatten", "coarse", "select",
-                  "full"):
+    for stage in ("hash", "part", "lookup", "ranges", "flatten", "coarse",
+                  "select", "full"):
         fn = upto(stage)
         t = timeit(fn, state.tables, state.corpus_lp, state.corpus,
                    state.row_ids, state.model, state.part_proj, q, qids)

@@ -403,11 +403,17 @@ def lookup_ranges(
     if tables.records is not None:
 
         def per_table_fast(bk, rec, q):
-            # merge-sort-based rank (no per-step gathers: TPU sorts are
-            # VPU-wide, gathers cost per element), then ONE packed 16-byte
-            # record gather per probe
+            # rank probes against bucket boundaries. Merge-based rank (one
+            # VPU-wide sort of [NB + Q]) wins while the bucket array is
+            # within ~16x of the probe count; at Deep-scale bucket counts
+            # (>=150k/table at 8M rows) the sort's NB term dominates and
+            # log2(NB) binary-search gathers are cheaper (measured: lookup
+            # 52 ms -> ~10 ms per 64-chunk at 8M x 96d).
+            method = "sort" if bk.shape[0] <= 16 * q.shape[0] else "scan"
             b_idx = (
-                jnp.searchsorted(bk, q, side="right", method="sort").astype(jnp.int32)
+                jnp.searchsorted(
+                    bk, q, side="right", method=method
+                ).astype(jnp.int32)
                 - 1
             )
             r4 = rec[jnp.maximum(b_idx, 0)]             # [Q, 4] packed

@@ -664,8 +664,14 @@ def _coarse_block_scores(
     if use_pallas:
         from ..ops.pallas.coarse_gather import pallas_coarse_scores_aligned
 
+        # a window is live iff any of its positions can pass the validity
+        # mask below — dead windows (flatten padding past the query's last
+        # range) skip their DMA entirely (issue cost is the kernel's wall)
+        live = blk_start < end_b
+        if start_b is not None:
+            live &= (blk_start + bs_block) > start_b
         scores = pallas_coarse_scores_aligned(
-            coarse_by_table, q_low, table_b2, blk_start, bs_block
+            coarse_by_table, q_low, table_b2, blk_start, bs_block, live=live
         )                                                      # [B, MB, bs]
     else:
         idx = jnp.stack(

@@ -138,25 +138,38 @@ def _kernel_aligned(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *,
                     grp, win, cd):
     """Aligned-window variant: block starts are 8-aligned by construction
     (the window flatten), so each window is ONE exact DMA — no shift
-    select. Measured ~125 GB/s at 64-row windows (vs ~13 GB/s XLA gather)."""
+    select. Measured ~125 GB/s at 64-row windows (vs ~13 GB/s XLA gather).
+
+    Windows with no live rows (flatten padding past a query's last range;
+    s8 < 0 sentinel from the caller) issue NO copy — per-DMA issue cost is
+    the wall at these shapes (~60 ns each on the scalar core), and a
+    typical query only fills ~60% of the slot budget. Their scratch rows
+    are stale; the caller masks those scores by position validity."""
     def issue(g, _):
-        t = idx_ref[0, g, 0]
         s8 = idx_ref[0, g, 1]
-        pltpu.make_async_copy(
-            cbt_ref.at[t, pl.ds(s8 * 8, win), :],
-            scratch.at[g],
-            sems.at[g % _NSEM],
-        ).start()
+
+        @pl.when(s8 >= 0)
+        def _():
+            t = idx_ref[0, g, 0]
+            pltpu.make_async_copy(
+                cbt_ref.at[t, pl.ds(s8 * 8, win), :],
+                scratch.at[g],
+                sems.at[g % _NSEM],
+            ).start()
+
         return 0
 
     jax.lax.fori_loop(0, grp, issue, 0)
 
     def drain(g, _):
-        pltpu.make_async_copy(
-            cbt_ref.at[0, pl.ds(0, win), :],
-            scratch.at[g],
-            sems.at[g % _NSEM],
-        ).wait()
+        @pl.when(idx_ref[0, g, 1] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                cbt_ref.at[0, pl.ds(0, win), :],
+                scratch.at[g],
+                sems.at[g % _NSEM],
+            ).wait()
+
         return 0
 
     jax.lax.fori_loop(0, grp, drain, 0)
@@ -187,14 +200,19 @@ def pallas_coarse_scores_aligned(
     blk_start: jax.Array,         # i32[B, MB]; 8-ALIGNED by construction
     win: int,
     grp: int = 64,
+    live: "jax.Array | None" = None,   # bool[B, MB] window has live rows
 ) -> jax.Array:
-    """Coarse scores f32[B, MB, win] for aligned windows (window flatten)."""
+    """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
+    Windows marked dead in `live` are neither copied nor scored validly —
+    the caller must mask their scores (it already does, by position)."""
     l, caprows, cd = coarse_by_table.shape
     b, mb_cap = table_b2.shape
     grp = min(grp, mb_cap)
     while mb_cap % grp:
         grp //= 2
     start = jnp.clip(blk_start, 0, caprows - win) >> 3
+    if live is not None:
+        start = jnp.where(live, start, -1)                 # skip-DMA sentinel
     idx = jnp.stack(
         [jnp.clip(table_b2, 0, l - 1), start], axis=-1
     ).astype(jnp.int32)                                    # [B, MB, 2]
