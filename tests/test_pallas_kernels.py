@@ -77,3 +77,70 @@ def test_use_pallas_hash_config_end_to_end():
     b, sb = pal.query(x[:8], steps=1, query_ids=np.arange(8))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_allclose(sa, sb, rtol=1e-6)
+
+
+def _interpret_pallas(monkeypatch, module):
+    """Route a module's pl.pallas_call through interpret mode (CPU)."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(module.pl, "pallas_call", patched)
+
+
+def test_pallas_coarse_aligned_matches_reference(monkeypatch):
+    """Aligned-window DMA kernel vs a numpy gather+dot reference, including
+    the dead-window skip: windows masked dead in `live` issue no copy, and
+    every LIVE window's scores must still be exact (the on-chip half of this
+    contract is scripts/check_pallas_coarse.py)."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(0)
+    l, cap, cd, b, mb_cap, win = 3, 256, 64, 4, 8, 16
+    cbt = rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+    q = rng.normal(size=(b, cd)).astype(np.float32)
+    tb = rng.integers(0, l, size=(b, mb_cap)).astype(np.int32)
+    bs = (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+        np.int32
+    )
+    live = rng.random(size=(b, mb_cap)) > 0.4
+    out = np.asarray(
+        cg.pallas_coarse_scores_aligned(
+            jnp.asarray(cbt), jnp.asarray(q), jnp.asarray(tb),
+            jnp.asarray(bs), win, live=jnp.asarray(live),
+        )
+    )
+    qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32))
+    rows = cbt[tb[:, :, None], bs[:, :, None] + np.arange(win)[None, None, :]]
+    ref = np.einsum("bmwc,bc->bmw", rows.astype(np.float32), qb)
+    np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
+
+
+def test_pallas_coarse_unaligned_matches_reference(monkeypatch):
+    """Shift-select (unaligned block) kernel vs numpy gather+dot."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(1)
+    l, cap, cd, b, mb_cap, bs_block = 2, 128, 32, 3, 8, 8
+    cbt = rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+    q = rng.normal(size=(b, cd)).astype(np.float32)
+    tb = rng.integers(0, l, size=(b, mb_cap)).astype(np.int32)
+    st = rng.integers(0, cap - 2 * bs_block, size=(b, mb_cap)).astype(np.int32)
+    out = np.asarray(
+        cg.pallas_coarse_scores(
+            jnp.asarray(cbt), jnp.asarray(q), jnp.asarray(tb),
+            jnp.asarray(st), bs_block, grp=8,
+        )
+    )
+    qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32))
+    rows = cbt[
+        tb[:, :, None], st[:, :, None] + np.arange(bs_block)[None, None, :]
+    ]
+    ref = np.einsum("bmwc,bc->bmw", rows.astype(np.float32), qb)
+    np.testing.assert_allclose(out, ref, atol=1e-3)
