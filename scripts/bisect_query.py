@@ -100,6 +100,28 @@ def main():
                 )
                 return (base_b.sum() + table_b2.sum() + end_b.sum()
                         + total.sum())
+            if stage in ("flatten_nogather", "flatten_bar"):
+                # gather_candidates body with the id gather isolated:
+                # localize whether the in-context slowdown is the gather op
+                # itself or its fusion with the flatten producers
+                base_b, table_b2, _, end_b, total, bs = F.gather_blocks(
+                    tables, h, home, layout, 0, M_CAP, True
+                )
+                mb_cap = M_CAP // bs
+                mb = jnp.arange(mb_cap, dtype=jnp.int32)
+                jj = jnp.arange(bs, dtype=jnp.int32)
+                pos = (base_b[:, :, None] + (mb * bs)[None, :, None]
+                       + jj[None, None, :]).reshape(h.shape[0], M_CAP)
+                slot_end = jnp.repeat(end_b, bs, axis=1)
+                if stage == "flatten_bar":
+                    base_b, table_b2 = jax.lax.optimization_barrier(
+                        (base_b, table_b2))
+                    cand = F._gather_id_blocks(
+                        tables.sorted_ids, base_b, table_b2, bs)
+                else:
+                    cand = pos * 3 + table_b2.repeat(bs, axis=1)
+                cand = jnp.where((pos < slot_end) & (cand >= 0), cand, -1)
+                return cand.sum() + total.sum()
             cand, total = F.gather_candidates(tables, h, home, layout, 0,
                                               M_CAP, True)
             if stage == "flatten":
@@ -120,8 +142,12 @@ def main():
 
     prev = 0.0
     outd = {}
-    for stage in ("hash", "part", "lookup", "ranges", "flatten", "coarse",
-                  "select", "full"):
+    import os
+    stages = ("hash", "part", "lookup", "ranges", "flatten", "coarse",
+              "select", "full")
+    if os.environ.get("BISECT_STAGES"):
+        stages = tuple(os.environ["BISECT_STAGES"].split(","))
+    for stage in stages:
         fn = upto(stage)
         t = timeit(fn, state.tables, state.corpus_lp, state.corpus,
                    state.row_ids, state.model, state.part_proj, q, qids)

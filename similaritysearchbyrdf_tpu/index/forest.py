@@ -558,34 +558,36 @@ def _gather_id_blocks(
     table_b2: jax.Array,     # i32[B, MB]
     bs_block: int,
 ) -> jax.Array:
-    """Candidate row ids for every block: ONE (1, bs) slice gather per block
-    instead of bs element gathers — gather cost on TPU is per-INDEX, so this
-    is ~bs× cheaper than `sorted_ids[slot_table, pos]` (measured ~11 ns per
-    gather index on v5e regardless of small slice width). Returns
-    i32[B, MB*bs]."""
+    """Candidate row ids for every block via a FLAT ELEMENT gather.
+
+    TPU gather cost is per ELEMENT on the vectorized fast path (~16 ns/idx),
+    but slice gathers with a dynamic start in the MINOR dimension lower to a
+    scalar dynamic-slice loop at ~2.4 µs per slice regardless of width —
+    ~19× slower than the bs=8 element gathers they'd replace (measured,
+    scripts/repro_gather4.py: 2460 ns per (1,8)-slice block vs 129 ns per
+    8-element block; earlier microbenches claiming the opposite hit the
+    fresh-process no-execute artifact). Returns i32[B, MB*bs]."""
     l, cap = sorted_ids.shape
     b, mb_cap = base_b.shape
     mb = jnp.arange(mb_cap, dtype=jnp.int32)
     blk_start = base_b + mb[None, :] * bs_block              # [B, MB]
-    idx = jnp.stack(
-        [
-            jnp.clip(table_b2, 0, l - 1),
-            jnp.clip(blk_start, 0, cap - bs_block),
-        ],
-        axis=-1,
-    )                                                         # [B, MB, 2]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-    )
-    out = jax.lax.gather(
-        sorted_ids, idx, dn, slice_sizes=(1, bs_block),
-        mode=jax.lax.GatherScatterMode.CLIP,
+    j = jnp.arange(bs_block, dtype=jnp.int32)
+    pos = (
+        jnp.clip(blk_start, 0, cap - bs_block)[:, :, None] + j[None, None, :]
     )                                                         # [B, MB, bs]
-    # clip shifted the slice start for blocks near the end; recover the true
-    # per-slot position alignment via the mask in the caller (positions past
-    # `end` are invalid anyway, and base+mb*bs is only clipped when the block
-    # is entirely padding)
-    return out.reshape(b, mb_cap * bs_block)
+    t = jnp.clip(table_b2, 0, l - 1)
+    if l * cap < 2**31:
+        idx = (t[:, :, None] * cap + pos).reshape(b, mb_cap * bs_block)
+        out = jnp.take(sorted_ids.reshape(-1), idx, mode="clip")
+    else:
+        # flat int32 index would overflow (needs ≥71M rows/table at L=30 —
+        # beyond one chip's HBM, but keep the semantics correct): per-dim
+        # element gather from the 2D operand
+        out = sorted_ids[t[:, :, None], pos].reshape(b, mb_cap * bs_block)
+    # clip shifted positions for blocks near the end; the caller masks by
+    # true position (pos >= end slots are invalid anyway, and base+mb*bs is
+    # only clipped when the block is entirely padding)
+    return out
 
 
 def gather_candidates(
@@ -625,10 +627,7 @@ def gather_candidates(
     else:
         pos = base_b + mb[None, :]
         slot_end = end_b
-        cand = tables.sorted_ids[
-            jnp.clip(table_b2, 0, tables.num_tables - 1),
-            jnp.clip(pos, 0, cap - 1),
-        ]
+        cand = _gather_id_blocks(tables.sorted_ids, base_b, table_b2, 1)
     slot_valid = pos < slot_end                 # masks block padding AND
     cand = jnp.where(slot_valid & (cand >= 0), cand, -1)  # slots past the data
     return cand, total
