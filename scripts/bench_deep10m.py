@@ -1,7 +1,7 @@
 """Deep-10M single-chip bench: BASELINE config 5 feasibility at 1/10 scale.
 
-The Deep-100M target (96d) runs sharded across a mesh (COVERAGE.md P7,
-docs/deep100m HBM math); this script validates the PER-CHIP slice of that
+The Deep-100M target (96d) runs sharded across a mesh (COVERAGE.md P7;
+per-chip HBM math in parallel/mesh.py); this script validates the PER-CHIP slice of that
 plan on the one real chip: a 96-dim corpus at 8-10M rows/chip — the same
 rows-per-chip density as Deep-100M on a 16-chip v5e pod slice — with the
 non-coarse bf16 two-stage rerank path (the per-table int8 coarse tier's
@@ -39,8 +39,14 @@ def main(n_m: int = 8):
     queries = x[:NQ]
 
     t0 = time.perf_counter()
-    gt_ids, _ = exact_search(x, queries, k=10, exclude_self=True)
-    print(f"GT: {time.perf_counter()-t0:.1f}s", flush=True)
+    gt_cache = f"/tmp/deep{n_m}m_gt.npz"
+    try:
+        gt_ids = np.load(gt_cache)["gt"]
+        print("GT: cached", flush=True)
+    except Exception:
+        gt_ids, _ = exact_search(x, queries, k=10, exclude_self=True)
+        np.savez(gt_cache, gt=np.asarray(gt_ids))
+        print(f"GT: {time.perf_counter()-t0:.1f}s", flush=True)
     gt_sets = [set(map(int, gt_ids[i])) for i in range(NQ)]
 
     conf = RDFConfig(
@@ -67,8 +73,10 @@ def main(n_m: int = 8):
     for cfg in (
         dict(steps=0),
         dict(steps=1, probe_mode="margin", probe_budget=12),
+        dict(steps=1, probe_mode="margin", probe_budget=12, m_cap=65536),
     ):
-        kw = dict(steps=cfg["steps"], m_cap=conf.max_candidates, k=10,
+        kw = dict(steps=cfg["steps"],
+                  m_cap=cfg.get("m_cap", conf.max_candidates), k=10,
                   multiprobe=True, exclude_self=True,
                   chunk=conf.query_batch_size,
                   probe_mode=cfg.get("probe_mode", "reference"),

@@ -1,0 +1,111 @@
+"""Quantized-flat engine bench: 1.2M×100d and 8M×96d, recall vs exact GT.
+
+Pipelined device timing (dispatch n, block once); outputs are verified
+against exact ground truth (recall printed), so a silently-not-executing
+program cannot fake a number. Run: python scripts/bench_flat.py [which]
+where which ∈ {glove, deep, both}. Reuses /tmp GT caches.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_corpus(n, d, seed, n_centers):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, n_centers, n)] + 0.05 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def gt_for(x, queries, cache):
+    from similaritysearchbyrdf_tpu.ops.exact import exact_search
+
+    try:
+        return np.load(cache)["gt"]
+    except Exception:
+        t0 = time.perf_counter()
+        gt, _ = exact_search(x, queries, k=10, exclude_self=True)
+        np.savez(cache, gt=gt)
+        print(f"GT: {time.perf_counter()-t0:.1f}s", flush=True)
+        return gt
+
+
+def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 15):
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import build_flat_sketch, flat_topk
+
+    n, d = x.shape
+    nq = 1024
+    queries = x[:nq]
+    # deep8m shares its corpus construction (seed 11, 50k centers) and
+    # query set with scripts/bench_deep10m.py — reuse its GT cache
+    cache = ("/tmp/deep8m_gt.npz" if seed_tag == "deep8m"
+             else f"/tmp/flat_gt_{seed_tag}.npz")
+    gt = gt_for(x, queries, cache)
+    gt_sets = [set(map(int, gt[i])) for i in range(nq)]
+
+    t0 = time.perf_counter()
+    corpus = jnp.asarray(x)
+    sketch, scale = build_flat_sketch(corpus, dtype)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    jax.block_until_ready(sketch)
+    build_s = time.perf_counter() - t0
+
+    qd = jnp.asarray(queries)
+    qids = jnp.arange(nq, dtype=jnp.int32)
+    ids, scores = flat_topk(sketch, corpus, row_ids, qd, qids, 10,
+                            refine=refine, block=block)
+    jax.block_until_ready(ids)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ids, scores = flat_topk(sketch, corpus, row_ids, qd, qids, 10,
+                                refine=refine, block=block)
+    jax.block_until_ready(ids)
+    dt = (time.perf_counter() - t0) / reps
+    ids_np = np.asarray(ids)
+    hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i] if v >= 0))
+               for i in range(nq))
+    row = {
+        "corpus": name, "n": n, "dim": d, "sketch": dtype,
+        "refine": refine, "block": block,
+        "build_s": round(build_s, 2),
+        "qps": round(nq / dt, 1),
+        "recall@10": round(hits / (nq * 10), 4),
+        "sketch_bytes_per_vector": int(np.dtype(
+            np.int8 if dtype == "int8" else np.float16).itemsize * d),
+    }
+    print("FLAT " + json.dumps(row), flush=True)
+    return row
+
+
+def main(which="both"):
+    rows = []
+    if which in ("glove", "both"):
+        x = make_corpus(1_200_000, 100, 7, 20_000)
+        rows.append(bench_one("glove1.2m_100d", x, "1p2m"))
+        del x
+    if which in ("deep", "both"):
+        x = make_corpus(8_000_000, 96, 11, 50_000)
+        # reuse bench_deep10m's GT cache when present
+        rows.append(bench_one("deep8m_96d", x, "deep8m"))
+        del x
+    with open("results/flat.json", "w") as f:
+        json.dump({"points": rows,
+                   "note": "quantized-flat engine (ops/flat.py); synthetic "
+                           "clustered corpora; exact GT; pipelined timing"},
+                  f, indent=1)
+    print("WROTE results/flat.json", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "both")

@@ -23,6 +23,7 @@ from .index.forest import RDFForest, ForestState, fit_dense, query_dense
 from .index.sparse_forest import SparseRDFForest
 from .index.bucket_table import KeyLayout, BucketTables
 from .ops.exact import exact_search
+from .ops.flat import FlatIndex, flat_topk, build_flat_sketch
 from .deploy.dense import DenseRDFInit
 from .deploy.sparse import SparseRDFInit
 from .deploy.multi_feature import MultiFeatureRDFInit
@@ -54,6 +55,9 @@ __all__ = [
     "KeyLayout",
     "BucketTables",
     "exact_search",
+    "FlatIndex",
+    "flat_topk",
+    "build_flat_sketch",
     "DenseRDFInit",
     "SparseRDFInit",
     "MultiFeatureRDFInit",

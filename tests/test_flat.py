@@ -1,0 +1,75 @@
+"""Quantized-flat engine vs the exact ground-truth engine."""
+
+import numpy as np
+import pytest
+
+from similaritysearchbyrdf_tpu import DenseBatch, FlatIndex, exact_search
+
+
+def _corpus(n=3000, d=48, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(64, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 64, n)] + 0.08 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_flat_matches_exact(dtype):
+    x = _corpus()
+    idx = FlatIndex(sketch_dtype=dtype, refine=64, block=512).fit(
+        DenseBatch(np.arange(3000, dtype=np.int32), x)
+    )
+    q = x[:64]
+    ids, scores = idx.query(q, k=10, query_ids=np.arange(64))
+    gt_ids, gt_scores = exact_search(x, q, k=10, exclude_self=True)
+    # recall@10 ≈ 1: the sketch only has to land the true top-10 inside the
+    # refine=64 survivors; the exact rescoring then orders them perfectly
+    hits = sum(
+        len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+        for i in range(64)
+    )
+    assert hits / (64 * 10) >= 0.99
+    # surviving overlap rows must carry exact f32 scores
+    for i in range(4):
+        common = set(map(int, ids[i])) & set(map(int, gt_ids[i]))
+        for uid in common:
+            a = scores[i][list(ids[i]).index(uid)]
+            b = gt_scores[i][list(gt_ids[i]).index(uid)]
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_flat_excludes_self_and_pads():
+    x = _corpus(n=1000, d=32)
+    # n NOT a multiple of block exercises the pad/validity path
+    idx = FlatIndex(refine=32, block=384, query_batch=128).fit(
+        DenseBatch(np.arange(1000, dtype=np.int32), x)
+    )
+    ids, _ = idx.query(x[:50], k=5, query_ids=np.arange(50))
+    assert ids.shape == (50, 5)
+    for i in range(50):
+        assert i not in set(map(int, ids[i]))
+        assert all(v >= -1 and v < 1000 for v in ids[i])
+    # without exclusion the query itself must win
+    ids2, sc2 = idx.query(x[:50], k=1, exclude_self=False)
+    assert (ids2[:, 0] == np.arange(50)).mean() >= 0.98
+
+
+def test_flat_user_ids_and_dead_rows():
+    x = _corpus(n=500, d=32)
+    user_ids = 10_000 + np.arange(500, dtype=np.int32)
+    user_ids[7] = -1          # dead row must never surface
+    idx = FlatIndex(refine=32, block=256).fit(DenseBatch(user_ids, x))
+    ids, _ = idx.query(x[:20], k=8, exclude_self=False)
+    assert ids.min() >= 10_000 or (ids == -1).any()
+    assert 9_999 not in set(ids.flatten().tolist())
+    assert -1 not in set(ids[:, 0].tolist())  # top-1 always exists
+    # row 7's user id is dead: its vector must not appear anywhere
+    assert (ids != 10_007).all()
+
+
+def test_flat_unfitted_contract():
+    idx = FlatIndex()
+    ids, scores = idx.query(np.zeros((3, 8), np.float32), k=4)
+    assert ids.shape == (3, 4) and (ids == -1).all()
