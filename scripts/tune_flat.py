@@ -1,0 +1,124 @@
+"""Flat-engine tuning sweep at 8M×96 (verified recall each point).
+Variants: accumulation dtype (f32 vs int32 MXU), block size, bf16 sketch,
+transposed sketch layout. Run: python scripts/tune_flat.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.exact import _top_k
+
+    N, D, NQ, K, REFINE = 8_000_000, 96, 1024, 10, 128
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(50_000, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    gt = np.load("/tmp/deep8m_gt.npz")["gt"]
+    gt_sets = [set(map(int, gt[i])) for i in range(NQ)]
+    queries = x[:NQ]
+
+    NP = 1 << 23                                   # 8,388,608 ≥ N, all blocks divide
+    corpus = jnp.asarray(x)
+    amax = float(jnp.max(jnp.abs(corpus)))
+    scale = 127.0 / amax
+    sk_i8 = jnp.pad(
+        jnp.clip(jnp.round(corpus * scale), -127, 127).astype(jnp.int8),
+        ((0, NP - N), (0, 0)),
+    )
+    sk_i8_t = sk_i8.T.copy()                       # [D, NP] layout variant
+    sk_bf = jnp.pad(corpus.astype(jnp.bfloat16), ((0, NP - N), (0, 0)))
+    qd = jnp.asarray(queries)
+    qids = jnp.arange(NQ, dtype=jnp.int32)
+    row_ids = jnp.arange(N, dtype=jnp.int32)
+
+    def quant_q(q):
+        qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                                 1e-30)
+        return jnp.clip(jnp.round(q * qs), -127, 127).astype(jnp.int8)
+
+    def make(block, accum, layout, sketch_kind):
+        nb = NP // block
+        assert NP % block == 0
+
+        @jax.jit
+        def run(sk, corpus, q, qi):
+            q_lp = quant_q(q) if sketch_kind == "i8" else q.astype(jnp.bfloat16)
+
+            def body(carry, ci):
+                best_s, best_i = carry
+                if layout == "nt":
+                    rows = jax.lax.dynamic_slice_in_dim(sk, ci * block, block)
+                    s = jnp.einsum("bd,nd->bn", q_lp, rows,
+                                   preferred_element_type=accum)
+                else:
+                    cols = jax.lax.dynamic_slice_in_dim(sk, ci * block, block,
+                                                        axis=1)
+                    s = jnp.einsum("bd,dn->bn", q_lp, cols,
+                                   preferred_element_type=accum)
+                s = s.astype(jnp.float32)
+                ids = ci * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+                s = jnp.where(ids < N, s, -jnp.inf)
+                s_blk, ti = jax.lax.approx_max_k(s, REFINE)
+                i_blk = jnp.take_along_axis(
+                    jnp.broadcast_to(ids, (NQ, block)), ti, axis=1)
+                cat_s = jnp.concatenate([best_s, s_blk], axis=1)
+                cat_i = jnp.concatenate([best_i, i_blk], axis=1)
+                return _top_k(cat_s, cat_i, REFINE), None
+
+            init = (jnp.full((NQ, REFINE), -jnp.inf, jnp.float32),
+                    jnp.full((NQ, REFINE), -1, jnp.int32))
+            (s_r, cand), _ = jax.lax.scan(
+                body, init, jnp.arange(nb, dtype=jnp.int32))
+            safe = jnp.maximum(cand, 0)
+            rows = corpus[safe]
+            exact = jnp.einsum("brd,bd->br", rows, q,
+                               preferred_element_type=jnp.float32)
+            valid = (cand >= 0) & (cand != qi[:, None])
+            exact = jnp.where(valid, exact, -jnp.inf)
+            ts, tu = _top_k(exact, cand, K)
+            return jnp.where(jnp.isfinite(ts), tu, -1), ts
+
+        return run
+
+    variants = [
+        ("base_f32_32k", sk_i8, 32768, jnp.float32, "nt", "i8"),
+        ("i32_32k", sk_i8, 32768, jnp.int32, "nt", "i8"),
+        ("i32_128k", sk_i8, 131072, jnp.int32, "nt", "i8"),
+        ("i32_T_128k", sk_i8_t, 131072, jnp.int32, "tn", "i8"),
+        ("bf16_128k", sk_bf, 131072, jnp.float32, "nt", "bf"),
+        ("i32_512k", sk_i8, 524288, jnp.int32, "nt", "i8"),
+    ]
+    for name, sk, block, accum, layout, kind in variants:
+        try:
+            fn = make(block, accum, layout, kind)
+            ids, _ = fn(sk, corpus, qd, qids)
+            jax.block_until_ready(ids)
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                ids, _ = fn(sk, corpus, qd, qids)
+            jax.block_until_ready(ids)
+            dt = (time.perf_counter() - t0) / reps
+            ids_np = np.asarray(ids)
+            hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
+                                            if v >= 0)) for i in range(NQ))
+            print(f"{name}: {NQ/dt:.0f} qps recall {hits/(NQ*10):.4f}",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
