@@ -54,7 +54,8 @@ def main():
 
         @jax.jit
         def run(sk, corpus, q, qi):
-            q_lp = quant_q(q) if sketch_kind == "i8" else q.astype(jnp.bfloat16)
+            q_lp = (quant_q(q) if sketch_kind.startswith("i8")
+                    else q.astype(jnp.bfloat16))
 
             def body(carry, ci):
                 best_s, best_i = carry
@@ -67,10 +68,12 @@ def main():
                                                         axis=1)
                     s = jnp.einsum("bd,dn->bn", q_lp, cols,
                                    preferred_element_type=accum)
-                s = s.astype(jnp.float32)
+                s = s.astype(jnp.bfloat16 if sketch_kind.endswith("h")
+                             else jnp.float32)
                 ids = ci * block + jnp.arange(block, dtype=jnp.int32)[None, :]
                 s = jnp.where(ids < N, s, -jnp.inf)
                 s_blk, ti = jax.lax.approx_max_k(s, REFINE)
+                s_blk = s_blk.astype(jnp.float32)
                 i_blk = jnp.take_along_axis(
                     jnp.broadcast_to(ids, (NQ, block)), ti, axis=1)
                 cat_s = jnp.concatenate([best_s, s_blk], axis=1)
@@ -93,12 +96,12 @@ def main():
         return run
 
     variants = [
-        ("base_f32_32k", sk_i8, 32768, jnp.float32, "nt", "i8"),
-        ("i32_32k", sk_i8, 32768, jnp.int32, "nt", "i8"),
-        ("i32_128k", sk_i8, 131072, jnp.int32, "nt", "i8"),
-        ("i32_T_128k", sk_i8_t, 131072, jnp.int32, "tn", "i8"),
-        ("bf16_128k", sk_bf, 131072, jnp.float32, "nt", "bf"),
-        ("i32_512k", sk_i8, 524288, jnp.int32, "nt", "i8"),
+        ("i32_512k", sk_i8, 1 << 19, jnp.int32, "nt", "i8"),
+        ("i32_1m", sk_i8, 1 << 20, jnp.int32, "nt", "i8"),
+        ("i32_2m", sk_i8, 1 << 21, jnp.int32, "nt", "i8"),
+        ("i32_512k_bf16scores", sk_i8, 1 << 19, jnp.int32, "nt", "i8h"),
+        ("i32_1m_bf16scores", sk_i8, 1 << 20, jnp.int32, "nt", "i8h"),
+        ("i32_2m_bf16scores", sk_i8, 1 << 21, jnp.int32, "nt", "i8h"),
     ]
     for name, sk, block, accum, layout, kind in variants:
         try:

@@ -1,0 +1,148 @@
+"""Mesh-sharded quantized-flat engine: P7 distribution for `ops/flat.py`.
+
+Each device holds a row shard of the int8/bf16 sketch + f32 corpus
+(Deep-100M at 96d: ~0.77 GB sketch + 38.4/ndev GB corpus per chip on a
+v5e-16 slice); queries are replicated, the shard-local scan+refine is the
+single-chip `flat_topk`, and the only collective is one ICI all-gather of
+per-shard top-k (k·ndev tiny) followed by a replicated merge — the same
+merge contract as the sharded forest (`sharded_forest._local_query`).
+
+The int8 quantization scale is computed GLOBALLY before sharding: a
+per-shard scale would make scores incomparable across shards and corrupt
+the merged ranking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.flat import flat_topk
+from .mesh import SHARD_AXIS, make_forest_mesh
+
+
+class ShardedFlatState(NamedTuple):
+    sketch: jax.Array     # int8/bf16 [ndev*Nloc, D], row-sharded
+    corpus: jax.Array     # f32     [ndev*Nloc, D], row-sharded
+    row_ids: jax.Array    # i32     [ndev*Nloc], row-sharded (-1 = pad)
+
+
+def fit_flat_sharded(
+    values: np.ndarray,            # f32[N, D]
+    ids: np.ndarray,               # i32[N] user ids
+    mesh: Optional[Mesh] = None,
+    sketch_dtype: str = "int8",
+) -> Tuple[ShardedFlatState, Mesh]:
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    n, d = values.shape
+    nloc = int(np.ceil(n / ndev))
+    npad = nloc * ndev
+    x = np.zeros((npad, d), dtype=np.float32)
+    x[:n] = values
+    rid = np.full((npad,), -1, dtype=np.int32)
+    rid[:n] = ids
+    if sketch_dtype == "int8":
+        scale = 127.0 / max(float(np.max(np.abs(values))), 1e-30)
+        sk = np.clip(np.round(x * scale), -127, 127).astype(np.int8)
+    elif sketch_dtype == "bfloat16":
+        sk = jnp.asarray(x).astype(jnp.bfloat16)
+    else:
+        raise ValueError(f"unsupported flat sketch dtype: {sketch_dtype}")
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    state = ShardedFlatState(
+        sketch=jax.device_put(sk, shard),
+        corpus=jax.device_put(x, shard),
+        row_ids=jax.device_put(rid, shard),
+    )
+    return state, mesh
+
+
+def _local_flat_query(sketch, corpus, row_ids, queries, query_ids,
+                      *, k, refine, block, exclude_self):
+    ids, scores = flat_topk(
+        sketch, corpus, row_ids, queries, query_ids, k,
+        refine=refine, block=block, exclude_self=exclude_self,
+    )
+    g_ids = jax.lax.all_gather(ids, SHARD_AXIS)          # [ndev, B, k]
+    g_scores = jax.lax.all_gather(scores, SHARD_AXIS)
+    b = queries.shape[0]
+    ndev = g_ids.shape[0]
+    flat_ids = jnp.moveaxis(g_ids, 0, 1).reshape(b, ndev * k)
+    flat_scores = jnp.moveaxis(g_scores, 0, 1).reshape(b, ndev * k)
+    m_scores, m_idx = jax.lax.top_k(flat_scores, k)
+    m_ids = jnp.take_along_axis(flat_ids, m_idx, axis=1)
+    m_ids = jnp.where(jnp.isfinite(m_scores), m_ids, -1)
+    return m_ids, m_scores
+
+
+def make_flat_query_fn(
+    mesh: Mesh,
+    k: int = 10,
+    refine: int = 128,
+    block: int = 1 << 15,
+    exclude_self: bool = True,
+):
+    """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores)."""
+    fn = jax.shard_map(
+        functools.partial(
+            _local_flat_query, k=k, refine=refine, block=block,
+            exclude_self=exclude_self,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        lambda state, q, qi: fn(state.sketch, state.corpus, state.row_ids,
+                                q, qi)
+    )
+
+
+class ShardedFlatIndex:
+    """Host orchestrator for the mesh-sharded flat engine."""
+
+    def __init__(self, mesh: Optional[Mesh] = None,
+                 sketch_dtype: str = "int8", refine: int = 128,
+                 block: int = 1 << 15):
+        self.mesh = mesh
+        self.sketch_dtype = sketch_dtype
+        self.refine = refine
+        self.block = block
+        self.state = None
+        self._qfn = {}
+
+    def fit(self, batch) -> "ShardedFlatIndex":
+        self.state, self.mesh = fit_flat_sharded(
+            np.asarray(batch.values, np.float32),
+            np.asarray(batch.ids, np.int32),
+            self.mesh, self.sketch_dtype,
+        )
+        return self
+
+    def query(self, queries: np.ndarray, k: int = 10,
+              query_ids: Optional[np.ndarray] = None,
+              exclude_self: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        if self.state is None:
+            print("need to fit the data first")
+            kk = max(k, 1)
+            return (np.full((len(queries), kk), -1, np.int32),
+                    np.full((len(queries), kk), -np.inf, np.float32))
+        key = (k, exclude_self)
+        if key not in self._qfn:
+            self._qfn[key] = make_flat_query_fn(
+                self.mesh, k=k, refine=self.refine, block=self.block,
+                exclude_self=exclude_self,
+            )
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qids = (jnp.asarray(np.asarray(query_ids, np.int32))
+                if query_ids is not None
+                else jnp.full((len(queries),), -1, jnp.int32))
+        ids, scores = self._qfn[key](self.state, q, qids)
+        return np.asarray(ids), np.asarray(scores)

@@ -1,0 +1,57 @@
+"""Mesh-sharded flat engine on the 8-device virtual CPU mesh: parity with
+the single-device FlatIndex and the exact engine."""
+
+import numpy as np
+
+from similaritysearchbyrdf_tpu import DenseBatch, FlatIndex, exact_search
+from similaritysearchbyrdf_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+
+def _data(n=2000, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(40, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 40, n)] + 0.1 * rng.normal(size=(n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_sharded_flat_matches_exact():
+    x = _data()
+    batch = DenseBatch(np.arange(2000, dtype=np.int32), x)
+    sharded = ShardedFlatIndex(refine=64, block=128).fit(batch)
+    assert sharded.mesh.shape["shard"] == 8
+    q = x[:48]
+    ids, scores = sharded.query(q, k=10, query_ids=np.arange(48))
+    gt_ids, gt_scores = exact_search(x, q, k=10, exclude_self=True)
+    hits = sum(
+        len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+        for i in range(48)
+    )
+    assert hits / 480 >= 0.99
+    np.testing.assert_allclose(scores[:, 0], gt_scores[:, 0], rtol=1e-5)
+
+
+def test_sharded_flat_matches_single_device():
+    # n NOT a multiple of ndev exercises shard padding (-1 row ids)
+    x = _data(n=1997, seed=3)
+    uids = 500 + np.arange(1997, dtype=np.int32)
+    batch = DenseBatch(uids, x)
+    single = FlatIndex(refine=64, block=256).fit(batch)
+    sharded = ShardedFlatIndex(refine=64, block=128).fit(batch)
+    q = x[100:148]
+    qi = uids[100:148]
+    a_ids, a_sc = single.query(q, k=8, query_ids=qi)
+    b_ids, b_sc = sharded.query(q, k=8, query_ids=qi)
+    # both exclude self and rescore exactly; ties can reorder equal scores
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-5)
+    same = (a_ids == b_ids).mean()
+    assert same > 0.95
+    for i in range(48):
+        assert int(qi[i]) not in set(map(int, b_ids[i]))
+
+
+def test_sharded_flat_unfitted():
+    idx = ShardedFlatIndex()
+    ids, _ = idx.query(np.zeros((2, 8), np.float32), k=3)
+    assert ids.shape == (2, 3) and (ids == -1).all()
