@@ -37,7 +37,7 @@ def gt_for(x, queries, cache):
         return gt
 
 
-def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 15):
+def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +97,7 @@ def main(which="both"):
     if which in ("deep", "both"):
         x = make_corpus(8_000_000, 96, 11, 50_000)
         # reuse bench_deep10m's GT cache when present
-        rows.append(bench_one("deep8m_96d", x, "deep8m"))
+        rows.append(bench_one("deep8m_96d", x, "deep8m", block=1 << 21))
         del x
     with open("results/flat.json", "w") as f:
         json.dump({"points": rows,

@@ -27,7 +27,7 @@ from .ops.flat import FlatIndex, flat_topk, build_flat_sketch
 from .deploy.dense import DenseRDFInit
 from .deploy.sparse import SparseRDFInit
 from .deploy.multi_feature import MultiFeatureRDFInit
-from .storage.persist import save_forest, load_forest, TieredForest, GenerationStore
+from .storage.persist import save_forest, load_forest, save_flat, load_flat, TieredForest, GenerationStore
 
 __version__ = "0.1.0"
 
@@ -62,6 +62,8 @@ __all__ = [
     "SparseRDFInit",
     "MultiFeatureRDFInit",
     "save_forest",
+    "save_flat",
+    "load_flat",
     "load_forest",
     "TieredForest",
     "GenerationStore",

@@ -332,3 +332,46 @@ class TieredForest:
             np.take_along_axis(ids, order, axis=1),
             np.take_along_axis(scores, order, axis=1),
         )
+
+
+def save_flat(index, path: str) -> None:
+    """Serialize a FlatIndex (sketch + corpus + ids) to `<path>.npz` /
+    `<path>.json` — the flat engine's counterpart of `save_forest`."""
+    assert index.corpus is not None, "nothing to save: fit first"
+    sketch = index.sketch
+    if sketch.dtype == jnp.bfloat16:
+        sketch = sketch.astype(jnp.float32)   # npz has no bf16; recast on load
+    np.savez_compressed(
+        path + ".npz",
+        sketch=np.asarray(sketch),
+        corpus=np.asarray(index.corpus),
+        row_ids=np.asarray(index.row_ids),
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(
+            dict(engine="flat", sketch_dtype=index.sketch_dtype,
+                 scale=float(getattr(index, "scale", 1.0)),
+                 refine=index.refine, block=index.block,
+                 query_batch=index.query_batch, version=1),
+            f,
+        )
+
+
+def load_flat(path: str):
+    """Load a FlatIndex saved by `save_flat`."""
+    from ..ops.flat import FlatIndex
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    assert meta["engine"] == "flat", meta
+    z = np.load(path + ".npz")
+    idx = FlatIndex(
+        sketch_dtype=meta["sketch_dtype"], refine=meta["refine"],
+        block=meta["block"], query_batch=meta["query_batch"],
+    )
+    dt = jnp.bfloat16 if meta["sketch_dtype"] == "bfloat16" else jnp.int8
+    idx.sketch = jnp.asarray(z["sketch"]).astype(dt)
+    idx.corpus = jnp.asarray(z["corpus"])
+    idx.row_ids = jnp.asarray(z["row_ids"])
+    idx.scale = meta["scale"]
+    return idx

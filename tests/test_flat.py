@@ -73,3 +73,19 @@ def test_flat_unfitted_contract():
     idx = FlatIndex()
     ids, scores = idx.query(np.zeros((3, 8), np.float32), k=4)
     assert ids.shape == (3, 4) and (ids == -1).all()
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_flat_save_load_roundtrip(tmp_path, dtype):
+    from similaritysearchbyrdf_tpu.storage.persist import save_flat, load_flat
+
+    x = _corpus(n=800, d=32, seed=4)
+    idx = FlatIndex(sketch_dtype=dtype, refine=32, block=256).fit(
+        DenseBatch(np.arange(800, dtype=np.int32), x)
+    )
+    a_ids, a_sc = idx.query(x[:20], k=5, query_ids=np.arange(20))
+    save_flat(idx, str(tmp_path / "flat"))
+    idx2 = load_flat(str(tmp_path / "flat"))
+    b_ids, b_sc = idx2.query(x[:20], k=5, query_ids=np.arange(20))
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-6)
