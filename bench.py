@@ -152,6 +152,30 @@ def main():
         cbt = forest.state.coarse_by_table
         coarse_bpv = cbt.size * cbt.dtype.itemsize / N_CORPUS
 
+    # --- flat engine point (TPU extension, ops/flat.py): int8 sketch scan
+    # + exact refine; reported alongside the forest metric ---
+    from similaritysearchbyrdf_tpu.ops.flat import build_flat_sketch, flat_topk
+
+    sketch, _ = build_flat_sketch(xd, "int8")
+    row_ids_d = jnp.asarray(ids)
+    pad = (-N_QUERY) % 1024
+    qfd = jnp.asarray(np.pad(queries, ((0, pad), (0, 0))))
+    qfid = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
+    f_ids, _ = flat_topk(sketch, xd, row_ids_d, qfd, qfid, TOP_K, refine=128)
+    jax.block_until_ready(f_ids)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        f_ids, _ = flat_topk(sketch, xd, row_ids_d, qfd, qfid, TOP_K,
+                             refine=128)
+    jax.block_until_ready(f_ids)
+    flat_s = (time.perf_counter() - t0) / 8 * (N_QUERY / qfd.shape[0])
+    f_np = np.asarray(f_ids)[:N_QUERY]
+    flat_recall = sum(
+        len(set(gt[i].tolist()) & set(int(v) for v in f_np[i] if v >= 0))
+        for i in range(N_QUERY)
+    ) / (N_QUERY * TOP_K)
+    flat_qps = N_QUERY / flat_s
+
     print(
         json.dumps(
             {
@@ -166,6 +190,8 @@ def main():
                 "steps": best_steps,
                 "query_time_s_per_1000": round(1000.0 / qps, 4),
                 "all_points": {str(s): [round(q, 1), round(r, 4)] for s, (q, r) in results.items()},
+                "flat_qps": round(flat_qps, 1),
+                "flat_recall_at_10": round(flat_recall, 4),
                 "platform": jax.devices()[0].platform,
             }
         )

@@ -41,7 +41,9 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     import jax
     import jax.numpy as jnp
 
-    from similaritysearchbyrdf_tpu.ops.flat import build_flat_sketch, flat_topk
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        _pad_lanes, build_flat_sketch, flat_topk, flat_topk_grouped,
+    )
 
     n, d = x.shape
     nq = 1024
@@ -54,36 +56,45 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     gt_sets = [set(map(int, gt[i])) for i in range(nq)]
 
     t0 = time.perf_counter()
-    corpus = jnp.asarray(x)
-    sketch, scale = build_flat_sketch(corpus, dtype)
+    corpus = _pad_lanes(jnp.asarray(x))
+    sketch, scale = build_flat_sketch(jnp.asarray(x), dtype)
     row_ids = jnp.arange(n, dtype=jnp.int32)
     jax.block_until_ready(sketch)
     build_s = time.perf_counter() - t0
 
     qd = jnp.asarray(queries)
     qids = jnp.arange(nq, dtype=jnp.int32)
-    ids, scores = flat_topk(sketch, corpus, row_ids, qd, qids, 10,
-                            refine=refine, block=block)
-    jax.block_until_ready(ids)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ids, scores = flat_topk(sketch, corpus, row_ids, qd, qids, 10,
-                                refine=refine, block=block)
-    jax.block_until_ready(ids)
-    dt = (time.perf_counter() - t0) / reps
-    ids_np = np.asarray(ids)
-    hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i] if v >= 0))
-               for i in range(nq))
     row = {
         "corpus": name, "n": n, "dim": d, "sketch": dtype,
         "refine": refine, "block": block,
         "build_s": round(build_s, 2),
-        "qps": round(nq / dt, 1),
-        "recall@10": round(hits / (nq * 10), 4),
-        "sketch_bytes_per_vector": int(np.dtype(
-            np.int8 if dtype == "int8" else np.float16).itemsize * d),
+        "sketch_bytes_per_vector": int(sketch.shape[1]),
     }
+    for mode in ("grouped", "scan"):
+        def go():
+            if mode == "grouped":
+                return flat_topk_grouped(sketch, corpus, row_ids, qd, qids,
+                                         10, refine=refine, r_groups=24)
+            return flat_topk(sketch, corpus, row_ids, qd, qids, 10,
+                             refine=refine, block=block)
+
+        ids, scores = go()
+        jax.block_until_ready(ids)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ids, scores = go()
+        jax.block_until_ready(ids)
+        dt = (time.perf_counter() - t0) / reps
+        ids_np = np.asarray(ids)
+        hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i] if v >= 0))
+                   for i in range(nq))
+        row[f"{mode}_qps"] = round(nq / dt, 1)
+        row[f"{mode}_recall@10"] = round(hits / (nq * 10), 4)
+    row["qps"] = max(row["grouped_qps"], row["scan_qps"])
+    row["recall@10"] = (row["grouped_recall@10"]
+                        if row["grouped_qps"] >= row["scan_qps"]
+                        else row["scan_recall@10"])
     print("FLAT " + json.dumps(row), flush=True)
     return row
 

@@ -43,20 +43,53 @@ import numpy as np
 from .exact import _top_k
 
 
+def _pad_lanes(a: jax.Array) -> jax.Array:
+    """Pad the minor dim to a 128-lane multiple: the TPU's tiled layout
+    already allocates those lanes, zero columns add nothing to dots, and
+    Pallas DMA slices require whole 128-lane tiles (the grouped path's
+    window rescoring kernel)."""
+    d = a.shape[-1]
+    dp = int(np.ceil(d / 128.0) * 128)
+    return a if dp == d else jnp.pad(a, ((0, 0), (0, dp - d)))
+
+
 def build_flat_sketch(
     corpus: jax.Array,            # f32[N, D]
     dtype: str = "int8",
 ) -> Tuple[jax.Array, float]:
-    """Low-precision scoring copy of the corpus. Returns (sketch, scale);
-    scale is the int8 quantization factor (1.0 for bf16)."""
+    """Low-precision scoring copy of the corpus, lane-padded to 128.
+    Returns (sketch, scale); scale is the int8 quantization factor
+    (1.0 for bf16)."""
     if dtype == "bfloat16":
-        return corpus.astype(jnp.bfloat16), 1.0
+        return _pad_lanes(corpus.astype(jnp.bfloat16)), 1.0
     if dtype != "int8":
         raise ValueError(f"unsupported flat sketch dtype: {dtype}")
     amax = float(jnp.max(jnp.abs(corpus)))
     scale = 127.0 / max(amax, 1e-30)
     q = jnp.clip(jnp.round(corpus * scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    return _pad_lanes(q), scale
+
+
+def _exact_refine(corpus, row_ids, queries, cand, pre_valid, query_ids, k,
+                  exclude_self):
+    """Exact f32 re-score + final top-k, tolerant of a lane-padded corpus
+    (zero columns add nothing to the dot; queries pad to match)."""
+    n = row_ids.shape[0]
+    safe = jnp.clip(cand, 0, n - 1)
+    rows = corpus[safe]
+    qx = queries
+    if corpus.shape[1] != queries.shape[1]:
+        qx = jnp.pad(queries,
+                     ((0, 0), (0, corpus.shape[1] - queries.shape[1])))
+    exact = jnp.einsum("brd,bd->br", rows, qx,
+                       preferred_element_type=jnp.float32)
+    uid = row_ids[safe]
+    valid = pre_valid & (uid >= 0)
+    if exclude_self:
+        valid &= uid != query_ids[:, None]
+    exact = jnp.where(valid, exact, -jnp.inf)
+    top_s, top_u = _top_k(exact, uid, k)
+    return jnp.where(jnp.isfinite(top_s), top_u, -1), top_s
 
 
 @functools.partial(
@@ -88,6 +121,7 @@ def flat_topk(
         q_lp = jnp.clip(jnp.round(queries * qs), -127, 127).astype(jnp.int8)
     else:
         q_lp = queries.astype(sketch.dtype)
+    q_lp = _pad_lanes(q_lp)[:, :d]        # match a lane-padded sketch
     refine_blk = min(refine, block)
 
     def body(carry, ci):
@@ -115,18 +149,9 @@ def flat_topk(
     )
 
     # exact refine: f32 row gather (embedding-lookup fast path) + rescore
-    safe = jnp.maximum(cand, 0)
-    rows = corpus[safe]                                 # [B, refine, D]
-    exact = jnp.einsum(
-        "brd,bd->br", rows, queries, preferred_element_type=jnp.float32
-    )
-    uid = row_ids[safe]
-    valid = (cand >= 0) & jnp.isfinite(sk_s) & (uid >= 0)
-    if exclude_self:
-        valid &= uid != query_ids[:, None]
-    exact = jnp.where(valid, exact, -jnp.inf)
-    top_s, top_u = _top_k(exact, uid, k)
-    return jnp.where(jnp.isfinite(top_s), top_u, -1), top_s
+    return _exact_refine(corpus, row_ids, queries, cand,
+                         (cand >= 0) & jnp.isfinite(sk_s), query_ids, k,
+                         exclude_self)
 
 
 class FlatIndex:
@@ -134,21 +159,27 @@ class FlatIndex:
     fast path for dense corpora (same query surface as `RDFForest`)."""
 
     def __init__(self, sketch_dtype: str = "int8", refine: int = 128,
-                 block: int = 1 << 20, query_batch: int = 1024):
+                 block: int = 1 << 20, query_batch: int = 1024,
+                 mode: str = "grouped", r_groups: int = 24):
         self.sketch_dtype = sketch_dtype
         self.refine = refine
         self.block = block
         self.query_batch = query_batch
+        self.mode = mode            # "grouped" (fused kernel) | "scan"
+        self.r_groups = r_groups
         self.corpus = None
         self.sketch = None
         self.row_ids = None
 
     def fit(self, batch) -> "FlatIndex":
         """batch: vectors.DenseBatch."""
-        self.corpus = jnp.asarray(batch.values, dtype=jnp.float32)
+        corpus = jnp.asarray(batch.values, dtype=jnp.float32)
         self.sketch, self.scale = build_flat_sketch(
-            self.corpus, self.sketch_dtype
+            corpus, self.sketch_dtype
         )
+        # lane-pad the exact tier too: 128-multiple f32 rows gather ~2x
+        # faster in the refine's latency-bound regime (bench_rowgather.py)
+        self.corpus = _pad_lanes(corpus)
         self.row_ids = jnp.asarray(np.asarray(batch.ids, dtype=np.int32))
         return self
 
@@ -176,11 +207,113 @@ class FlatIndex:
             qc = jnp.asarray(np.pad(q[s0:s1], ((0, pad), (0, 0))))
             qi = jnp.asarray(np.pad(qids[s0:s1], (0, pad),
                                     constant_values=-1))
-            ids, scores = flat_topk(
-                self.sketch, self.corpus, self.row_ids, qc, qi, k,
-                refine=self.refine, block=self.block,
-                exclude_self=exclude_self,
-            )
+            if self.mode == "grouped":
+                ids, scores = flat_topk_grouped(
+                    self.sketch, self.corpus, self.row_ids, qc, qi, k,
+                    refine=self.refine, r_groups=self.r_groups,
+                    exclude_self=exclude_self,
+                )
+            else:
+                ids, scores = flat_topk(
+                    self.sketch, self.corpus, self.row_ids, qc, qi, k,
+                    refine=self.refine, block=self.block,
+                    exclude_self=exclude_self,
+                )
             out_i.append(np.asarray(ids[: s1 - s0]))
             out_s.append(np.asarray(scores[: s1 - s0]))
         return np.concatenate(out_i), np.concatenate(out_s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
+                     "use_pallas", "recall_target"),
+)
+def flat_topk_grouped(
+    sketch: jax.Array,            # int8/bf16 [N, D]
+    corpus: jax.Array,            # f32[N, D]
+    row_ids: jax.Array,           # i32[N]
+    queries: jax.Array,           # f32[B, D]
+    query_ids: jax.Array,         # i32[B]
+    k: int,
+    refine: int = 128,
+    r_groups: int = 32,
+    group: int = 64,
+    exclude_self: bool = True,
+    use_pallas: bool = True,
+    recall_target: float = 0.998,
+) -> Tuple[jax.Array, jax.Array]:
+    """Grouped flat scan: fused matmul+group-max (never materializes the
+    [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
+    `r_groups` groups per query are re-scored row-wise (contiguous 64-row
+    windows through the aligned-window DMA kernel on TPU) and the top
+    `refine` rows get the exact f32 re-score. Group-max preselection with
+    r_groups ≥ 3k cannot drop a true top-k row (see flat_groupmax docs);
+    recall is int8-sketch-bound, same as `flat_topk`."""
+    n, d = sketch.shape
+    b = queries.shape[0]
+    npad = int(np.ceil(n / 8192)) * 8192
+    sk = jnp.pad(sketch, ((0, npad - n), (0, 0)))
+    if sketch.dtype == jnp.int8:
+        qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(queries), axis=1,
+                                         keepdims=True), 1e-30)
+        q_lp = jnp.clip(jnp.round(queries * qs), -127, 127).astype(jnp.int8)
+    else:
+        q_lp = queries.astype(sketch.dtype)
+    q_lp = _pad_lanes(q_lp)[:, :d]        # match a lane-padded sketch
+
+    bpad = int(np.ceil(b / 128)) * 128
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.flat_groupmax import pallas_flat_groupmax
+
+        q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
+        gmax = pallas_flat_groupmax(
+            sk, q_in, group=group,
+            block_b=min(128, bpad), block_n=8192,
+        ).T[:b]                                         # [B, NG]
+    else:
+        # XLA fallback (CPU/tests): same math, scores materialized
+        scores = jnp.einsum("bd,nd->bn", q_lp, sk,
+                            preferred_element_type=jnp.float32)
+        gmax = scores.reshape(b, npad // group, group).max(axis=-1)
+    ng = npad // group
+    # mask all-padding groups (first padded group may be partial — its real
+    # rows keep it live; pure-pad groups score garbage zeros → mask)
+    g_live = (jnp.arange(ng, dtype=jnp.int32) * group) < n
+    gmax = jnp.where(g_live[None, :], gmax, -jnp.inf)
+    rg = min(r_groups, ng)
+    # the group select bounds end recall: a missed group loses all its rows
+    # (refine can't recover it) — run it at a high recall target
+    _, gidx = jax.lax.approx_max_k(gmax, rg,
+                                   recall_target=recall_target)  # [B, RG]
+
+    # row-wise sketch re-score of every selected group's rows
+    blk_start = gidx * group                            # 8-aligned (64 | start)
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.coarse_gather import pallas_coarse_scores_aligned
+
+        w_scores = pallas_coarse_scores_aligned(
+            sk[None], _pad_lanes(queries.astype(jnp.bfloat16))[:, :d],
+            jnp.zeros_like(gidx), blk_start, group,
+        )                                               # [B, RG, group]
+    else:
+        rows_i = blk_start[:, :, None] + jnp.arange(group, dtype=jnp.int32)
+        w_rows = sk[jnp.clip(rows_i, 0, npad - 1)]      # [B, RG, group, D]
+        w_scores = jnp.einsum(
+            "brgd,bd->brg", w_rows.astype(jnp.bfloat16),
+            _pad_lanes(queries.astype(jnp.bfloat16))[:, :d],
+            preferred_element_type=jnp.float32,
+        )
+    pos = (blk_start[:, :, None]
+           + jnp.arange(group, dtype=jnp.int32)[None, None, :])
+    m = rg * group
+    w_scores = jnp.where(pos < n, w_scores, -jnp.inf).reshape(b, m)
+    pos = pos.reshape(b, m)
+    r2 = min(refine, m)
+    _, sel = jax.lax.approx_max_k(w_scores, r2, recall_target=recall_target)
+    cand = jnp.take_along_axis(pos, sel, axis=1)        # [B, refine]
+    sel_s = jnp.take_along_axis(w_scores, sel, axis=1)
+
+    return _exact_refine(corpus, row_ids, queries, cand,
+                         jnp.isfinite(sel_s) & (cand < n), query_ids, k,
+                         exclude_self)

@@ -208,6 +208,11 @@ def pallas_coarse_scores_aligned(
     l, caprows, cd = coarse_by_table.shape
     b, mb_cap = table_b2.shape
     grp = min(grp, mb_cap)
+    # the kernel scores the whole group against ALL B queries before the
+    # one-hot column select: keep that [grp*win, B] f32 buffer ≤ 8 MB of
+    # the ~16 MB VMEM (large-B callers like the grouped flat engine)
+    while grp > 1 and grp * win * b * 4 > (8 << 20):
+        grp //= 2
     while mb_cap % grp:
         grp //= 2
     start = jnp.clip(blk_start, 0, caprows - win) >> 3

@@ -1,0 +1,94 @@
+"""Pallas fused sketch-matmul + group-max for the flat engine.
+
+The plain flat scan materializes the full [B, N] score matrix in HBM and
+reads it back through approx_max_k — 2×N×4 bytes of traffic per query row,
+the measured wall at large N (scripts/tune_flat.py). This kernel never
+writes the scores: each grid step computes a [NT, BT] tile on the MXU in
+VMEM and reduces it to per-GROUP maxima (G consecutive rows per group),
+emitting only [N/G, B] — a G× traffic reduction. Group-max preselection is
+sound for top-k: the group of the true i-th best row ranks at most
+(i + #better-scoring groups) ≤ 2i, so `r_groups` ≈ 3k+ groups cannot miss
+the true top-k (`ops/flat.flat_topk_grouped` then rescores every row of
+every selected group) — provided the group SELECTION itself runs at a high
+recall target (a missed group loses all its rows).
+
+Grid order matters: the batch axis is the INNER grid dim so the sketch
+tile (the big operand) streams through VMEM exactly once; the tiny query
+tile is re-fetched per inner step instead. With batch outermost the whole
+sketch would be re-read B/block_b times (measured +8 ms at 8M×96, B=1024).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu):
+    # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT].
+    # TRANSPOSED score tile: the group split must land on the SUBLANE dim —
+    # splitting the minor (lane) dim is an unsupported Mosaic shape cast.
+    if int8_mxu:
+        scores = jax.lax.dot_general(
+            sk_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                               # [NT, BT] i32
+    else:
+        scores = jax.lax.dot_general(
+            sk_ref[:].astype(jnp.bfloat16),
+            q_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [NT, BT] f32
+    nt, bt = scores.shape
+    gmax = jnp.max(scores.reshape(nt // g, g, bt), axis=1)
+    out_ref[:] = gmax.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret"),
+)
+def pallas_flat_groupmax(
+    sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
+    q_lp: jax.Array,        # int8/bf16 [B, D];   B % block_b == 0
+    group: int = 64,
+    block_b: int = 128,
+    block_n: int = 8192,
+    int8_mxu: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group score maxima, TRANSPOSED: f32[Npad/group, B] (the caller
+    transposes once in XLA; inside the kernel the group split must stay on
+    the sublane dim). [block_n, block_b] scores must fit VMEM (~16 MB) —
+    the defaults use 4 MB. int8_mxu uses the int8 MXU path (2× bf16 rate)
+    when both operands are int8; int8 scores fit i32/f32 exactly."""
+    npad, d = sketch.shape
+    b = q_lp.shape[0]
+    assert npad % block_n == 0 and block_n % group == 0, (npad, block_n)
+    block_b = min(block_b, b)
+    assert b % block_b == 0, (b, block_b)
+    use_int8 = bool(int8_mxu) and sketch.dtype == jnp.int8 and (
+        q_lp.dtype == jnp.int8
+    )
+    return pl.pallas_call(
+        functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8),
+        out_shape=jax.ShapeDtypeStruct((npad // group, b), jnp.float32),
+        grid=(npad // block_n, b // block_b),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_n // group, block_b), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(q_lp, sketch)

@@ -47,6 +47,8 @@ def fit_flat_sharded(
     x[:n] = values
     rid = np.full((npad,), -1, dtype=np.int32)
     rid[:n] = ids
+    dp = int(np.ceil(d / 128.0) * 128)       # 128-lane rows (fast gathers,
+    x = np.pad(x, ((0, 0), (0, dp - d)))      # DMA-sliceable windows)
     if sketch_dtype == "int8":
         scale = 127.0 / max(float(np.max(np.abs(values))), 1e-30)
         sk = np.clip(np.round(x * scale), -127, 127).astype(np.int8)

@@ -352,7 +352,8 @@ def save_flat(index, path: str) -> None:
             dict(engine="flat", sketch_dtype=index.sketch_dtype,
                  scale=float(getattr(index, "scale", 1.0)),
                  refine=index.refine, block=index.block,
-                 query_batch=index.query_batch, version=1),
+                 query_batch=index.query_batch, mode=index.mode,
+                 r_groups=index.r_groups, version=1),
             f,
         )
 
@@ -368,6 +369,8 @@ def load_flat(path: str):
     idx = FlatIndex(
         sketch_dtype=meta["sketch_dtype"], refine=meta["refine"],
         block=meta["block"], query_batch=meta["query_batch"],
+        mode=meta.get("mode", "grouped"),
+        r_groups=meta.get("r_groups", 24),
     )
     dt = jnp.bfloat16 if meta["sketch_dtype"] == "bfloat16" else jnp.int8
     idx.sketch = jnp.asarray(z["sketch"]).astype(dt)

@@ -89,3 +89,43 @@ def test_flat_save_load_roundtrip(tmp_path, dtype):
     b_ids, b_sc = idx2.query(x[:20], k=5, query_ids=np.arange(20))
     np.testing.assert_array_equal(a_ids, b_ids)
     np.testing.assert_allclose(a_sc, b_sc, rtol=1e-6)
+
+
+def test_grouped_matches_flat():
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        build_flat_sketch, flat_topk, flat_topk_grouped,
+    )
+
+    x = _corpus(n=5000, d=48, seed=9)
+    c = jnp.asarray(x)
+    sk, _ = build_flat_sketch(c)
+    rid = jnp.arange(5000, dtype=jnp.int32)
+    q = jnp.asarray(x[:64])
+    qi = jnp.arange(64, dtype=jnp.int32)
+    a_ids, a_sc = flat_topk(sk, c, rid, q, qi, 10, refine=64, block=1024)
+    b_ids, b_sc = flat_topk_grouped(sk, c, rid, q, qi, 10, refine=64,
+                                    r_groups=32, use_pallas=False)
+    # both rescore exactly; the grouped preselect cannot drop a true top-k
+    np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc), rtol=1e-5)
+    assert (np.asarray(a_ids) == np.asarray(b_ids)).mean() > 0.99
+
+
+def test_groupmax_kernel_interpret():
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax,
+    )
+
+    rng = np.random.default_rng(1)
+    sk = rng.integers(-100, 100, size=(8192, 32)).astype(np.int8)
+    q = rng.integers(-100, 100, size=(16, 32)).astype(np.int8)
+    out = np.asarray(
+        pallas_flat_groupmax(jnp.asarray(sk), jnp.asarray(q), group=64,
+                             block_b=16, block_n=4096, interpret=True)
+    ).T
+    ref_scores = q.astype(np.float32) @ sk.astype(np.float32).T  # [16, 8192]
+    ref = ref_scores.reshape(16, 128, 64).max(axis=-1)
+    np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1.0)
