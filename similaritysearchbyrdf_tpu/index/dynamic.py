@@ -104,7 +104,8 @@ class DynamicForest:
             st = self.main.state
             rid = np.asarray(st.row_ids)
             live = rid >= 0
-            parts.append((rid[live], np.asarray(st.corpus)[live]))
+            parts.append((rid[live],
+                          np.asarray(st.corpus)[live][:, : self.conf.vector_dim]))
         if self._delta_ids:
             parts.append((
                 np.asarray(self._delta_ids, np.int32),

@@ -149,9 +149,6 @@ def fit_dense(
     keys = _keys_for_corpus(
         model, part_proj, values_d, jnp.asarray(valid), layout, chunk
     )
-    corpus_lp = (
-        values_d.astype(jnp.bfloat16) if conf.rerank_dtype == "bfloat16" else None
-    )
     ids = jnp.broadcast_to(
         jnp.where(jnp.asarray(valid), jnp.arange(npad, dtype=jnp.int32), -1)[None, :],
         keys.shape,
@@ -159,17 +156,36 @@ def fit_dense(
     tables = build_tables(
         keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
     )
+    del keys, ids
     coarse_proj = coarse_by_table = None
     if conf.coarse_dim:
         coarse_proj, coarse_by_table = _build_coarse_tier(
             values_d, tables.sorted_ids, conf.coarse_dim,
             conf.coarse_dtype, conf.seed,
         )
+    # the stored scoring copies are LANE-PADDED to a 128 multiple: full-row
+    # gathers from non-aligned rows cost up to 2x more
+    # (scripts/bench_rowgather.py); rerank pads queries to match. Built
+    # LAST (after the build's big sort temporaries) and the unpadded values
+    # dropped right after — at Deep-scale row counts the padded + unpadded
+    # copies coexisting through build_tables OOMs a 16 GB chip.
+    dpad = _pad_to(batch.dim, 128)
+    corpus_store = (
+        jnp.pad(values_d, ((0, 0), (0, dpad - batch.dim)))
+        if dpad != batch.dim else values_d
+    )
+    del values_d
+    if dpad != batch.dim:
+        corpus_store.block_until_ready()   # let the unpadded buffer free
+    corpus_lp = (
+        corpus_store.astype(jnp.bfloat16)
+        if conf.rerank_dtype == "bfloat16" else None
+    )
     return ForestState(
         model=model,
         part_proj=part_proj,
         tables=tables,
-        corpus=values_d,
+        corpus=corpus_store,
         row_ids=jnp.asarray(row_ids),
         corpus_lp=corpus_lp,
         coarse_proj=coarse_proj,
@@ -959,7 +975,8 @@ class RDFForest:
             return self.fit(batch)
         old_n = int(jnp.sum(self.state.row_ids >= 0))
         values = np.concatenate(
-            [np.asarray(self.state.corpus[:old_n]), batch.values], axis=0
+            [np.asarray(self.state.corpus[:old_n, : batch.dim]),
+             batch.values], axis=0
         )
         ids = np.concatenate(
             [np.asarray(self.state.row_ids[:old_n]), batch.ids], axis=0

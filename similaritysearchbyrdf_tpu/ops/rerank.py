@@ -27,10 +27,18 @@ def score_candidates(
     corpus: jax.Array, cand: jax.Array, queries: jax.Array,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
-    """Masked inner-product scores f32[B, M] of candidate rows."""
+    """Masked inner-product scores f32[B, M] of candidate rows. The corpus
+    may be LANE-PADDED (minor dim a 128 multiple, zero columns): row
+    gathers from 128-aligned rows are up to 2× cheaper on TPU
+    (scripts/bench_rowgather.py); queries pad here to match — zero lanes
+    add nothing to the dot."""
     valid = cand >= 0
     safe = jnp.maximum(cand, 0)
     vecs = jnp.take(corpus, safe, axis=0)  # [B, M, D]
+    if corpus.shape[1] != queries.shape[1]:
+        queries = jnp.pad(
+            queries, ((0, 0), (0, corpus.shape[1] - queries.shape[1]))
+        )
     scores = jnp.einsum(
         "bmd,bd->bm",
         vecs.astype(compute_dtype),

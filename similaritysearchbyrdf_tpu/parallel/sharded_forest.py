@@ -220,6 +220,14 @@ def _fit_from_device_arrays(
         out = fit_fn(values_d, row_ids_d, model, part_proj, coarse_proj)
     sk, si, bk, bs, bsh, rec = out[:6]
     cbt = out[6] if coarse_proj is not None else None
+    # store LANE-PADDED scoring copies (hashing above used the true-D
+    # values): 128-multiple rows gather faster; rerank pads queries to match
+    d = values_d.shape[2]
+    dpad = int(np.ceil(d / 128.0) * 128)
+    corpus_store = (
+        jnp.pad(values_d, ((0, 0), (0, 0), (0, dpad - d)))
+        if dpad != d else values_d
+    )
     return ShardedForestState(
         model=model,
         part_proj=part_proj,
@@ -229,11 +237,11 @@ def _fit_from_device_arrays(
         bucket_starts=bs,
         bucket_shifts=bsh,
         records=rec,
-        corpus=values_d,
+        corpus=corpus_store,
         row_ids=row_ids_d,
         # hashing used the f32 values; only the coarse rerank copy is bf16
         corpus_lp=(
-            values_d.astype(jnp.bfloat16)
+            corpus_store.astype(jnp.bfloat16)
             if conf.rerank_dtype == "bfloat16"
             else None
         ),

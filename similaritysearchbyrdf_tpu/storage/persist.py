@@ -108,6 +108,9 @@ def load_forest(path: str) -> RDFForest:
         records=_build_records(bkeys, bstarts, bshifts),
     )
     corpus = jnp.asarray(z["corpus"])
+    dpad = int(np.ceil(corpus.shape[1] / 128.0) * 128)
+    if dpad != corpus.shape[1]:       # legacy unpadded save: pad on load
+        corpus = jnp.pad(corpus, ((0, 0), (0, dpad - corpus.shape[1])))
     state = ForestState(
         model=model,
         part_proj=jnp.asarray(z["part_proj"]),
@@ -289,7 +292,9 @@ class TieredForest:
             st = self.device_tier.state
             rows = np.flatnonzero(np.asarray(st.row_ids) == key)
             if len(rows):
-                return np.asarray(st.corpus[int(rows[0])], dtype=np.float32)
+                return np.asarray(
+                    st.corpus[int(rows[0]), : self.conf.vector_dim],
+                    dtype=np.float32)
         for stem in self.store.generations():
             if not self.store.summary(stem).might_contain(
                 np.asarray([key], dtype=np.uint32)
@@ -299,7 +304,9 @@ class TieredForest:
             st = tier.state
             rows = np.flatnonzero(np.asarray(st.row_ids) == key)
             if len(rows):
-                return np.asarray(st.corpus[int(rows[0])], dtype=np.float32)
+                return np.asarray(
+                    st.corpus[int(rows[0]), : self.conf.vector_dim],
+                    dtype=np.float32)
         return None
 
     def query(

@@ -46,7 +46,8 @@ def _oracle_query(forest, queries, steps, multiprobe, k, query_ids=None):
     homes = np.asarray(partition_of_hash(jnp.asarray(h), state.part_proj))
     sk = np.asarray(state.tables.sorted_keys)
     si = np.asarray(state.tables.sorted_ids)
-    corpus = np.asarray(state.corpus)
+    # the stored corpus is lane-padded to 128; the oracle works in true D
+    corpus = np.asarray(state.corpus)[:, : forest.conf.vector_dim]
     row_ids = np.asarray(state.row_ids)
     results = []
     for b in range(queries.shape[0]):
