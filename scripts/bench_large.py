@@ -49,10 +49,17 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
     queries = x[:n_query]
 
     t0 = time.perf_counter()
-    gt_ids, _ = exact_search(x, queries, k=max(ks), exclude_self=True)
-    gt_s = time.perf_counter() - t0
-    print(f"[{name}] exact GT: {gt_s:.2f}s ({n_query / gt_s:.0f} qps brute force)",
-          flush=True)
+    gt_cache = f"/tmp/bench_large_{name}_{n}_{d}_gt.npz"
+    try:
+        gt_ids = np.load(gt_cache)["gt"][:, : max(ks)]
+        assert gt_ids.shape[0] == n_query
+        print(f"[{name}] exact GT: cached", flush=True)
+    except Exception:
+        gt_ids, _ = exact_search(x, queries, k=max(ks), exclude_self=True)
+        np.savez(gt_cache, gt=np.asarray(gt_ids))
+        gt_s = time.perf_counter() - t0
+        print(f"[{name}] exact GT: {gt_s:.2f}s "
+              f"({n_query / gt_s:.0f} qps brute force)", flush=True)
 
     forest = RDFForest(conf)
     forest.fit(DenseBatch(ids, x))
