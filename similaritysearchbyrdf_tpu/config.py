@@ -158,6 +158,11 @@ class RDFConfig:
     # DMA gather's bandwidth win beats the per-range window round-up),
     # 0 force block mode, >0 explicit window size in slots
     coarse_window: int = -1
+    # engine selector (TPU extension): "forest" = the reference-semantics
+    # DPF index; "flat" = the quantized-flat MXU scan (ops/flat.py) behind
+    # the same front-end surface — fastest for HBM-resident dense corpora,
+    # no steps/probe knobs (it scores every row)
+    engine: str = "forest"
 
     # --- reproducibility ---
     seed: int = 31258                     # mclab.lsh.seed1

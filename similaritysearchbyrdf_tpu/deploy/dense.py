@@ -21,6 +21,42 @@ from ..index.forest import RDFForest
 from ..vectors import DenseBatch, load_dense_file, load_ground_truth
 
 
+class _FlatEngineAdapter:
+    """RDFForest-shaped facade over :class:`FlatIndex` so the reference
+    front-end surface can run on the quantized-flat engine
+    (`conf.engine = "flat"`). The forest's pruning knobs (`steps`,
+    probe modes, candidate caps) are accepted and ignored — the flat
+    engine scores every row, so they have no effect."""
+
+    def __init__(self, conf: RDFConfig) -> None:
+        from ..ops.flat import FlatIndex
+
+        self.conf = conf
+        self.index = FlatIndex()
+        self.state = None          # front-end "fitted" checks
+
+    def fit(self, batch: DenseBatch) -> "_FlatEngineAdapter":
+        self.index.fit(batch)
+        self.state = self.index
+        return self
+
+    def query(self, queries, steps: int = 0, query_ids=None, k=None, **_):
+        k = k or self.conf.top_k
+        return self.index.query(
+            np.asarray(queries, np.float32), k=k, query_ids=query_ids,
+            exclude_self=query_ids is not None,
+        )
+
+    def size(self) -> int:
+        return 0 if self.index.row_ids is None else int(
+            (np.asarray(self.index.row_ids) >= 0).sum())
+
+    def sub_index_distribution(self):
+        raise RuntimeError(
+            "sub-index distribution is a forest concept; use engine='forest'"
+        )
+
+
 class DenseRDFInit:
     """Stateful front-end over :class:`RDFForest` with the reference's
     method names. The reference's `vectorIdToVector` dataTable is the corpus
@@ -35,7 +71,10 @@ class DenseRDFInit:
     # -- init (`initializeRDFHashMap`, DensevectorRDFInit.scala:50-118) ----
     def initialize_rdf_hash_map(self, conf: RDFConfig) -> None:
         self.conf = conf
-        self.forest = RDFForest(conf)
+        if getattr(conf, "engine", "forest") == "flat":
+            self.forest = _FlatEngineAdapter(conf)
+        else:
+            self.forest = RDFForest(conf)
 
     initializeRDFHashMap = initialize_rdf_hash_map
 

@@ -129,3 +129,31 @@ def test_groupmax_kernel_interpret():
     ref_scores = q.astype(np.float32) @ sk.astype(np.float32).T  # [16, 8192]
     ref = ref_scores.reshape(16, 128, 64).max(axis=-1)
     np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1.0)
+
+
+def test_flat_engine_through_front_end(tmp_path):
+    """conf.engine='flat' routes the reference front-end surface through
+    the quantized-flat engine (steps accepted and ignored)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig
+    from similaritysearchbyrdf_tpu.deploy.dense import DenseRDFInit
+
+    x = _corpus(n=1500, d=32, seed=6)
+    path = tmp_path / "vecs.txt"
+    with open(path, "w") as f:
+        for i, row in enumerate(x):
+            f.write(f"{i},[{','.join(f'{v:.6f}' for v in row)}]\n")
+    front = DenseRDFInit()
+    conf = RDFConfig(vector_dim=32, table_num=2, permutation_num=1,
+                     family_size=40, top_k=10, engine="flat")
+    front.initializeRDFHashMap(conf)
+    batch = front.newFastFit(str(path))
+    assert batch.n == 1500
+    ids, scores = front.forest.query(x[:16], steps=1,
+                                     query_ids=np.arange(16))
+    gt_ids, _ = exact_search(x, x[:16], k=10, exclude_self=True)
+    hits = sum(len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+               for i in range(16))
+    assert hits / 160 >= 0.99
+    # key-based batch query path works through the adapter too
+    out = front.query_batch([0, 5, 9], steps=1)
+    assert len(out) == 3 and all(len(o) > 0 for o in out)
