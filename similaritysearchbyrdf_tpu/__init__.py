@@ -23,7 +23,9 @@ from .index.forest import RDFForest, ForestState, fit_dense, query_dense
 from .index.sparse_forest import SparseRDFForest
 from .index.bucket_table import KeyLayout, BucketTables
 from .ops.exact import exact_search
-from .ops.flat import FlatIndex, flat_topk, build_flat_sketch
+from .ops.flat import (FlatIndex, SparseFlatIndex, flat_topk,
+                       flat_topk_grouped, flat_topk_sparse,
+                       build_flat_sketch)
 from .deploy.dense import DenseRDFInit
 from .deploy.sparse import SparseRDFInit
 from .deploy.multi_feature import MultiFeatureRDFInit
@@ -56,6 +58,9 @@ __all__ = [
     "BucketTables",
     "exact_search",
     "FlatIndex",
+    "SparseFlatIndex",
+    "flat_topk_grouped",
+    "flat_topk_sparse",
     "flat_topk",
     "build_flat_sketch",
     "DenseRDFInit",

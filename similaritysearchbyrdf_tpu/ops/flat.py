@@ -224,32 +224,19 @@ class FlatIndex:
         return np.concatenate(out_i), np.concatenate(out_s)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
-                     "use_pallas", "recall_target"),
-)
-def flat_topk_grouped(
+def _grouped_candidates(
     sketch: jax.Array,            # int8/bf16 [N, D]
-    corpus: jax.Array,            # f32[N, D]
-    row_ids: jax.Array,           # i32[N]
-    queries: jax.Array,           # f32[B, D]
-    query_ids: jax.Array,         # i32[B]
-    k: int,
-    refine: int = 128,
-    r_groups: int = 32,
-    group: int = 64,
-    exclude_self: bool = True,
-    use_pallas: bool = True,
-    recall_target: float = 0.998,
+    queries: jax.Array,           # f32[B, D] (dense or densified)
+    refine: int,
+    r_groups: int,
+    group: int,
+    use_pallas: bool,
+    recall_target: float,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Grouped flat scan: fused matmul+group-max (never materializes the
-    [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
-    `r_groups` groups per query are re-scored row-wise (contiguous 64-row
-    windows through the aligned-window DMA kernel on TPU) and the top
-    `refine` rows get the exact f32 re-score. Group-max preselection with
-    r_groups ≥ 3k cannot drop a true top-k row (see flat_groupmax docs);
-    recall is int8-sketch-bound, same as `flat_topk`."""
+    """Shared grouped preselection: fused matmul+group-max → top groups →
+    row-wise window re-score → (cand i32[B, refine] row positions,
+    sel_s f32[B, refine] sketch scores; -inf = invalid). Engine-specific
+    exact tails (dense f32 rows / sparse merge) consume the output."""
     n, d = sketch.shape
     b = queries.shape[0]
     npad = int(np.ceil(n / 8192)) * 8192
@@ -313,7 +300,202 @@ def flat_topk_grouped(
     _, sel = jax.lax.approx_max_k(w_scores, r2, recall_target=recall_target)
     cand = jnp.take_along_axis(pos, sel, axis=1)        # [B, refine]
     sel_s = jnp.take_along_axis(w_scores, sel, axis=1)
+    sel_s = jnp.where(cand < n, sel_s, -jnp.inf)
+    return cand, sel_s
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
+                     "use_pallas", "recall_target"),
+)
+def flat_topk_grouped(
+    sketch: jax.Array,            # int8/bf16 [N, D]
+    corpus: jax.Array,            # f32[N, D] (may be lane-padded)
+    row_ids: jax.Array,           # i32[N]
+    queries: jax.Array,           # f32[B, D]
+    query_ids: jax.Array,         # i32[B]
+    k: int,
+    refine: int = 128,
+    r_groups: int = 32,
+    group: int = 64,
+    exclude_self: bool = True,
+    use_pallas: bool = True,
+    recall_target: float = 0.998,
+) -> Tuple[jax.Array, jax.Array]:
+    """Grouped flat scan: fused matmul+group-max (never materializes the
+    [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
+    `r_groups` groups per query are re-scored row-wise (contiguous 64-row
+    windows through the aligned-window DMA kernel on TPU) and the top
+    `refine` rows get the exact f32 re-score. Group-max preselection with
+    r_groups ≥ 3k cannot drop a true top-k row (see flat_groupmax docs)
+    PROVIDED the group select runs at a high recall target; recall is
+    int8-sketch-bound, same as `flat_topk`."""
+    cand, sel_s = _grouped_candidates(
+        sketch, queries, refine, r_groups, group, use_pallas, recall_target
+    )
     return _exact_refine(corpus, row_ids, queries, cand,
-                         jnp.isfinite(sel_s) & (cand < n), query_ids, k,
-                         exclude_self)
+                         jnp.isfinite(sel_s), query_ids, k, exclude_self)
+
+
+# ---------------------------------------------------------------------------
+# Sparse flat engine: densified int8 sketch scan + exact sparse-merge refine
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("size", "chunk"))
+def _densify_quantize(
+    indices: jax.Array,   # i32[N, NNZ]
+    values: jax.Array,    # f32[N, NNZ] (padding values 0)
+    scale: jax.Array,     # f32 scalar
+    size: int,
+    chunk: int = 65536,
+) -> jax.Array:
+    """int8[N, size_pad] densified sketch, built in row chunks so the f32
+    dense intermediate never exceeds chunk×size."""
+    n, nnz = indices.shape
+    size_pad = int(np.ceil(size / 128.0) * 128)
+    npad = int(np.ceil(n / chunk)) * chunk
+    idx = jnp.pad(indices, ((0, npad - n), (0, 0)))
+    val = jnp.pad(values, ((0, npad - n), (0, 0)))
+
+    def one(args):
+        ic, vc = args
+        rows = jnp.zeros((chunk, size_pad), jnp.float32)
+        rows = rows.at[
+            jnp.arange(chunk, dtype=jnp.int32)[:, None], ic
+        ].add(vc)
+        return jnp.clip(jnp.round(rows * scale), -127, 127).astype(jnp.int8)
+
+    out = jax.lax.map(
+        one, (idx.reshape(-1, chunk, nnz), val.reshape(-1, chunk, nnz))
+    )
+    return out.reshape(npad, size_pad)[:n]
+
+
+def build_flat_sketch_sparse(
+    indices: jax.Array, values: jax.Array, size: int,
+) -> Tuple[jax.Array, float]:
+    """Densified int8 sketch of a padded-COO sparse corpus. The densified
+    copy costs N × pad128(size) bytes (1M × 4096d → 4.1 GB) — affordable
+    exactly because int8 is 4× smaller than the f32 densification the
+    sparse path could never hold. Returns (sketch, scale)."""
+    amax = float(jnp.max(jnp.abs(values)))
+    scale = 127.0 / max(amax, 1e-30)
+    return (
+        _densify_quantize(indices, values, jnp.float32(scale), size),
+        scale,
+    )
+
+
+def _densify_queries(q_indices, q_values, size_pad):
+    b = q_indices.shape[0]
+    q = jnp.zeros((b, size_pad), jnp.float32)
+    return q.at[jnp.arange(b, dtype=jnp.int32)[:, None], q_indices].add(
+        q_values
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
+                     "use_pallas", "recall_target"),
+)
+def flat_topk_sparse(
+    sketch: jax.Array,            # int8[N, size_pad] densified corpus
+    corpus_indices: jax.Array,    # i32[N, NNZ] exact tier (sparse)
+    corpus_values: jax.Array,     # f32[N, NNZ]
+    row_ids: jax.Array,           # i32[N]
+    q_indices: jax.Array,         # i32[B, NNZq]
+    q_values: jax.Array,          # f32[B, NNZq]
+    query_ids: jax.Array,         # i32[B]
+    k: int,
+    refine: int = 128,
+    r_groups: int = 24,
+    group: int = 64,
+    exclude_self: bool = True,
+    use_pallas: bool = True,
+    recall_target: float = 0.998,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse flat search: queries densify to the sketch's dense space, the
+    grouped MXU scan preselects candidates, and the exact tail is the
+    sort-merge sparse·sparse dot (`rerank.sparse_merge_scores`) — the
+    sparse corpus itself is never densified at f32."""
+    from .rerank import sparse_merge_scores
+
+    qd = _densify_queries(q_indices, q_values, sketch.shape[1])
+    cand, sel_s = _grouped_candidates(
+        sketch, qd, refine, r_groups, group, use_pallas, recall_target
+    )
+    exact = sparse_merge_scores(
+        corpus_indices, corpus_values,
+        jnp.where(jnp.isfinite(sel_s), cand, -1), q_indices, q_values,
+    )
+    n = row_ids.shape[0]
+    safe = jnp.clip(cand, 0, n - 1)
+    uid = row_ids[safe]
+    valid = jnp.isfinite(sel_s) & jnp.isfinite(exact) & (uid >= 0)
+    if exclude_self:
+        valid &= uid != query_ids[:, None]
+    exact = jnp.where(valid, exact, -jnp.inf)
+    top_s, top_u = _top_k(exact, uid, k)
+    return jnp.where(jnp.isfinite(top_s), top_u, -1), top_s
+
+
+class SparseFlatIndex:
+    """Host orchestrator for the sparse flat engine (same query surface as
+    `SparseRDFForest`; `steps` has no meaning — every row is scored)."""
+
+    def __init__(self, refine: int = 128, r_groups: int = 24,
+                 query_batch: int = 1024):
+        self.refine = refine
+        self.r_groups = r_groups
+        self.query_batch = query_batch
+        self.sketch = None
+
+    def fit(self, batch) -> "SparseFlatIndex":
+        """batch: vectors.SparseBatch."""
+        self.c_idx = jnp.asarray(batch.indices)
+        self.c_val = jnp.asarray(batch.values)
+        self.size = int(batch.size)
+        self.sketch, self.scale = build_flat_sketch_sparse(
+            self.c_idx, self.c_val, self.size
+        )
+        self.row_ids = jnp.asarray(np.asarray(batch.ids, dtype=np.int32))
+        return self
+
+    def query(
+        self,
+        q_indices: np.ndarray,
+        q_values: np.ndarray,
+        k: int = 10,
+        query_ids: Optional[np.ndarray] = None,
+        exclude_self: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.sketch is None:
+            print("need to fit the data first")
+            return (np.full((len(q_indices), k), -1, np.int32),
+                    np.full((len(q_indices), k), -np.inf, np.float32))
+        nq = len(q_indices)
+        qids = (np.asarray(query_ids, dtype=np.int32)
+                if query_ids is not None
+                else np.full((nq,), -1, np.int32))
+        bsz = self.query_batch
+        out_i, out_s = [], []
+        for s0 in range(0, nq, bsz):
+            s1 = min(s0 + bsz, nq)
+            pad = bsz - (s1 - s0)
+            qi = jnp.asarray(np.pad(np.asarray(q_indices[s0:s1], np.int32),
+                                    ((0, pad), (0, 0))))
+            qv = jnp.asarray(np.pad(np.asarray(q_values[s0:s1], np.float32),
+                                    ((0, pad), (0, 0))))
+            qid = jnp.asarray(np.pad(qids[s0:s1], (0, pad),
+                                     constant_values=-1))
+            ids, scores = flat_topk_sparse(
+                self.sketch, self.c_idx, self.c_val, self.row_ids,
+                qi, qv, qid, k, refine=self.refine, r_groups=self.r_groups,
+                exclude_self=exclude_self,
+            )
+            out_i.append(np.asarray(ids[: s1 - s0]))
+            out_s.append(np.asarray(scores[: s1 - s0]))
+        return np.concatenate(out_i), np.concatenate(out_s)

@@ -152,6 +152,42 @@ def rerank_sparse(
     return dedup_topk(c2, s2, k)
 
 
+def sparse_merge_scores(
+    corpus_indices: jax.Array,  # i32[N, NNZ]
+    corpus_values: jax.Array,   # f32[N, NNZ]
+    cand: jax.Array,            # i32[B, M] (-1 = invalid)
+    q_indices: jax.Array,       # i32[B, NNZq]
+    q_values: jax.Array,        # f32[B, NNZq]
+) -> jax.Array:
+    """Exact sparse·sparse scores f32[B, M] by sort-merge (-inf invalid);
+    the scoring core of `rerank_sparse_merge`, reusable by other engines
+    (the sparse flat engine's exact tail)."""
+    valid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    c_idx = jnp.take(corpus_indices, safe, axis=0)   # [B, M, NNZ]
+    c_val = jnp.take(corpus_values, safe, axis=0)
+    b, m, nnz = c_idx.shape
+    nnzq = q_indices.shape[1]
+    big = jnp.int32(2**30)
+    kc = jnp.where(c_val != 0.0, c_idx * 2, big)
+    kq_row = jnp.where(q_values != 0.0, q_indices * 2 + 1, big + 1)
+    kq = jnp.broadcast_to(kq_row[:, None, :], (b, m, nnzq))
+    vq = jnp.broadcast_to(q_values[:, None, :], (b, m, nnzq))
+    keys = jnp.concatenate([kc, kq], axis=-1)        # [B, M, NNZ+NNZq]
+    vals = jnp.concatenate([c_val, vq], axis=-1)
+    keys_s, vals_s = jax.lax.sort((keys, vals), dimension=2, num_keys=1)
+    is_c = (keys_s & 1) == 0
+    match = (
+        ((keys_s[..., 1:] >> 1) == (keys_s[..., :-1] >> 1))
+        & is_c[..., :-1]
+        & ~is_c[..., 1:]
+    )
+    scores = jnp.sum(
+        jnp.where(match, vals_s[..., 1:] * vals_s[..., :-1], 0.0), axis=-1
+    )
+    return jnp.where(valid, scores, NEG_INF)
+
+
 def rerank_sparse_merge(
     corpus_indices: jax.Array,  # i32[N, NNZ]
     corpus_values: jax.Array,   # f32[N, NNZ]
@@ -176,32 +212,9 @@ def rerank_sparse_merge(
     `SparseVector` guarantees this (`Vector.scala:374-417` keeps
     `indexToMap` a HashMap). Zero-valued entries (incl. padding) are routed
     to an out-of-range key so they can never break a real pair's adjacency."""
-    valid = cand >= 0
-    safe = jnp.maximum(cand, 0)
-    c_idx = jnp.take(corpus_indices, safe, axis=0)   # [B, M, NNZ] row slices
-    c_val = jnp.take(corpus_values, safe, axis=0)
-    b, m, nnz = c_idx.shape
-    nnzq = q_indices.shape[1]
-    big = jnp.int32(2**30)
-    # side bit: corpus even, query odd → ascending sort puts the corpus
-    # entry immediately before its matching query entry
-    kc = jnp.where(c_val != 0.0, c_idx * 2, big)
-    kq_row = jnp.where(q_values != 0.0, q_indices * 2 + 1, big + 1)
-    kq = jnp.broadcast_to(kq_row[:, None, :], (b, m, nnzq))
-    vq = jnp.broadcast_to(q_values[:, None, :], (b, m, nnzq))
-    keys = jnp.concatenate([kc, kq], axis=-1)        # [B, M, NNZ+NNZq]
-    vals = jnp.concatenate([c_val, vq], axis=-1)
-    keys_s, vals_s = jax.lax.sort((keys, vals), dimension=2, num_keys=1)
-    is_c = (keys_s & 1) == 0
-    match = (
-        ((keys_s[..., 1:] >> 1) == (keys_s[..., :-1] >> 1))
-        & is_c[..., :-1]
-        & ~is_c[..., 1:]
+    scores = sparse_merge_scores(
+        corpus_indices, corpus_values, cand, q_indices, q_values
     )
-    scores = jnp.sum(
-        jnp.where(match, vals_s[..., 1:] * vals_s[..., :-1], 0.0), axis=-1
-    )
-    scores = jnp.where(valid, scores, NEG_INF)
     m2 = _dedup_width(cand.shape[1], k, dup_bound)
     s2, c2 = _select_top(scores, cand, m2)
     return dedup_topk(c2, s2, k)

@@ -157,3 +157,66 @@ def test_flat_engine_through_front_end(tmp_path):
     # key-based batch query path works through the adapter too
     out = front.query_batch([0, 5, 9], steps=1)
     assert len(out) == 3 and all(len(o) > 0 for o in out)
+
+
+def _sparse_corpus(n=3000, vocab=512, nnz=16, seed=0):
+    rng = np.random.default_rng(seed)
+    idx = np.stack([
+        np.sort(rng.choice(vocab, size=nnz, replace=False))
+        for _ in range(n)
+    ]).astype(np.int32)
+    val = rng.lognormal(0.0, 0.4, size=(n, nnz)).astype(np.float32)
+    val /= np.linalg.norm(val, axis=1, keepdims=True)
+    return idx, val
+
+
+def test_sparse_flat_matches_exact():
+    from similaritysearchbyrdf_tpu.ops.exact import exact_topk_sparse
+    from similaritysearchbyrdf_tpu.ops.flat import SparseFlatIndex
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+    import jax.numpy as jnp
+
+    n, vocab, nnz = 3000, 512, 16
+    idx, val = _sparse_corpus(n, vocab, nnz)
+    batch = SparseBatch(ids=np.arange(n, dtype=np.int32), size=vocab,
+                        indices=idx, values=val,
+                        lengths=np.full(n, nnz, np.int32))
+    engine = SparseFlatIndex(refine=64, r_groups=16).fit(batch)
+    nq = 48
+    ids, scores = engine.query(idx[:nq], val[:nq], k=10,
+                               query_ids=np.arange(nq))
+    # exact GT via densified queries
+    qd = np.zeros((nq, vocab), np.float32)
+    np.put_along_axis(qd, idx[:nq], val[:nq], axis=1)
+    gt_ids, gt_sc = exact_topk_sparse(
+        jnp.asarray(idx), jnp.asarray(val), jnp.asarray(qd), 10,
+        exclude_diag_offset=0,
+    )
+    gt_ids = np.asarray(gt_ids)
+    hits = sum(len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+               for i in range(nq))
+    assert hits / (nq * 10) >= 0.97
+    # exact tail: overlapping results carry exact sparse-dot scores
+    gt_sc = np.asarray(gt_sc)
+    for i in range(4):
+        common = set(map(int, ids[i])) & set(map(int, gt_ids[i]))
+        for uidv in list(common)[:3]:
+            a = scores[i][list(ids[i]).index(uidv)]
+            bsc = gt_sc[i][list(gt_ids[i]).index(uidv)]
+            np.testing.assert_allclose(a, bsc, rtol=1e-4)
+
+
+def test_sparse_flat_excludes_self():
+    from similaritysearchbyrdf_tpu.ops.flat import SparseFlatIndex
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+
+    idx, val = _sparse_corpus(800, 256, 8, seed=3)
+    batch = SparseBatch(ids=np.arange(800, dtype=np.int32), size=256,
+                        indices=idx, values=val,
+                        lengths=np.full(800, 8, np.int32))
+    engine = SparseFlatIndex(refine=32, r_groups=8).fit(batch)
+    ids, _ = engine.query(idx[:20], val[:20], k=5, query_ids=np.arange(20))
+    for i in range(20):
+        assert i not in set(map(int, ids[i]))
+    ids2, _ = engine.query(idx[:20], val[:20], k=1, exclude_self=False)
+    assert (ids2[:, 0] == np.arange(20)).mean() >= 0.9
