@@ -178,7 +178,9 @@ def main():
 
     # headline = best engine at recall >= the reference's ~0.9 operating
     # point; the forest (reference candidate-set semantics) and the flat
-    # engine (TPU-native scan) are both part of the framework
+    # engine (TPU-native scan) are both part of the framework. The metric
+    # name carries the engine so a flat-engine headline is never mistaken
+    # for the forest's ANN number (advisor round-1 finding).
     if flat_recall >= max(0.85, recall - 0.005) and flat_qps > qps:
         head_qps, head_recall, head_engine = flat_qps, flat_recall, "flat"
     else:
@@ -186,7 +188,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "glove100d_20k_qps_at_recall10",
+                "metric": f"glove100d_20k_qps_at_recall10_{head_engine}",
                 "value": round(head_qps, 2),
                 "unit": "qps",
                 "vs_baseline": round(head_qps / BASELINE_QPS, 2),

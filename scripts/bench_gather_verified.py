@@ -2,7 +2,7 @@
 variant first checks a sample of its output against numpy (guards against
 the fresh-process silently-not-executing artifact that poisoned earlier
 microbenches), in a process warmed by a real fit.
-Run: python scripts/repro_gather4.py
+Run: python scripts/bench_gather_verified.py
 """
 
 import sys

@@ -116,7 +116,11 @@ class RDFConfig:
 
     # --- query / eval ---
     top_k: int = 10                       # mclab.lsh.topK
-    similarity_threshold: float = 0.0     # mclab.lsh.similarityThreshold
+    # mclab.lsh.similarityThreshold. In the reference this backs a DEAD
+    # hash-Hamming-distance post-filter (`RandomDrawTreeMap.java:856-868`);
+    # here a value > 0 post-filters forest query results by exact similarity
+    # score (ids with score < threshold become -1). 0.0 = off.
+    similarity_threshold: float = 0.0
 
     # --- persistence (ref §3.5) ---
     working_dir_root: str = "PersistIndex"  # mclab.lsh.workingDirRoot

@@ -159,6 +159,25 @@ class SparseRDFInit:
 
     topKAndPrecisionScore = top_k_and_precision_score
 
+    # -- introspection (`getDtAndHtNumDistribution`,
+    # SparsevectorRDFInit.scala:505-530) ------------------------------------
+    def get_dt_and_ht_num_distribution(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(dataTable, hashTable) objects-per-sub-index distributions — the
+        sparse mirror of the dense front-end's introspection. The
+        dataTable's partition axis is the HashPartitioner modulo
+        (`utils/Partitioner.scala:14-18`); the hashTables' is the mean over
+        tables of the LSH-partition distribution."""
+        forest = self._require()
+        assert forest.state is not None and self.conf is not None
+        ids = np.asarray(forest.state.row_ids)
+        ids = ids[ids >= 0]
+        ndp = self.conf.num_data_partitions
+        dt = np.bincount(np.abs(ids) % ndp, minlength=ndp).astype(np.float64)
+        ht = forest.sub_index_distribution().mean(axis=0).astype(np.float64)
+        return dt, ht
+
+    getDtAndHtNumDistribution = get_dt_and_ht_num_distribution
+
     def clear_and_close(self) -> None:
         self.forest = None
         self._all_vectors = None

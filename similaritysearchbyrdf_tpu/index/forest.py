@@ -308,6 +308,47 @@ def _probe_hashes(
     return probes, valid
 
 
+def stepwise_pattern_count(partition_bits: int, steps: int) -> int:
+    """Number of XOR patterns within Hamming distance <= steps."""
+    return len(stepwise_patterns(partition_bits, steps))
+
+
+def probe_key_set(
+    h: jax.Array,                # u32[B, L]
+    home: jax.Array,             # i32[B, L]
+    layout: KeyLayout,
+    steps: int,
+    multiprobe: bool,
+    probes: Optional[jax.Array] = None,       # u32[B, L, P] (override)
+    probe_valid: Optional[jax.Array] = None,  # bool[B, L, P]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The full composite probe-key fan-out of a query batch: step-wise
+    partition patterns (P3) x multi-probe bit flips (P5), flattened
+    table-major. Returns (probe_keys u32[B, R], table_of i32[R],
+    valid bool[B, R]) with R = L * S * P. Shared by `gather_blocks` and the
+    tiered store's generation gate (`storage/persist.py`)."""
+    b, l = h.shape
+    patterns = jnp.asarray(
+        stepwise_patterns(layout.partition_bits, steps), dtype=jnp.uint32
+    )                                                           # [S]
+    s = patterns.shape[0]
+    parts = home.astype(jnp.uint32)[..., None] ^ patterns[None, None, :]  # [B,L,S]
+    if probes is None:
+        probes, probe_valid = _probe_hashes(h, layout, multiprobe)  # [B, L, P]
+    p = probes.shape[-1]
+    # composite probe keys [B, L, S, P]; seg always comes from the original
+    # h (probe flips never touch seg bits: i < bucket_bits)
+    probe_keys = composite_keys(
+        probes[:, :, None, :], parts[..., None].astype(jnp.int32), layout
+    )
+    r = l * s * p
+    table_of = jnp.repeat(jnp.arange(l, dtype=jnp.int32), s * p)  # [R]
+    valid_r = jnp.broadcast_to(
+        probe_valid[:, :, None, :], (b, l, s, p)
+    ).reshape(b, r)
+    return probe_keys.reshape(b, r), table_of, valid_r
+
+
 def gather_blocks(
     tables: BucketTables,
     h: jax.Array,                # u32[B, L]
@@ -337,30 +378,15 @@ def gather_blocks(
     extra start channel. Slot budget inflation ≈ (head + round-up) per
     range; size m_cap accordingly (e.g. 2x the block-mode cap)."""
     b, l = h.shape
-
-    # step-wise partition fan-out (P3): static pattern list
-    patterns = jnp.asarray(
-        stepwise_patterns(layout.partition_bits, steps), dtype=jnp.uint32
-    )                                                           # [S]
-    s = patterns.shape[0]
-    parts = home.astype(jnp.uint32)[..., None] ^ patterns[None, None, :]  # [B,L,S]
-
-    if probes is None:
-        probes, probe_valid = _probe_hashes(h, layout, multiprobe)  # [B, L, P]
-    p = probes.shape[-1]
-
-    # composite probe keys [B, L, S, P]; seg always comes from the original
-    # h (probe flips never touch seg bits: i < bucket_bits)
-    probe_keys = composite_keys(
-        probes[:, :, None, :], parts[..., None].astype(jnp.int32), layout
+    probe_keys, table_of, probe_valid = probe_key_set(
+        h, home, layout, steps, multiprobe, probes, probe_valid
     )
-    r = l * s * p
-    probe_keys = probe_keys.reshape(b, r)
-    table_of = jnp.repeat(jnp.arange(l, dtype=jnp.int32), s * p)  # [R]
+    r = probe_keys.shape[1]
+    s = stepwise_pattern_count(layout.partition_bits, steps)
+    p = r // (l * s)
 
     start, length = lookup_ranges(tables, probe_keys, table_of)
-    valid_r = jnp.broadcast_to(probe_valid[:, :, None, :], (b, l, s, p)).reshape(b, r)
-    length = jnp.where(valid_r, length, 0)
+    length = jnp.where(probe_valid, length, 0)
 
     # --- range dedup + priority: many probes resolve to the SAME bucket
     # (shallow buckets ignore most flipped bits), so dedupe (table, start)
@@ -377,6 +403,9 @@ def gather_blocks(
     # probes (low-bit flips share the longest trie prefix), margin order for
     # margin probes (both generators emit [flips..., self]). When m_cap
     # truncates, the LOWEST-VALUE buckets are dropped first.
+    patterns = jnp.asarray(
+        stepwise_patterns(layout.partition_bits, steps), dtype=jnp.uint32
+    )
     dist = jax.lax.population_count(patterns).astype(jnp.int32)       # [S]
     probe_rank = jnp.concatenate(
         [jnp.arange(1, p, dtype=jnp.int32), jnp.zeros((1,), jnp.int32)]
@@ -580,7 +609,7 @@ def _gather_id_blocks(
     but slice gathers with a dynamic start in the MINOR dimension lower to a
     scalar dynamic-slice loop at ~2.4 µs per slice regardless of width —
     ~19× slower than the bs=8 element gathers they'd replace (measured,
-    scripts/repro_gather4.py: 2460 ns per (1,8)-slice block vs 129 ns per
+    scripts/bench_gather_verified.py: 2460 ns per (1,8)-slice block vs 129 ns per
     8-element block; earlier microbenches claiming the opposite hit the
     fresh-process no-execute artifact). Returns i32[B, MB*bs]."""
     l, cap = sorted_ids.shape
@@ -1000,6 +1029,29 @@ class RDFForest:
         Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap default to
         the config's coarse_refine / max_candidates (per-call overrides let
         operating-point sweeps reuse one fitted forest)."""
+        ids, scores = self.query_device(
+            queries, steps=steps, query_ids=query_ids, k=k,
+            multiprobe=multiprobe, probe_mode=probe_mode,
+            probe_budget=probe_budget, coarse_refine=coarse_refine,
+            m_cap=m_cap,
+        )
+        return np.asarray(ids), np.asarray(scores)
+
+    def query_device(
+        self,
+        queries: np.ndarray,
+        steps: int = 0,
+        query_ids: Optional[np.ndarray] = None,
+        k: Optional[int] = None,
+        multiprobe: bool = True,
+        probe_mode: str = "reference",
+        probe_budget: int = 8,
+        coarse_refine: Optional[int] = None,
+        m_cap: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """`query` without the final host transfer: returns device arrays so
+        multi-tier callers (`storage.persist.TieredForest`) can merge many
+        forests' top-ks in one device program and transfer once."""
         assert self.state is not None, "need to fit the data first"
         k = k or self.conf.top_k
         queries = np.asarray(queries, dtype=np.float32)
@@ -1023,7 +1075,15 @@ class RDFForest:
             coarse_refine=coarse_refine or self.conf.coarse_refine,
             coarse_window=self.conf.coarse_window,
         )
-        return np.asarray(ids)[:q], np.asarray(scores)[:q]
+        thr = self.conf.similarity_threshold
+        if thr > 0.0:
+            # score post-filter: the live equivalent of the reference's dead
+            # hash-distance filter (`RandomDrawTreeMap.java:856-868`) —
+            # exact similarity, not hash Hamming distance (config.py)
+            keep = scores >= thr
+            ids = jnp.where(keep, ids, -1)
+            scores = jnp.where(keep, scores, -jnp.inf)
+        return ids[:q], scores[:q]
 
     # -- introspection ------------------------------------------------------
     def size(self) -> int:

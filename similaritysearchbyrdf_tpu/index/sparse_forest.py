@@ -104,6 +104,7 @@ def fit_sparse(
     `SparsevectorRDFInit.newMultiThreadFit` (`SparsevectorRDFInit.scala:
     124-200`)."""
     layout = KeyLayout.from_config(conf, conf.lsh_table)
+    rerank_ops.check_sparse_size_for_merge(batch.size)
     model = model if model is not None else generate_model(conf)
     part_proj = (
         part_proj if part_proj is not None else generate_partition_projections(conf)
@@ -407,9 +408,36 @@ class SparseRDFForest:
             coarse_refine=self.conf.coarse_refine,
             coarse_window=self.conf.coarse_window,
         )
+        thr = self.conf.similarity_threshold
+        if thr > 0.0:
+            # score post-filter (see config.similarity_threshold): the live
+            # equivalent of `RandomDrawTreeMap.java:856-868`
+            keep = scores >= thr
+            ids = jnp.where(keep, ids, -1)
+            scores = jnp.where(keep, scores, -jnp.inf)
         return np.asarray(ids)[:q], np.asarray(scores)[:q]
 
     def size(self) -> int:
         if self.state is None:
             return 0
         return int(jnp.sum(self.state.row_ids >= 0))
+
+    def sub_index_distribution(self) -> np.ndarray:
+        """Objects per (table, sub-index) — the sparse mirror of the dense
+        forest's `allSubIndexObjectsNumberDistribution`
+        (`RandomDrawTreeMap.java:2793-2802`; surfaced by the sparse
+        front-end's `getDtAndHtNumDistribution`,
+        `SparsevectorRDFInit.scala:505-530`)."""
+        assert self.state is not None
+        keys = np.asarray(self.state.tables.sorted_keys)
+        ids = np.asarray(self.state.tables.sorted_ids)[:, : keys.shape[1]]
+        parts = (
+            keys >> (self.layout.seg_bits + self.layout.consumed_bits)
+        ).astype(np.int64)
+        l = keys.shape[0]
+        np_parts = 1 << self.layout.partition_bits
+        dist = np.zeros((l, np_parts), dtype=np.int64)
+        for t in range(l):
+            vals, counts = np.unique(parts[t][ids[t] >= 0], return_counts=True)
+            dist[t, vals] = counts
+        return dist

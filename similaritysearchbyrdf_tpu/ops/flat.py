@@ -208,9 +208,13 @@ class FlatIndex:
             qi = jnp.asarray(np.pad(qids[s0:s1], (0, pad),
                                     constant_values=-1))
             if self.mode == "grouped":
+                # no-drop guideline for group-max preselection: >= 3k groups
+                # (see flat_groupmax docs) — derive from k so a caller's
+                # larger top_k can't silently under-select
+                rg = max(self.r_groups, 3 * k)
                 ids, scores = flat_topk_grouped(
                     self.sketch, self.corpus, self.row_ids, qc, qi, k,
-                    refine=self.refine, r_groups=self.r_groups,
+                    refine=self.refine, r_groups=rg,
                     exclude_self=exclude_self,
                 )
             else:
@@ -455,6 +459,9 @@ class SparseFlatIndex:
 
     def fit(self, batch) -> "SparseFlatIndex":
         """batch: vectors.SparseBatch."""
+        from .rerank import check_sparse_size_for_merge
+
+        check_sparse_size_for_merge(int(batch.size))
         self.c_idx = jnp.asarray(batch.indices)
         self.c_val = jnp.asarray(batch.values)
         self.size = int(batch.size)
@@ -493,7 +500,8 @@ class SparseFlatIndex:
                                      constant_values=-1))
             ids, scores = flat_topk_sparse(
                 self.sketch, self.c_idx, self.c_val, self.row_ids,
-                qi, qv, qid, k, refine=self.refine, r_groups=self.r_groups,
+                qi, qv, qid, k, refine=self.refine,
+                r_groups=max(self.r_groups, 3 * k),
                 exclude_self=exclude_self,
             )
             out_i.append(np.asarray(ids[: s1 - s0]))

@@ -22,6 +22,21 @@ NEG_INF = float("-inf")
 
 _SENTINEL = 2**31 - 1
 
+# Largest sparse feature-space size the sort-merge re-rank supports: keys
+# pack as index*2(+1) in int32 with pad sentinels 2**31-2 / 2**31-1, so
+# every real index must satisfy idx*2+1 < 2**31-2.
+MAX_MERGE_FEATURE_SIZE = 2**30 - 1
+
+
+def check_sparse_size_for_merge(size: int) -> None:
+    """Guard (call at fit time) that feature indices can never collide with
+    the sort-merge pad sentinels of `sparse_merge_scores`."""
+    if size > MAX_MERGE_FEATURE_SIZE:
+        raise ValueError(
+            f"sparse feature-space size {size} exceeds the sort-merge "
+            f"re-rank limit {MAX_MERGE_FEATURE_SIZE} (int32 key packing)"
+        )
+
 
 def score_candidates(
     corpus: jax.Array, cand: jax.Array, queries: jax.Array,
@@ -168,7 +183,10 @@ def sparse_merge_scores(
     c_val = jnp.take(corpus_values, safe, axis=0)
     b, m, nnz = c_idx.shape
     nnzq = q_indices.shape[1]
-    big = jnp.int32(2**30)
+    # pad keys sit at the very top of int32 so no real feature index can
+    # collide: idx*2(+1) for idx < 2**30-1 stays below 2**31-3 (callers
+    # guard the feature-space size via check_sparse_size_for_merge)
+    big = jnp.int32(2**31 - 2)
     kc = jnp.where(c_val != 0.0, c_idx * 2, big)
     kq_row = jnp.where(q_values != 0.0, q_indices * 2 + 1, big + 1)
     kq = jnp.broadcast_to(kq_row[:, None, :], (b, m, nnzq))

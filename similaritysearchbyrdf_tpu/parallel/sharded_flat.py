@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.flat import flat_topk
+from ..ops.flat import flat_topk, flat_topk_sparse, _densify_quantize
 from .mesh import SHARD_AXIS, make_forest_mesh
 
 
@@ -65,22 +65,27 @@ def fit_flat_sharded(
     return state, mesh
 
 
-def _local_flat_query(sketch, corpus, row_ids, queries, query_ids,
-                      *, k, refine, block, exclude_self):
-    ids, scores = flat_topk(
-        sketch, corpus, row_ids, queries, query_ids, k,
-        refine=refine, block=block, exclude_self=exclude_self,
-    )
+def _gather_merge_topk(ids, scores, k):
+    """ICI all-gather of per-shard top-k + replicated merge — the single
+    collective of every sharded engine's read path."""
     g_ids = jax.lax.all_gather(ids, SHARD_AXIS)          # [ndev, B, k]
     g_scores = jax.lax.all_gather(scores, SHARD_AXIS)
-    b = queries.shape[0]
-    ndev = g_ids.shape[0]
+    ndev, b = g_ids.shape[0], g_ids.shape[1]
     flat_ids = jnp.moveaxis(g_ids, 0, 1).reshape(b, ndev * k)
     flat_scores = jnp.moveaxis(g_scores, 0, 1).reshape(b, ndev * k)
     m_scores, m_idx = jax.lax.top_k(flat_scores, k)
     m_ids = jnp.take_along_axis(flat_ids, m_idx, axis=1)
     m_ids = jnp.where(jnp.isfinite(m_scores), m_ids, -1)
     return m_ids, m_scores
+
+
+def _local_flat_query(sketch, corpus, row_ids, queries, query_ids,
+                      *, k, refine, block, exclude_self):
+    ids, scores = flat_topk(
+        sketch, corpus, row_ids, queries, query_ids, k,
+        refine=refine, block=block, exclude_self=exclude_self,
+    )
+    return _gather_merge_topk(ids, scores, k)
 
 
 def make_flat_query_fn(
@@ -105,6 +110,141 @@ def make_flat_query_fn(
         lambda state, q, qi: fn(state.sketch, state.corpus, state.row_ids,
                                 q, qi)
     )
+
+
+class ShardedSparseFlatState(NamedTuple):
+    sketch: jax.Array     # int8 [ndev*Nloc, size_pad], row-sharded
+    c_idx: jax.Array      # i32  [ndev*Nloc, NNZ], row-sharded (exact tier)
+    c_val: jax.Array      # f32  [ndev*Nloc, NNZ], row-sharded
+    row_ids: jax.Array    # i32  [ndev*Nloc], row-sharded (-1 = pad)
+
+
+def fit_sparse_flat_sharded(
+    batch,                           # vectors.SparseBatch
+    mesh: Optional[Mesh] = None,
+) -> Tuple[ShardedSparseFlatState, Mesh]:
+    """Shard the sparse flat engine (`ops.flat.SparseFlatIndex`) over the
+    mesh: the padded-COO exact tier and the densified int8 sketch are
+    row-sharded; densification runs SPMD inside shard_map so the f32 dense
+    intermediate never exceeds one shard's chunk on any device. The int8
+    scale is global (per-shard scales would corrupt the merged ranking)."""
+    from ..ops.rerank import check_sparse_size_for_merge
+
+    mesh = mesh or make_forest_mesh()
+    check_sparse_size_for_merge(int(batch.size))
+    ndev = mesh.shape[SHARD_AXIS]
+    n, nnz = batch.indices.shape
+    nloc = int(np.ceil(n / ndev))
+    npad = nloc * ndev
+    idx = np.zeros((npad, nnz), dtype=np.int32)
+    val = np.zeros((npad, nnz), dtype=np.float32)
+    rid = np.full((npad,), -1, dtype=np.int32)
+    idx[:n] = batch.indices
+    val[:n] = batch.values
+    rid[:n] = batch.ids
+    scale = 127.0 / max(float(np.max(np.abs(batch.values))), 1e-30)
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    idx_d = jax.device_put(idx, shard)
+    val_d = jax.device_put(val, shard)
+    rid_d = jax.device_put(rid, shard)
+
+    densify = jax.jit(
+        jax.shard_map(
+            lambda ic, vc: _densify_quantize(
+                ic, vc, jnp.float32(scale), int(batch.size),
+                chunk=min(65536, nloc),
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=P(SHARD_AXIS),
+        )
+    )
+    sketch = densify(idx_d, val_d)
+    return (
+        ShardedSparseFlatState(
+            sketch=sketch, c_idx=idx_d, c_val=val_d, row_ids=rid_d
+        ),
+        mesh,
+    )
+
+
+def _local_sparse_flat_query(sketch, c_idx, c_val, row_ids, q_idx, q_val,
+                             query_ids, *, k, refine, r_groups,
+                             exclude_self):
+    ids, scores = flat_topk_sparse(
+        sketch, c_idx, c_val, row_ids, q_idx, q_val, query_ids, k,
+        refine=refine, r_groups=r_groups, exclude_self=exclude_self,
+    )
+    return _gather_merge_topk(ids, scores, k)
+
+
+def make_sparse_flat_query_fn(
+    mesh: Mesh,
+    k: int = 10,
+    refine: int = 128,
+    r_groups: int = 24,
+    exclude_self: bool = True,
+):
+    """(state, q_idx [B, NNZq] replicated, q_val, query_ids) →
+    (ids, scores) — the sparse mirror of `make_flat_query_fn`
+    (`SparsevectorRDFInit.scala:51-553` is the reference's mirrored sparse
+    surface)."""
+    fn = jax.shard_map(
+        functools.partial(
+            _local_sparse_flat_query, k=k, refine=refine,
+            r_groups=max(r_groups, 3 * k), exclude_self=exclude_self,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4 + (P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        lambda state, qi, qv, qids: fn(
+            state.sketch, state.c_idx, state.c_val, state.row_ids,
+            qi, qv, qids,
+        )
+    )
+
+
+class ShardedSparseFlatIndex:
+    """Host orchestrator for the mesh-sharded sparse flat engine (same
+    query surface as `ops.flat.SparseFlatIndex`)."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, refine: int = 128,
+                 r_groups: int = 24):
+        self.mesh = mesh
+        self.refine = refine
+        self.r_groups = r_groups
+        self.state = None
+        self._qfn = {}
+
+    def fit(self, batch) -> "ShardedSparseFlatIndex":
+        self.state, self.mesh = fit_sparse_flat_sharded(batch, self.mesh)
+        return self
+
+    def query(self, q_indices: np.ndarray, q_values: np.ndarray,
+              k: int = 10, query_ids: Optional[np.ndarray] = None,
+              exclude_self: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        if self.state is None:
+            print("need to fit the data first")
+            kk = max(k, 1)
+            return (np.full((len(q_indices), kk), -1, np.int32),
+                    np.full((len(q_indices), kk), -np.inf, np.float32))
+        key = (k, exclude_self)
+        if key not in self._qfn:
+            self._qfn[key] = make_sparse_flat_query_fn(
+                self.mesh, k=k, refine=self.refine, r_groups=self.r_groups,
+                exclude_self=exclude_self,
+            )
+        qi = jnp.asarray(np.asarray(q_indices, np.int32))
+        qv = jnp.asarray(np.asarray(q_values, np.float32))
+        qids = (jnp.asarray(np.asarray(query_ids, np.int32))
+                if query_ids is not None
+                else jnp.full((len(q_indices),), -1, jnp.int32))
+        ids, scores = self._qfn[key](self.state, qi, qv, qids)
+        return np.asarray(ids), np.asarray(scores)
 
 
 class ShardedFlatIndex:

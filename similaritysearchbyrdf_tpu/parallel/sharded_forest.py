@@ -586,6 +586,7 @@ def fit_sparse_sharded(
     locally (collective-free, like the dense fit)."""
     mesh = mesh or make_forest_mesh()
     layout = KeyLayout.from_config(conf, conf.lsh_table)
+    rerank_ops.check_sparse_size_for_merge(batch.size)
     model = model if model is not None else generate_model(conf)
     part_proj = (
         part_proj if part_proj is not None else generate_partition_projections(conf)

@@ -175,6 +175,7 @@ class GenerationStore:
         self.disk_loads = 0
         self._cache: "dict[str, RDFForest]" = {}
         self._lru: List[str] = []            # least-recent first
+        self._key_summaries: "dict[str, Tuple[np.ndarray, np.ndarray]]" = {}
 
     def generations(self) -> List[str]:
         out = []
@@ -186,7 +187,17 @@ class GenerationStore:
     def spill(self, forest: RDFForest) -> str:
         """Persist the forest's current state as a new generation and return
         its path stem. (The reference then re-inits the RAM partition; the
-        caller decides whether to keep or drop the device tier.)"""
+        caller decides whether to keep or drop the device tier.)
+
+        Two data summaries are written alongside the payload — the array-era
+        `generateDataSummary` (`RandomDrawTreeMap.java:2764-2773`):
+          * `-summary.npz`   — Bloom filter over vector ids (gates `get`)
+          * `-keysummary.npz`— the generation's bucket boundaries
+            (bucket_keys/bucket_shifts, ~KBs), an EXACT summary that gates
+            similarity queries: a generation none of whose buckets any probe
+            key can land in is never opened (`testInDataSummary`,
+            `RandomDrawTreeMap.java:926-938,771-783`).
+        """
         assert forest.state is not None
         ts = int(time.time() * 1000)
         stem = os.path.join(self.dir, str(ts))
@@ -199,11 +210,35 @@ class GenerationStore:
             stem + "-summary.npz", bits=bloom.bits,
             num_hashes=np.int32(bloom.num_hashes),
         )
+        np.savez_compressed(
+            stem + "-keysummary.npz",
+            bucket_keys=np.asarray(forest.state.tables.bucket_keys),
+            bucket_shifts=np.asarray(forest.state.tables.bucket_shifts),
+        )
         return stem
 
     def summary(self, stem: str) -> BloomFilter:
         z = np.load(stem + "-summary.npz")
         return BloomFilter(z["bits"], int(z["num_hashes"]))
+
+    def key_summary(self, stem: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(bucket_keys u32[L, NB], bucket_shifts u32[L, NB]) of a
+        generation, or None for legacy spills without the sidecar (which
+        must then be treated as might-match). Host-cached: the sidecar is
+        tiny compared to the payload npz."""
+        cached = self._key_summaries.get(stem)
+        if cached is not None:
+            return cached
+        path = stem + "-keysummary.npz"
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        out = (
+            z["bucket_keys"].astype(np.uint32),
+            z["bucket_shifts"].astype(np.uint32),
+        )
+        self._key_summaries[stem] = out
+        return out
 
     def load_generation(self, stem: str) -> RDFForest:
         """LRU-resident load: a cache hit costs zero disk reads and zero
@@ -309,6 +344,65 @@ class TieredForest:
                     dtype=np.float32)
         return None
 
+    def _probe_keys_host(
+        self, queries: np.ndarray, steps: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """The query batch's composite probe-key SUPERSET (all consumed-bit
+        flips + self-probe, every step pattern) on host — the summary probe
+        for the generation gate. A superset of both probe modes' valid sets,
+        so gating with it can never skip a generation a real query would
+        touch. Returns (probe_keys u32[B, R], table_of i32[R])."""
+        from ..index.forest import probe_key_set, _probe_hashes
+        from ..index.partitioner import partition_of_hash
+        from ..ops.hashing import hash_dense
+
+        proto = self._prototype()
+        qd = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        h = hash_dense(proto.model, qd)
+        home = partition_of_hash(h, proto.part_proj)
+        probes, _ = _probe_hashes(h, proto.layout, multiprobe=True)
+        all_valid = jnp.ones(probes.shape, dtype=bool)
+        keys, table_of, _ = probe_key_set(
+            h, home, proto.layout, steps, True, probes, all_valid
+        )
+        return np.asarray(keys), np.asarray(table_of)
+
+    def _prototype(self) -> RDFForest:
+        """An unfitted forest carrying the (conf-deterministic) hash model —
+        every tier of this store shares it, so probe keys computed once gate
+        all generations."""
+        if self.device_tier is not None:
+            return self.device_tier
+        if getattr(self, "_proto", None) is None:
+            self._proto = RDFForest(self.conf)
+        return self._proto
+
+    @staticmethod
+    def _summary_matches(
+        summary: Tuple[np.ndarray, np.ndarray],
+        probe_keys: np.ndarray,    # u32[B, R]
+        table_of: np.ndarray,      # i32[R]
+    ) -> bool:
+        """True iff ANY probe key lands in an existing bucket of the
+        generation — the similarity-read analogue of `testInDataSummary`.
+        Exact (bucket boundaries, not a Bloom), so false negatives are
+        impossible and false positives only arise from padding buckets."""
+        bucket_keys, bucket_shifts = summary
+        for t in range(bucket_keys.shape[0]):
+            q = np.unique(probe_keys[:, table_of == t])
+            bk, bs = bucket_keys[t], bucket_shifts[t]
+            idx = np.searchsorted(bk, q, side="right").astype(np.int64) - 1
+            ok = idx >= 0
+            safe = np.maximum(idx, 0)
+            sh = bs[safe]
+            hit = ok & ((q >> sh) == (bk[safe] >> sh))
+            # ignore padding buckets (key 0xFFFFFFFF, shift 0): they hold
+            # only masked pad rows
+            hit &= ~((bk[safe] == np.uint32(0xFFFFFFFF)) & (sh == 0))
+            if bool(hit.any()):
+                return True
+        return False
+
     def query(
         self,
         queries: np.ndarray,
@@ -316,29 +410,47 @@ class TieredForest:
         k: Optional[int] = None,
         query_ids: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Merged similarity search across the device tier and all
+        generations that might contain a probed bucket. Generations whose
+        key summary proves no probe can land in them are NEVER loaded
+        (mirroring the reference's summary-gated persisted reads,
+        `RandomDrawTreeMap.java:771-783,926-938`); per-tier top-ks stay on
+        device and merge in one program with a single host transfer."""
         k = k or self.conf.top_k
+        stems = self.store.generations()
+        gated: List[str] = []
+        if stems:
+            probe_keys, table_of = self._probe_keys_host(queries, steps)
+            for stem in stems:
+                summary = self.store.key_summary(stem)
+                if summary is None or self._summary_matches(
+                    summary, probe_keys, table_of
+                ):
+                    gated.append(stem)
         tiers: List[RDFForest] = []
         if self.device_tier is not None:
             tiers.append(self.device_tier)
-        for stem in self.store.generations():
+        for stem in gated:
             tiers.append(self.store.load_generation(stem))
+        q = np.asarray(queries).shape[0]
         if not tiers:
-            q = np.asarray(queries).shape[0]
             return (np.full((q, k), -1, np.int32), np.full((q, k), -np.inf, np.float32))
-        all_ids, all_scores = [], []
-        for tier in tiers:
-            ids, scores = tier.query(queries, steps=steps, query_ids=query_ids, k=k)
-            all_ids.append(ids)
-            all_scores.append(scores)
-        ids = np.concatenate(all_ids, axis=1)
-        scores = np.concatenate(all_scores, axis=1)
-        # merge: global top-k over tier top-ks (ids are disjoint across tiers
-        # when the caller spills before re-fitting new data)
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
-        return (
-            np.take_along_axis(ids, order, axis=1),
-            np.take_along_axis(scores, order, axis=1),
-        )
+        per_tier = [
+            tier.query_device(queries, steps=steps, query_ids=query_ids, k=k)
+            for tier in tiers
+        ]
+        if len(per_tier) == 1:
+            ids_d, scores_d = per_tier[0]
+        else:
+            from ..ops.exact import _top_k
+
+            cat_i = jnp.concatenate([i for i, _ in per_tier], axis=1)
+            cat_s = jnp.concatenate([s for _, s in per_tier], axis=1)
+            # merge: global top-k over tier top-ks (ids are disjoint across
+            # tiers when the caller spills before re-fitting new data)
+            scores_d, ids_d = _top_k(cat_s, cat_i, k)
+            ids_d = jnp.where(jnp.isfinite(scores_d), ids_d, -1)
+        return np.asarray(ids_d), np.asarray(scores_d)
 
 
 def save_flat(index, path: str) -> None:

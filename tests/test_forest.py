@@ -255,3 +255,22 @@ def test_coarse_window_mode_matches_reference_path():
     ids_b, sc_b = co.query(x[:16], steps=1, query_ids=np.arange(16))
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
+
+
+def test_dense_similarity_threshold_filter():
+    """similarity_threshold > 0 post-filters results by exact score — the
+    live equivalent of the reference's dead hash-distance filter
+    (`RandomDrawTreeMap.java:856-868`)."""
+    rng = np.random.default_rng(17)
+    x = _clustered_data(rng, n=400)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    base = RDFForest(_conf()).fit(batch)
+    ids0, sc0 = base.query(x[:8], steps=1, query_ids=np.arange(8))
+    finite = np.isfinite(sc0)
+    assert finite.any()
+    thr = float(np.median(sc0[finite]))
+    filt = RDFForest(_conf(similarity_threshold=thr)).fit(batch)
+    ids1, sc1 = filt.query(x[:8], steps=1, query_ids=np.arange(8))
+    keep = sc0 >= thr
+    np.testing.assert_array_equal(ids1, np.where(keep, ids0, -1))
+    assert (sc1[~keep] == -np.inf).all()

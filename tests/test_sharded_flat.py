@@ -55,3 +55,49 @@ def test_sharded_flat_unfitted():
     idx = ShardedFlatIndex()
     ids, _ = idx.query(np.zeros((2, 8), np.float32), k=3)
     assert ids.shape == (2, 3) and (ids == -1).all()
+
+
+def _sparse_data(n=800, d=256, nnz=10, seed=5):
+    from similaritysearchbyrdf_tpu.vectors import sparse_batch_from_rows
+
+    rng = np.random.default_rng(seed)
+    centers = [rng.choice(d, size=nnz, replace=False) for _ in range(25)]
+    rows, ids = [], []
+    for i in range(n):
+        c = int(rng.integers(0, 25))
+        idx = np.sort(centers[c])
+        val = 1.0 + 0.1 * rng.normal(size=nnz)
+        rows.append((idx, val.astype(np.float64)))
+        ids.append(i)
+    return sparse_batch_from_rows(ids, d, rows, nnz_pad=nnz)
+
+
+def test_sharded_sparse_flat_matches_single_device():
+    from similaritysearchbyrdf_tpu.ops.flat import SparseFlatIndex
+    from similaritysearchbyrdf_tpu.parallel.sharded_flat import (
+        ShardedSparseFlatIndex,
+    )
+
+    batch = _sparse_data(n=797)           # non-multiple of 8: shard padding
+    single = SparseFlatIndex(refine=64).fit(batch)
+    sharded = ShardedSparseFlatIndex(refine=64).fit(batch)
+    assert sharded.mesh.shape["shard"] == 8
+    qi = batch.indices[:32]
+    qv = batch.values[:32]
+    qids = batch.ids[:32].astype(np.int32)
+    a_ids, a_sc = single.query(qi, qv, k=8, query_ids=qids)
+    b_ids, b_sc = sharded.query(qi, qv, k=8, query_ids=qids)
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-5)
+    assert (a_ids == b_ids).mean() > 0.95   # ties may reorder equal scores
+    for i in range(32):
+        assert int(qids[i]) not in set(map(int, b_ids[i]))
+
+
+def test_sharded_sparse_flat_unfitted():
+    from similaritysearchbyrdf_tpu.parallel.sharded_flat import (
+        ShardedSparseFlatIndex,
+    )
+
+    idx = ShardedSparseFlatIndex()
+    ids, _ = idx.query(np.zeros((2, 4), np.int32), np.zeros((2, 4), np.float32), k=3)
+    assert ids.shape == (2, 3) and (ids == -1).all()

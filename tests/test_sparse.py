@@ -196,3 +196,38 @@ def test_rerank_sparse_merge_matches_gather():
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
     np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_front_end_distribution():
+    """`getDtAndHtNumDistribution` on the sparse front-end — the
+    introspection the dense front-end has (`SparsevectorRDFInit.scala:
+    505-530`)."""
+    rng = np.random.default_rng(5)
+    batch = _sparse_clustered(rng, n=300)
+    front = SparseRDFInit()
+    conf = _conf()
+    front.initialize_rdf_hash_map(conf)
+    front.fit_batch(batch)
+    dt, ht = front.get_dt_and_ht_num_distribution()
+    assert dt.shape == (conf.num_data_partitions,)
+    assert ht.shape == (1 << conf.partition_bits,)
+    assert dt.sum() == 300
+    np.testing.assert_allclose(ht.sum(), 300.0)
+    # camelCase alias
+    dt2, ht2 = front.getDtAndHtNumDistribution()
+    np.testing.assert_array_equal(dt, dt2)
+
+
+def test_sparse_similarity_threshold_filter():
+    rng = np.random.default_rng(6)
+    batch = _sparse_clustered(rng, n=300)
+    base = SparseRDFForest(_conf()).fit(batch)
+    ids0, sc0 = base.query(batch.slice(0, 8), steps=1)
+    finite = np.isfinite(sc0)
+    assert finite.any()
+    thr = float(np.median(sc0[finite]))
+    filt = SparseRDFForest(_conf(similarity_threshold=thr)).fit(batch)
+    ids1, sc1 = filt.query(batch.slice(0, 8), steps=1)
+    keep = sc0 >= thr
+    np.testing.assert_array_equal(ids1, np.where(keep, ids0, -1))
+    assert (sc1[~keep] == -np.inf).all()

@@ -192,6 +192,73 @@ def test_auto_spill_on_ram_threshold(tmp_path):
     np.testing.assert_allclose(got, x[45], rtol=1e-6)
 
 
+def test_query_skips_non_matching_generation(tmp_path):
+    """A generation none of whose buckets any probe key can land in must
+    NEVER be loaded during query() — the similarity-read analogue of the
+    reference's Bloom-gated persisted reads (`RandomDrawTreeMap.java:
+    771-783,926-938`).
+
+    Construction: with the angle family, hash(-v) is the bitwise complement
+    of hash(v) (all sign bits flip), so a generation holding only negated
+    copies of the query occupies complementary seg bits in every table;
+    probe flips never touch seg bits, so no probe can reach its buckets."""
+    conf = RDFConfig(
+        vector_dim=16, table_num=2, permutation_num=1, family_size=20,
+        partition_bits=0,
+        lsh_table=TableConfig(chain_length=10, bucket_overflow=4),
+        query_batch_size=4, max_candidates=512, top_k=3, seed=21,
+    )
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(1, 16)).astype(np.float32)
+    q /= np.linalg.norm(q)
+
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    # generation A: the query's neighborhood
+    xa = (q + 0.05 * rng.normal(size=(40, 16))).astype(np.float32)
+    tiered.fit(DenseBatch(np.arange(40, dtype=np.int32), xa))
+    stem_a = tiered.spill()
+    # generation B: only scaled NEGATIONS of q — complementary hash bits
+    xb = (-q * np.linspace(0.5, 2.0, 40)[:, None]).astype(np.float32)
+    tiered.fit(DenseBatch(np.arange(100, 140, dtype=np.int32), xb))
+    stem_b = tiered.spill()
+
+    ids, scores = tiered.query(q, steps=0)
+    assert stem_a in store._cache            # gated in and loaded
+    assert stem_b not in store._cache        # gate proved it can't match
+    assert store.disk_loads == 1
+    # and the gated result equals the ungated merge (gate is conservative)
+    forest_b = load_forest(stem_b)
+    ids_b, _ = forest_b.query(q, steps=0)
+    assert (ids_b < 0).all() or not np.intersect1d(
+        ids[ids >= 0], ids_b[ids_b >= 0]
+    ).size
+
+
+def test_keysummary_sidecar_roundtrip(tmp_path):
+    conf = _conf()
+    rng = np.random.default_rng(8)
+    x = _data(rng, n=120)
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    tiered.fit(DenseBatch(np.arange(120, dtype=np.int32), x))
+    stem = tiered.spill()
+    ks = store.key_summary(stem)
+    assert ks is not None
+    bk, bs = ks
+    f = load_forest(stem)
+    np.testing.assert_array_equal(bk, np.asarray(f.state.tables.bucket_keys))
+    np.testing.assert_array_equal(bs, np.asarray(f.state.tables.bucket_shifts))
+    # legacy generation without a sidecar: must be treated as might-match
+    import os as _os
+
+    _os.remove(stem + "-keysummary.npz")
+    store._key_summaries.clear()
+    assert store.key_summary(stem) is None
+    ids, _ = tiered.query(x[:4], steps=0)
+    assert stem in store._cache              # loaded despite missing sidecar
+
+
 def test_add_grows_device_tier(tmp_path):
     from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
 
