@@ -65,6 +65,92 @@ def fit_flat_sharded(
     return state, mesh
 
 
+def _pad_to(n: int, m: int) -> int:
+    return int(np.ceil(n / m)) * m
+
+
+def _distributed_rows(
+    mesh: Mesh, arrays_local: "list[np.ndarray]", nloc: int
+) -> "list[jax.Array]":
+    """Assemble row-sharded distributed jax.Arrays from THIS process's
+    host-local per-device chunks (the `fit_sharded_distributed` pattern:
+    the global array never exists on any single host)."""
+    my_proc = jax.process_index()
+    local_devs = [d for d in mesh.devices.flat if d.process_index == my_proc]
+    ndev = mesh.shape[SHARD_AXIS]
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    out = []
+    for a in arrays_local:
+        gshape = (ndev * nloc,) + a.shape[2:]
+        out.append(
+            jax.make_array_from_single_device_arrays(
+                gshape, shard,
+                [jax.device_put(a[i], dev)
+                 for i, dev in enumerate(local_devs)],
+            )
+        )
+    return out
+
+
+def _global_nloc_and_amax(n_local: int, amax_local: float,
+                          ndev_local: int) -> Tuple[int, float]:
+    """Agree on rows-per-device and the GLOBAL quantization scale input
+    across processes (per-shard scales would corrupt the merged ranking)."""
+    need = int(np.ceil(n_local / ndev_local))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        g = multihost_utils.process_allgather(
+            np.asarray([need, amax_local], dtype=np.float64)
+        )
+        need = int(np.max(g[..., 0]))
+        amax_local = float(np.max(g[..., 1]))
+    return _pad_to(need, 128), amax_local
+
+
+def fit_flat_sharded_distributed(
+    local_values: np.ndarray,        # f32[n_local, D] THIS process's rows
+    local_ids: np.ndarray,           # i32[n_local]
+    mesh: Optional[Mesh] = None,
+    sketch_dtype: str = "int8",
+) -> Tuple[ShardedFlatState, Mesh]:
+    """Multi-process flat-engine fit: every process supplies only its
+    host-local rows; sketch/corpus/row_ids are assembled as distributed
+    arrays that never exist globally on any host (the Deep-100M contract,
+    BASELINE configs[4])."""
+    mesh = mesh or make_forest_mesh()
+    my_proc = jax.process_index()
+    ndev_local = sum(
+        1 for d in mesh.devices.flat if d.process_index == my_proc
+    )
+    if ndev_local == 0:
+        raise ValueError(f"process {my_proc} owns no devices of the mesh")
+    n, d = local_values.shape
+    nloc, amax = _global_nloc_and_amax(
+        n, float(np.max(np.abs(local_values))) if n else 0.0, ndev_local
+    )
+    dp = _pad_to(d, 128)
+    x = np.zeros((ndev_local, nloc, dp), dtype=np.float32)
+    rid = np.full((ndev_local, nloc), -1, dtype=np.int32)
+    x.reshape(ndev_local * nloc, dp)[:n, :d] = local_values
+    rid.reshape(ndev_local * nloc)[:n] = local_ids
+    if sketch_dtype == "int8":
+        scale = 127.0 / max(amax, 1e-30)
+        sk = np.clip(np.round(x * scale), -127, 127).astype(np.int8)
+    elif sketch_dtype == "bfloat16":
+        sk = x  # cast below, after assembly (npz/np has no bf16)
+    else:
+        raise ValueError(f"unsupported flat sketch dtype: {sketch_dtype}")
+    sk_d, x_d, rid_d = _distributed_rows(mesh, [sk, x, rid], nloc)
+    if sketch_dtype == "bfloat16":
+        cast = jax.jit(
+            lambda a: a.astype(jnp.bfloat16),
+            out_shardings=NamedSharding(mesh, P(SHARD_AXIS)),
+        )
+        sk_d = cast(sk_d)
+    return ShardedFlatState(sketch=sk_d, corpus=x_d, row_ids=rid_d), mesh
+
+
 def _gather_merge_topk(ids, scores, k):
     """ICI all-gather of per-shard top-k + replicated merge — the single
     collective of every sharded engine's read path."""
@@ -153,6 +239,56 @@ def fit_sparse_flat_sharded(
         jax.shard_map(
             lambda ic, vc: _densify_quantize(
                 ic, vc, jnp.float32(scale), int(batch.size),
+                chunk=min(65536, nloc),
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=P(SHARD_AXIS),
+        )
+    )
+    sketch = densify(idx_d, val_d)
+    return (
+        ShardedSparseFlatState(
+            sketch=sketch, c_idx=idx_d, c_val=val_d, row_ids=rid_d
+        ),
+        mesh,
+    )
+
+
+def fit_sparse_flat_sharded_distributed(
+    local_batch,                     # vectors.SparseBatch (host-local rows)
+    mesh: Optional[Mesh] = None,
+) -> Tuple[ShardedSparseFlatState, Mesh]:
+    """Multi-process sparse flat fit: host-local padded-COO rows per
+    process; the densified int8 sketch is built SPMD per shard so neither
+    the dense intermediate nor the global COO ever exist on one host."""
+    from ..ops.rerank import check_sparse_size_for_merge
+
+    mesh = mesh or make_forest_mesh()
+    check_sparse_size_for_merge(int(local_batch.size))
+    my_proc = jax.process_index()
+    ndev_local = sum(
+        1 for d in mesh.devices.flat if d.process_index == my_proc
+    )
+    if ndev_local == 0:
+        raise ValueError(f"process {my_proc} owns no devices of the mesh")
+    n, nnz = local_batch.indices.shape
+    nloc, amax = _global_nloc_and_amax(
+        n, float(np.max(np.abs(local_batch.values))) if n else 0.0,
+        ndev_local,
+    )
+    scale = 127.0 / max(amax, 1e-30)
+    idx = np.zeros((ndev_local, nloc, nnz), dtype=np.int32)
+    val = np.zeros((ndev_local, nloc, nnz), dtype=np.float32)
+    rid = np.full((ndev_local, nloc), -1, dtype=np.int32)
+    idx.reshape(ndev_local * nloc, nnz)[:n] = local_batch.indices
+    val.reshape(ndev_local * nloc, nnz)[:n] = local_batch.values
+    rid.reshape(ndev_local * nloc)[:n] = local_batch.ids
+    idx_d, val_d, rid_d = _distributed_rows(mesh, [idx, val, rid], nloc)
+    densify = jax.jit(
+        jax.shard_map(
+            lambda ic, vc: _densify_quantize(
+                ic, vc, jnp.float32(scale), int(local_batch.size),
                 chunk=min(65536, nloc),
             ),
             mesh=mesh,

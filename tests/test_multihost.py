@@ -59,8 +59,46 @@ import jax.numpy as jnp
 q = jnp.asarray(x[:32]); qids = jnp.arange(32, dtype=jnp.int32)
 ids, scores, total = qfn(state, q, qids)
 ids = np.asarray(jax.device_get(ids))
+
+# --- coarse leg: table-ordered coarse scoring sharded across processes ---
+cconf = conf.replace(coarse_dim=16, coarse_refine=64)
+cstate, _ = fit_sharded_distributed(cconf, local, mesh)
+cqfn = make_query_fn(mesh, layout, steps=0, m_cap=512, k=5, multiprobe=True,
+                     exclude_self=True, has_lp=cstate.corpus_lp is not None,
+                     has_coarse=True, coarse_refine=64)
+cids, _, _ = cqfn(cstate, q, qids)
+cids = np.asarray(jax.device_get(cids))
+
+# --- flat leg: host-local rows, distributed sketch/corpus ---
+from similaritysearchbyrdf_tpu.parallel.sharded_flat import (
+    fit_flat_sharded_distributed, make_flat_query_fn,
+    fit_sparse_flat_sharded_distributed, make_sparse_flat_query_fn)
+fstate, _ = fit_flat_sharded_distributed(
+    x[lo:hi], np.arange(lo, hi, dtype=np.int32), mesh)
+fqfn = make_flat_query_fn(mesh, k=5, refine=32, block=64)
+fids, _ = fqfn(fstate, q, qids)
+fids = np.asarray(jax.device_get(fids))
+
+# --- sparse flat leg ---
+from similaritysearchbyrdf_tpu.vectors import SparseBatch
+srng = np.random.default_rng(9)
+n_sp, dim_sp, nnz = 512, 128, 6
+sidx = np.stack([srng.choice(dim_sp, size=nnz, replace=False)
+                 for _ in range(n_sp)]).astype(np.int32)
+sval = (1.0 + 0.1 * srng.normal(size=(n_sp, nnz))).astype(np.float32)
+shalf = n_sp // 2
+slo, shi = proc_id * shalf, (proc_id + 1) * shalf
+slocal = SparseBatch(ids=np.arange(slo, shi, dtype=np.int32), size=dim_sp,
+                     indices=sidx[slo:shi], values=sval[slo:shi],
+                     lengths=np.full(shalf, nnz, np.int32))
+sfstate, _ = fit_sparse_flat_sharded_distributed(slocal, mesh)
+sffn = make_sparse_flat_query_fn(mesh, k=5, refine=32)
+sfids, _ = sffn(sfstate, jnp.asarray(sidx[:16]), jnp.asarray(sval[:16]),
+                jnp.arange(16, dtype=jnp.int32))
+sfids = np.asarray(jax.device_get(sfids))
+
 if proc_id == 0:
-    np.save(out, ids)
+    np.savez(out, ids=ids, cids=cids, fids=fids, sfids=sfids)
 print("WORKER", proc_id, "OK", flush=True)
 """
 
@@ -75,7 +113,7 @@ def _free_port() -> int:
 
 def test_two_process_distributed_fit_matches_single(tmp_path):
     port = _free_port()
-    out = str(tmp_path / "ids0.npy")
+    out = str(tmp_path / "ids0.npz")
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -119,14 +157,53 @@ def test_two_process_distributed_fit_matches_single(tmp_path):
     x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
 
     mesh = make_forest_mesh(8)
-    state, _ = fit_sharded(
-        conf, DenseBatch(np.arange(1024, dtype=np.int32), x), mesh
-    )
+    batch = DenseBatch(np.arange(1024, dtype=np.int32), x)
+    state, _ = fit_sharded(conf, batch, mesh)
     layout = KeyLayout.from_config(conf, conf.lsh_table)
     qfn = make_query_fn(mesh, layout, steps=1, m_cap=512, k=5,
                         multiprobe=True, exclude_self=True,
                         has_lp=state.corpus_lp is not None)
-    ids_ref, _, _ = qfn(state, jnp.asarray(x[:32]),
-                        jnp.arange(32, dtype=jnp.int32))
-    ids_dist = np.load(out)
-    np.testing.assert_array_equal(ids_dist, np.asarray(ids_ref))
+    q = jnp.asarray(x[:32])
+    qids = jnp.arange(32, dtype=jnp.int32)
+    ids_ref, _, _ = qfn(state, q, qids)
+    z = np.load(out)
+    np.testing.assert_array_equal(z["ids"], np.asarray(ids_ref))
+
+    # coarse leg reference
+    cconf = conf.replace(coarse_dim=16, coarse_refine=64)
+    cstate, _ = fit_sharded(cconf, batch, mesh)
+    cqfn = make_query_fn(mesh, layout, steps=0, m_cap=512, k=5,
+                         multiprobe=True, exclude_self=True,
+                         has_lp=cstate.corpus_lp is not None,
+                         has_coarse=True, coarse_refine=64)
+    cids_ref, _, _ = cqfn(cstate, q, qids)
+    np.testing.assert_array_equal(z["cids"], np.asarray(cids_ref))
+
+    # flat leg reference (single-process 8-device fit over the full corpus)
+    from similaritysearchbyrdf_tpu.parallel.sharded_flat import (
+        fit_flat_sharded, make_flat_query_fn,
+        fit_sparse_flat_sharded, make_sparse_flat_query_fn,
+    )
+
+    fstate, _ = fit_flat_sharded(x, np.arange(1024, dtype=np.int32), mesh)
+    fqfn = make_flat_query_fn(mesh, k=5, refine=32, block=64)
+    fids_ref, _ = fqfn(fstate, q, qids)
+    np.testing.assert_array_equal(z["fids"], np.asarray(fids_ref))
+
+    # sparse flat leg reference
+    from similaritysearchbyrdf_tpu.vectors import SparseBatch
+
+    srng = np.random.default_rng(9)
+    n_sp, dim_sp, nnz = 512, 128, 6
+    sidx = np.stack([srng.choice(dim_sp, size=nnz, replace=False)
+                     for _ in range(n_sp)]).astype(np.int32)
+    sval = (1.0 + 0.1 * srng.normal(size=(n_sp, nnz))).astype(np.float32)
+    sbatch = SparseBatch(ids=np.arange(n_sp, dtype=np.int32), size=dim_sp,
+                         indices=sidx, values=sval,
+                         lengths=np.full(n_sp, nnz, np.int32))
+    sfstate, _ = fit_sparse_flat_sharded(sbatch, mesh)
+    sffn = make_sparse_flat_query_fn(mesh, k=5, refine=32)
+    sfids_ref, _ = sffn(sfstate, jnp.asarray(sidx[:16]),
+                        jnp.asarray(sval[:16]),
+                        jnp.arange(16, dtype=jnp.int32))
+    np.testing.assert_array_equal(z["sfids"], np.asarray(sfids_ref))
