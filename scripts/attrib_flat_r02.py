@@ -134,8 +134,10 @@ def main():
         timeit(f"exact_g{group}_rg{rg}", upto("exact", group=group, rg=rg),
                skp, corpus_p, qd)
 
-    # matmul-only floor: group == block_n → output is [npad/8192, B] (tiny)
-    timeit("gmax_g8192_matmul_floor", upto("gmax", group=8192),
+    # near-floor probe: group=1024 keeps the out block (8, 128)-tileable
+    # while shrinking output traffic to ~32 MB (the VPU max-reduce still
+    # touches every score element — that is the kernel's true floor term)
+    timeit("gmax_g1024_floor_probe", upto("gmax", group=1024),
            skp, corpus_p, qd)
 
     with open("results/attrib_flat_r02.json", "w") as f:

@@ -48,7 +48,7 @@ class SparseForestState:
     # of a candidate block is one contiguous slice gather + a dense dot,
     # instead of [B, M, NNZ] per-element gathers (the sparse hot spot)
     coarse_proj: Optional[jax.Array] = None      # f32[dim, Cd]
-    coarse_by_table: Optional[jax.Array] = None  # int8/bf16[L, Npad+P, Cd]
+    coarse_by_table: Optional[jax.Array] = None  # int8/bf16[Lg, Npad+P, G*cs] lane-packed
 
     @property
     def capacity(self) -> int:
@@ -172,14 +172,17 @@ def _build_sparse_coarse_tier(
     Gaussian projection preserves inner products in expectation
     (Johnson–Lindenstrauss); the exact refine pass corrects any coarse
     misordering inside the top slice."""
+    from .forest import coarse_seg_width
+
     rng = np.random.default_rng(seed ^ 0x5EED)
     p = (rng.normal(size=(dim, coarse_dim)) / np.sqrt(coarse_dim)).astype(
         np.float32
     )
-    # pad to a 128-lane multiple (see forest._build_coarse_tier)
-    cd_pad = int(np.ceil(max(coarse_dim, 1) / 128.0) * 128)
-    if cd_pad != p.shape[1]:
-        p = np.pad(p, ((0, 0), (0, cd_pad - p.shape[1])))
+    # pad to the lane-segment width; G = 128//cs tables share each 128-lane
+    # row (see forest._build_coarse_tier lane packing)
+    cs = coarse_seg_width(coarse_dim)
+    if cs != p.shape[1]:
+        p = np.pad(p, ((0, 0), (0, cs - p.shape[1])))
     coarse_proj = jnp.asarray(p)
     store_int8 = coarse_dtype == "int8"
     cbt = _sparse_coarse_build(
@@ -207,12 +210,9 @@ def _sparse_coarse_build(cp, idx, val, sorted_ids, chunk, store_int8):
         low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
     else:
         low = low.astype(jnp.bfloat16)
+    from .forest import _pack_tables_by_lane
 
-    def per_table(si_t):
-        rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
-        return jnp.where((si_t >= 0)[:, None], rows, 0)
-
-    return jax.lax.map(per_table, sorted_ids)
+    return _pack_tables_by_lane(low, sorted_ids)
 
 
 def _query_sparse(
@@ -257,6 +257,7 @@ def _query_sparse(
         scores_c, pos, table_slot = _coarse_block_scores(
             state.coarse_by_table, state.coarse_proj, q_dense,
             base_b, table_b2, end_b, bs_block, start_b=start_b,
+            n_tables=state.tables.num_tables,
         )
         l = state.tables.num_tables
         cap = state.tables.capacity

@@ -255,13 +255,24 @@ def _grouped_candidates(
 
     bpad = int(np.ceil(b / 128)) * 128
     if use_pallas and jax.default_backend() == "tpu":
-        from .pallas.flat_groupmax import pallas_flat_groupmax
-
         q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
-        gmax = pallas_flat_groupmax(
-            sk, q_in, group=group,
-            block_b=min(128, bpad), block_n=8192,
-        ).T[:b]                                         # [B, NG]
+        block_n = 8192
+        if (block_n // group) % 128 == 0:
+            # query-major output: no XLA transpose of [NG, B] (the select
+            # stage's measured wall, results/attrib_flat_r02.json)
+            from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
+
+            gmax = pallas_flat_groupmax_qmajor(
+                sk, q_in, group=group,
+                block_b=min(128, bpad), block_n=block_n,
+            )[:b]                                       # [B, NG]
+        else:
+            from .pallas.flat_groupmax import pallas_flat_groupmax
+
+            gmax = pallas_flat_groupmax(
+                sk, q_in, group=group,
+                block_b=min(128, bpad), block_n=block_n,
+            ).T[:b]                                     # [B, NG]
     else:
         # XLA fallback (CPU/tests): same math, scores materialized
         scores = jnp.einsum("bd,nd->bn", q_lp, sk,

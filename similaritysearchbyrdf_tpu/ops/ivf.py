@@ -1,0 +1,352 @@
+"""Clustered-flat (IVF-style) engine: k-means pruning + contiguous DMA scan.
+
+The grouped flat engine (`ops/flat.py`) streams the WHOLE int8 sketch
+through the MXU per query batch; the attribution run
+(results/attrib_flat_r02.json) shows its floor is ~13 ms at 8M×96/B1024 —
+every score element must at least pass the VPU's group-max reduce. The
+TPU-native way to beat a full scan is not a faster scan but *reading less*:
+
+  build  k-means the corpus (Lloyd on the MXU: assignment is one
+         [N, K] matmul per iteration — ~34 TFLOP at 8M/K=16k, i.e. seconds),
+         then store sketch + exact rows CLUSTER-ORDERED so each cluster is
+         one contiguous, 8-aligned row range.
+  query  score centroids (a [B, K] matmul — microseconds), pick the top
+         `nprobe` clusters, DMA their row windows through the aligned-window
+         kernel (`pallas_coarse_scores_aligned`, ~125 GB/s), then exact-
+         refine the top `refine` rows — identical tail to the grouped scan.
+
+This is the classic IVF-flat design recast for TPU: the "inverted lists"
+are contiguous slices of a sorted array (no pointers), probed by DMA
+windows, and every stage is a matmul or a masked top-k. Recall is governed
+by `nprobe` exactly as in IVF; the exact refine keeps the top-k ordering
+bit-identical to brute force over the probed rows.
+
+No reference counterpart (the reference prunes with LSH trees because CPU
+exhaustive scoring is unaffordable, `DensevectorRDFInit.scala:487-490`);
+this is a deliberate TPU extension like the flat engine itself
+(COVERAGE.md divergence #9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .exact import _top_k
+from .flat import _exact_refine, _pad_lanes, build_flat_sketch
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) on the MXU
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",), donate_argnums=(1,))
+def _kmeans_iter(
+    x: jax.Array,          # bf16[N, Dp] (unit-ish rows; padding rows 0)
+    centroids: jax.Array,  # bf16[K, Dp]
+    valid: jax.Array,      # bool[N]
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One Lloyd iteration: assign by max inner product, update by mean.
+    Both steps are chunked matmuls (assignment [chunk, K]; update via a
+    one-hot [chunk, K]^T @ x segment-sum) — no scatters."""
+    n, dp = x.shape
+    k = centroids.shape[0]
+    nc = n // chunk
+
+    def assign_one(xc):
+        s = jnp.einsum("nd,kd->nk", xc, centroids,
+                       preferred_element_type=jnp.float32)
+        return jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    assign = jax.lax.map(
+        assign_one, x.reshape(nc, chunk, dp)
+    ).reshape(n)
+    assign = jnp.where(valid, assign, -1)
+
+    def update_one(carry, args):
+        sums, counts = carry
+        xc, ac = args
+        onehot = (
+            ac[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+        ).astype(jnp.bfloat16)                      # [chunk, K]
+        sums = sums + jnp.einsum(
+            "nk,nd->kd", onehot, xc, preferred_element_type=jnp.float32
+        )
+        counts = counts + jnp.sum(onehot.astype(jnp.float32), axis=0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        update_one,
+        (jnp.zeros((k, dp), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        (x.reshape(nc, chunk, dp), assign.reshape(nc, chunk)),
+    )
+    # empty clusters keep their previous centroid (avoids NaN + lets them
+    # be re-captured later)
+    new_c = jnp.where(
+        (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None],
+        centroids.astype(jnp.float32),
+    )
+    # spherical normalization: assignment is by inner product, so centroids
+    # must be unit-norm or long centroids swallow everything
+    norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+    new_c = new_c / jnp.maximum(norm, 1e-20)
+    return new_c.astype(jnp.bfloat16), assign
+
+
+def kmeans(
+    x: jax.Array,            # f32/bf16[N, Dp] corpus (lane-padded)
+    valid: jax.Array,        # bool[N]
+    k: int,
+    iters: int = 8,
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Spherical Lloyd k-means. Returns (centroids bf16[K, Dp],
+    assign i32[N]; -1 for invalid rows)."""
+    n, dp = x.shape
+    rng = np.random.default_rng(seed ^ 0xC1)
+    n_valid = int(jnp.sum(valid))
+    init_rows = rng.choice(max(n_valid, 1), size=k, replace=n_valid < k)
+    xb = x.astype(jnp.bfloat16)
+    centroids = xb[jnp.asarray(init_rows.astype(np.int32))]
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+    assign = None
+    for _ in range(iters):
+        centroids, assign = _kmeans_iter(xb, centroids, valid, chunk)
+    return centroids, assign
+
+
+# ---------------------------------------------------------------------------
+# build: cluster-ordered layout
+# ---------------------------------------------------------------------------
+
+
+class IVFState(NamedTuple):
+    sketch: jax.Array      # int8 [Npad, Dp]  cluster-ordered scoring copy
+    corpus: jax.Array      # f32  [Npad, Dp]  cluster-ordered exact tier
+    row_ids: jax.Array     # i32  [Npad]      user ids (-1 = pad/dead)
+    centroids: jax.Array   # bf16 [K, Dp]     unit-norm cluster centers
+    starts: jax.Array      # i32  [K+1]       8-aligned cluster offsets
+
+
+def build_ivf(
+    corpus: jax.Array,       # f32[N, D] (unpadded ok)
+    row_ids: np.ndarray,     # i32[N]
+    target_cluster: int = 256,
+    iters: int = 8,
+    seed: int = 0,
+    sketch_dtype: str = "int8",
+    k: Optional[int] = None,
+) -> IVFState:
+    """Cluster the corpus and lay both tiers out cluster-ordered, every
+    cluster padded to an 8-row multiple so each cluster is a whole number
+    of DMA-alignable windows."""
+    n = corpus.shape[0]
+    corpus_p = _pad_lanes(jnp.asarray(corpus, jnp.float32))
+    if k is None:
+        k = int(np.clip(n // target_cluster, 16, 65536))
+    valid = jnp.ones((n,), bool)
+    centroids, assign = kmeans(corpus_p, valid, k, iters=iters, seed=seed)
+    a = np.asarray(assign)
+
+    # cluster-ordered permutation with per-cluster 8-row padding (host-side
+    # integer work; N-sized numpy ops)
+    order = np.argsort(a, kind="stable")
+    counts = np.bincount(a, minlength=k)
+    padded = ((counts + 7) // 8) * 8
+    starts = np.zeros(k + 1, np.int64)
+    starts[1:] = np.cumsum(padded)
+    npad_total = int(starts[-1])
+    perm = np.full(npad_total, -1, np.int64)
+    src_off = np.zeros(k + 1, np.int64)
+    src_off[1:] = np.cumsum(counts)
+    for c in range(k):
+        perm[starts[c] : starts[c] + counts[c]] = order[
+            src_off[c] : src_off[c + 1]
+        ]
+
+    perm_d = jnp.asarray(perm.astype(np.int32))
+    live = perm_d >= 0
+    safe = jnp.maximum(perm_d, 0)
+    corpus_o = jnp.where(live[:, None], corpus_p[safe], 0.0)
+    sketch_full, _ = build_flat_sketch(corpus_o, sketch_dtype)
+    rid = np.asarray(row_ids, np.int32)
+    rid_o = jnp.where(live, jnp.asarray(rid)[safe], -1)
+    return IVFState(
+        sketch=sketch_full,
+        corpus=corpus_o,
+        row_ids=rid_o,
+        centroids=centroids,
+        starts=jnp.asarray(starts.astype(np.int32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# query
+# ---------------------------------------------------------------------------
+
+
+def _flatten_windows(
+    sel_start: jax.Array,    # i32[B, P] selected clusters' starts (8-aligned)
+    sel_end: jax.Array,      # i32[B, P] their ends
+    win: int,
+    wb: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Ragged flatten of selected clusters into `wb` fixed `win`-row DMA
+    windows per query, cluster-priority order (selection order): window j
+    belongs to the cluster whose cumulative window count first exceeds j.
+    Returns (blk_start i32[B, WB], end i32[B, WB], live bool[B, WB])."""
+    b, p = sel_start.shape
+    wc = (sel_end - sel_start + win - 1) // win           # [B, P]
+    cum = jnp.cumsum(wc, axis=1)                          # [B, P]
+    base = cum - wc
+    j = jnp.arange(wb, dtype=jnp.int32)[None, :]          # [1, WB]
+    # idx[b, j] = first cluster with cum > j  (vmapped merge-searchsorted)
+    idx = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="right", method="sort")
+    )(cum, jnp.broadcast_to(j, (b, wb))).astype(jnp.int32)
+    live = idx < p
+    safe = jnp.minimum(idx, p - 1)
+    s = jnp.take_along_axis(sel_start, safe, axis=1)
+    e = jnp.take_along_axis(sel_end, safe, axis=1)
+    bse = jnp.take_along_axis(base, safe, axis=1)
+    blk = s + (j - bse) * win
+    return blk, e, live & (blk < e)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "win", "wb", "refine", "exclude_self",
+                     "use_pallas"),
+)
+def ivf_topk(
+    sketch: jax.Array,       # int8 [Npad, Dp] cluster-ordered
+    corpus: jax.Array,       # f32  [Npad, Dp]
+    row_ids: jax.Array,      # i32  [Npad]
+    centroids: jax.Array,    # bf16 [K, Dp]
+    starts: jax.Array,       # i32  [K+1]
+    queries: jax.Array,      # f32[B, D]
+    query_ids: jax.Array,    # i32[B]
+    k: int,
+    nprobe: int = 32,
+    win: int = 256,
+    wb: Optional[int] = None,
+    refine: int = 128,
+    exclude_self: bool = True,
+    use_pallas: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF query: centroid matmul → top-nprobe clusters → window DMA sketch
+    scoring → exact refine. Returns (ids i32[B,k], scores f32[B,k])."""
+    npad, dp = sketch.shape
+    kc = centroids.shape[0]
+    b = queries.shape[0]
+    wb = wb or 2 * nprobe
+    qp = _pad_lanes(queries.astype(jnp.float32))[:, :dp]
+    qb = qp.astype(jnp.bfloat16)
+
+    c_scores = jnp.einsum("bd,kd->bk", qb, centroids,
+                          preferred_element_type=jnp.float32)   # [B, K]
+    np_eff = min(nprobe, kc)
+    _, sel = jax.lax.top_k(c_scores, np_eff)                    # [B, P]
+    sel_start = starts[sel]
+    sel_end = starts[sel + 1]
+    blk, end_b, live = _flatten_windows(sel_start, sel_end, win, wb)
+
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.coarse_gather import pallas_coarse_scores_aligned
+
+        w_scores = pallas_coarse_scores_aligned(
+            sketch[None], qb, jnp.zeros_like(blk), blk, win, live=live,
+        )                                                       # [B, WB, win]
+    else:
+        rows_i = jnp.clip(
+            blk[:, :, None] + jnp.arange(win, dtype=jnp.int32), 0, npad - 1
+        )
+        w_rows = sketch[rows_i]                                 # [B,WB,win,Dp]
+        w_scores = jnp.einsum(
+            "bwjd,bd->bwj", w_rows.astype(jnp.bfloat16), qb,
+            preferred_element_type=jnp.float32,
+        )
+    pos = blk[:, :, None] + jnp.arange(win, dtype=jnp.int32)[None, None, :]
+    valid = live[:, :, None] & (pos < end_b[:, :, None])
+    m = wb * win
+    w_scores = jnp.where(valid, w_scores, -jnp.inf).reshape(b, m)
+    pos = jnp.where(valid, pos, npad).reshape(b, m)
+
+    r2 = min(refine, m)
+    _, si = jax.lax.approx_max_k(w_scores, r2, recall_target=0.998)
+    cand = jnp.take_along_axis(pos, si, axis=1)
+    sel_s = jnp.take_along_axis(w_scores, si, axis=1)
+    cand = jnp.where(jnp.isfinite(sel_s), cand, npad)
+    return _exact_refine(corpus, row_ids, qp, jnp.clip(cand, 0, npad - 1),
+                         jnp.isfinite(sel_s), query_ids, k, exclude_self)
+
+
+class IVFFlatIndex:
+    """Host orchestrator for the clustered-flat engine (same query surface
+    as `FlatIndex`; `nprobe` is the recall knob)."""
+
+    def __init__(self, target_cluster: int = 256, nprobe: int = 32,
+                 win: int = 256, refine: int = 128, iters: int = 8,
+                 query_batch: int = 1024, seed: int = 0):
+        self.target_cluster = target_cluster
+        self.nprobe = nprobe
+        self.win = win
+        self.refine = refine
+        self.iters = iters
+        self.query_batch = query_batch
+        self.seed = seed
+        self.state: Optional[IVFState] = None
+
+    def fit(self, batch) -> "IVFFlatIndex":
+        """batch: vectors.DenseBatch."""
+        self.state = build_ivf(
+            jnp.asarray(batch.values, jnp.float32),
+            np.asarray(batch.ids, np.int32),
+            target_cluster=self.target_cluster, iters=self.iters,
+            seed=self.seed,
+        )
+        return self
+
+    def query(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        query_ids: Optional[np.ndarray] = None,
+        exclude_self: bool = True,
+        nprobe: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.state is None:
+            print("need to fit the data first")
+            return (np.full((len(queries), k), -1, np.int32),
+                    np.full((len(queries), k), -np.inf, np.float32))
+        q = np.asarray(queries, dtype=np.float32)
+        nq = len(q)
+        qids = (np.asarray(query_ids, dtype=np.int32)
+                if query_ids is not None
+                else np.full((nq,), -1, np.int32))
+        st = self.state
+        bsz = self.query_batch
+        out_i, out_s = [], []
+        for s0 in range(0, nq, bsz):
+            s1 = min(s0 + bsz, nq)
+            pad = bsz - (s1 - s0)
+            qc = jnp.asarray(np.pad(q[s0:s1], ((0, pad), (0, 0))))
+            qi = jnp.asarray(np.pad(qids[s0:s1], (0, pad),
+                                    constant_values=-1))
+            ids, scores = ivf_topk(
+                st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
+                qc, qi, k, nprobe=nprobe or self.nprobe, win=self.win,
+                refine=self.refine, exclude_self=exclude_self,
+            )
+            out_i.append(np.asarray(ids[: s1 - s0]))
+            out_s.append(np.asarray(scores[: s1 - s0]))
+        return np.concatenate(out_i), np.concatenate(out_s)

@@ -192,27 +192,78 @@ def _kernel_aligned(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *,
     out_ref[0] = scores[:, 0].reshape(grp, win)
 
 
-@functools.partial(jax.jit, static_argnames=("win", "grp"))
+def _kernel_aligned_packed(idx_ref, qrow_ref, cbt_ref, out_ref, scratch,
+                           sems, *, grp, win, cd):
+    """Lane-packed variant: the caller pre-selects each BLOCK's segment-
+    placed query row (qrow_ref [1, grp, lanes] bf16 — zero outside the
+    block's lane segment), so scoring is a VPU multiply + lane reduce;
+    foreign segments in the packed rows contribute exactly 0. DMA issue
+    pattern identical to `_kernel_aligned`."""
+    def issue(g, _):
+        s8 = idx_ref[0, g, 1]
+
+        @pl.when(s8 >= 0)
+        def _():
+            t = idx_ref[0, g, 0]
+            pltpu.make_async_copy(
+                cbt_ref.at[t, pl.ds(s8 * 8, win), :],
+                scratch.at[g],
+                sems.at[g % _NSEM],
+            ).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, issue, 0)
+
+    def drain(g, _):
+        @pl.when(idx_ref[0, g, 1] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                cbt_ref.at[0, pl.ds(0, win), :],
+                scratch.at[g],
+                sems.at[g % _NSEM],
+            ).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, drain, 0)
+
+    rows = scratch[:].astype(jnp.float32)                 # [grp, win, lanes]
+    q = qrow_ref[0].astype(jnp.float32)                   # [grp, lanes]
+    out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
+
+
+@functools.partial(jax.jit, static_argnames=("win", "grp", "groups"))
 def pallas_coarse_scores_aligned(
-    coarse_by_table: jax.Array,   # int8/bf16[L, caprows, Cd]
-    q_low: jax.Array,             # bf16[B, Cd]
-    table_b2: jax.Array,          # i32[B, MB]
+    coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, lanes]
+    q_low: jax.Array,             # bf16[B, lanes] (B*groups rows if packed)
+    table_b2: jax.Array,          # i32[B, MB] group index (lg)
     blk_start: jax.Array,         # i32[B, MB]; 8-ALIGNED by construction
     win: int,
     grp: int = 64,
     live: "jax.Array | None" = None,   # bool[B, MB] window has live rows
+    groups: int = 1,                   # lane-packed tables per row (G)
+    seg_b: "jax.Array | None" = None,  # i32[B, MB] lane segment per block
 ) -> jax.Array:
     """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
     Windows marked dead in `live` are neither copied nor scored validly —
-    the caller must mask their scores (it already does, by position)."""
+    the caller must mask their scores (it already does, by position).
+
+    groups > 1: the tier is lane-packed (G tables per 128-lane row,
+    `forest._build_coarse_tier`); q_low carries B*G segment-placed query
+    rows and seg_b names each block's segment. The per-block query row is
+    pre-selected in XLA and the kernel scores by VPU multiply+lane-reduce
+    (`_kernel_aligned_packed`)."""
     l, caprows, cd = coarse_by_table.shape
     b, mb_cap = table_b2.shape
     grp = min(grp, mb_cap)
-    # the kernel scores the whole group against ALL B queries before the
-    # one-hot column select: keep that [grp*win, B] f32 buffer ≤ 8 MB of
-    # the ~16 MB VMEM (large-B callers like the grouped flat engine)
-    while grp > 1 and grp * win * b * 4 > (8 << 20):
-        grp //= 2
+    # the unpacked kernel scores the whole group against ALL B queries
+    # before the one-hot column select: keep that [grp*win, B] f32 buffer
+    # ≤ 8 MB of the ~16 MB VMEM (large-B callers like the grouped flat
+    # engine); the packed kernel's buffers are B-independent
+    if groups == 1:
+        while grp > 1 and grp * win * b * 4 > (8 << 20):
+            grp //= 2
     while mb_cap % grp:
         grp //= 2
     start = jnp.clip(blk_start, 0, caprows - win) >> 3
@@ -221,14 +272,40 @@ def pallas_coarse_scores_aligned(
     idx = jnp.stack(
         [jnp.clip(table_b2, 0, l - 1), start], axis=-1
     ).astype(jnp.int32)                                    # [B, MB, 2]
+    if groups == 1:
+        return pl.pallas_call(
+            functools.partial(_kernel_aligned, grp=grp, win=win, cd=cd),
+            out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
+            grid=(b, mb_cap // grp),
+            in_specs=[
+                pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((b, cd), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((grp, win, cd), coarse_by_table.dtype),
+                pltpu.SemaphoreType.DMA((_NSEM,)),
+            ],
+        )(idx, q_low.astype(jnp.bfloat16), coarse_by_table)
+
+    # packed path: per-block query rows [B, MB, lanes]
+    q_rows = jnp.take_along_axis(
+        q_low.reshape(b, groups, cd),
+        jnp.broadcast_to(seg_b[:, :, None], (b, mb_cap, cd)),
+        axis=1,
+    ).astype(jnp.bfloat16)                                 # [B, MB, lanes]
     return pl.pallas_call(
-        functools.partial(_kernel_aligned, grp=grp, win=win, cd=cd),
+        functools.partial(_kernel_aligned_packed, grp=grp, win=win, cd=cd),
         out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
         grid=(b, mb_cap // grp),
         in_specs=[
             pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, cd), lambda i, j: (0, 0),
+            pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -238,4 +315,4 @@ def pallas_coarse_scores_aligned(
             pltpu.VMEM((grp, win, cd), coarse_by_table.dtype),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
-    )(idx, q_low.astype(jnp.bfloat16), coarse_by_table)
+    )(idx, q_rows, coarse_by_table)

@@ -28,8 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu):
-    # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT].
+def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out):
+    # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT]
+    # (or f32[BT, NT//g] when transpose_out).
     # TRANSPOSED score tile: the group split must land on the SUBLANE dim —
     # splitting the minor (lane) dim is an unsupported Mosaic shape cast.
     if int8_mxu:
@@ -47,7 +48,13 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu):
         )                                               # [NT, BT] f32
     nt, bt = scores.shape
     gmax = jnp.max(scores.reshape(nt // g, g, bt), axis=1)
-    out_ref[:] = gmax.astype(jnp.float32)
+    if transpose_out:
+        # in-kernel [NT//g, BT] transpose: emitting query-major gmax saves
+        # the XLA transpose of the full [NG, B] matrix (measured at 8M x 96,
+        # B=1024: the select stage dropped from +12.2 ms to ~+1 ms)
+        out_ref[:] = gmax.astype(jnp.float32).T
+    else:
+        out_ref[:] = gmax.astype(jnp.float32)
 
 
 @functools.partial(
@@ -77,7 +84,8 @@ def pallas_flat_groupmax(
         q_lp.dtype == jnp.int8
     )
     return pl.pallas_call(
-        functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8),
+        functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
+                          transpose_out=False),
         out_shape=jax.ShapeDtypeStruct((npad // group, b), jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[
@@ -88,6 +96,53 @@ def pallas_flat_groupmax(
         ],
         out_specs=pl.BlockSpec(
             (block_n // group, block_b), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(q_lp, sketch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret"),
+)
+def pallas_flat_groupmax_qmajor(
+    sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
+    q_lp: jax.Array,        # int8/bf16 [B, D];   B % block_b == 0
+    group: int = 64,
+    block_b: int = 128,
+    block_n: int = 8192,
+    int8_mxu: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group score maxima in QUERY-MAJOR layout f32[B, Npad/group] —
+    the layout `approx_max_k` consumes — via an in-kernel tile transpose.
+    Skips the XLA transpose of the full [NG, B] matrix that dominated the
+    group-select stage (results/attrib_flat_r02.json: +12.2 ms at 8M x 96).
+    Requires block_n // group to be a 128 multiple (output lane dim)."""
+    npad, d = sketch.shape
+    b = q_lp.shape[0]
+    assert npad % block_n == 0 and block_n % group == 0, (npad, block_n)
+    assert (block_n // group) % 128 == 0, (
+        "qmajor output needs block_n/group % 128 == 0", block_n, group)
+    block_b = min(block_b, b)
+    assert b % block_b == 0, (b, block_b)
+    use_int8 = bool(int8_mxu) and sketch.dtype == jnp.int8 and (
+        q_lp.dtype == jnp.int8
+    )
+    return pl.pallas_call(
+        functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
+                          transpose_out=True),
+        out_shape=jax.ShapeDtypeStruct((b, npad // group), jnp.float32),
+        grid=(npad // block_n, b // block_b),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_n // group), lambda i, j: (j, i),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,

@@ -64,8 +64,8 @@ class ShardedForestState:
     corpus: jax.Array           # f32[ndev, Nloc, D]
     row_ids: jax.Array          # i32[ndev, Nloc]
     corpus_lp: Optional[jax.Array] = None  # bf16[ndev, Nloc, D] coarse copy
-    coarse_proj: Optional[jax.Array] = None      # replicated f32[D, Cd]
-    coarse_by_table: Optional[jax.Array] = None  # [ndev, L, Nloc+ID_PAD, Cd]
+    coarse_proj: Optional[jax.Array] = None      # replicated f32[D, cs]
+    coarse_by_table: Optional[jax.Array] = None  # [ndev, Lg, Nloc+ID_PAD, G*cs] lane-packed
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -145,12 +145,9 @@ def _local_fit(
             low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
         else:
             low = low.astype(jnp.bfloat16)
+        from ..index.forest import _pack_tables_by_lane
 
-        def per_table(si_t):
-            rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
-            return jnp.where((si_t >= 0)[:, None], rows, 0)
-
-        cbt = jax.lax.map(per_table, si)                        # [L, Nloc+P, Cd]
+        cbt = _pack_tables_by_lane(low, si)          # [Lg, Nloc+P, G*cs]
         out = out + (cbt[None],)
     return out
 
@@ -185,9 +182,11 @@ def _fit_from_device_arrays(
             rng = np.random.default_rng(conf.seed ^ 0x5EED)
             proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
                 np.float32)
-        cd_pad = int(np.ceil(max(cd, 1) / 128.0) * 128)
-        if cd_pad != proj.shape[1]:
-            proj = np.pad(proj, ((0, 0), (0, cd_pad - proj.shape[1])))
+        from ..index.forest import coarse_seg_width
+
+        cs = coarse_seg_width(cd)               # lane packing (forest tier)
+        if cs != proj.shape[1]:
+            proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
         coarse_proj = jnp.asarray(proj)
     n_out = 7 if coarse_proj is not None else 6
 

@@ -144,3 +144,71 @@ def test_pallas_coarse_unaligned_matches_reference(monkeypatch):
     ]
     ref = np.einsum("bmwc,bc->bmw", rows.astype(np.float32), qb)
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_pallas_coarse_aligned_packed_matches_reference(monkeypatch):
+    """Lane-packed aligned-window kernel (groups > 1): scores must equal a
+    numpy reference that dots each block's rows against the query placed in
+    the block's lane segment (foreign segments contribute 0)."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(4)
+    g, cs = 4, 32                       # 4 tables per 128-lane row
+    lanes = g * cs
+    lg, cap, b, mb_cap, win = 2, 256, 4, 8, 16
+    cbt = rng.integers(-100, 100, size=(lg, cap, lanes)).astype(np.int8)
+    q = rng.normal(size=(b, cs)).astype(np.float32)
+    lg_b = rng.integers(0, lg, size=(b, mb_cap)).astype(np.int32)
+    seg_b = rng.integers(0, g, size=(b, mb_cap)).astype(np.int32)
+    bs = (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+        np.int32
+    )
+    live = rng.random(size=(b, mb_cap)) > 0.3
+    q_seg = np.stack(
+        [np.pad(q, ((0, 0), (s * cs, (g - 1 - s) * cs))) for s in range(g)],
+        axis=1,
+    )                                    # [B, G, lanes]
+    out = np.asarray(
+        cg.pallas_coarse_scores_aligned(
+            jnp.asarray(cbt), jnp.asarray(q_seg.reshape(b * g, lanes)),
+            jnp.asarray(lg_b), jnp.asarray(bs), win,
+            live=jnp.asarray(live), groups=g, seg_b=jnp.asarray(seg_b),
+        )
+    )
+    qb = np.asarray(
+        jnp.asarray(q_seg).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    rows = cbt[lg_b[:, :, None], bs[:, :, None] + np.arange(win)[None, None]]
+    q_blk = np.take_along_axis(
+        qb, np.broadcast_to(seg_b[:, :, None], (b, mb_cap, lanes)), axis=1
+    )
+    ref = np.einsum("bmwc,bmc->bmw", rows.astype(np.float32), q_blk)
+    np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
+
+
+def test_pallas_groupmax_qmajor_matches_plain(monkeypatch):
+    """Query-major group-max (in-kernel transpose) == plain kernel's .T."""
+    from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
+
+    rng = np.random.default_rng(5)
+    n, d, b, group, block_n = 1024, 128, 16, 8, 1024
+    sk = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    q = rng.integers(-100, 100, size=(b, d)).astype(np.int8)
+    a = np.asarray(
+        fg.pallas_flat_groupmax(
+            jnp.asarray(sk), jnp.asarray(q), group=group,
+            block_b=b, block_n=block_n, interpret=True,
+        )
+    )
+    bq = np.asarray(
+        fg.pallas_flat_groupmax_qmajor(
+            jnp.asarray(sk), jnp.asarray(q), group=group,
+            block_b=b, block_n=block_n, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(a.T, bq)
+    ref = (sk.astype(np.int32) @ q.astype(np.int32).T).reshape(
+        n // group, group, b
+    ).max(axis=1)
+    np.testing.assert_array_equal(a, ref.astype(np.float32))
