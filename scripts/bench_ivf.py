@@ -1,0 +1,87 @@
+"""IVF clustered-flat engine at Deep-8M on TPU: build time + nprobe sweep
+(qps, recall@10 vs cached exact GT) — the VERDICT #1 'beat the grouped scan'
+experiment. Same synthetic corpus recipe as tune_flat_grouped / bench_large
+(seed 11, 50k centers), GT cache /tmp/deep8m_gt.npz.
+
+HBM math that shapes the sweep: window reads are per-(query, window), so a
+query batch of B=1024 reads B*wb*win*128 bytes; at nprobe=32/win=256 that is
+2.1 GB — MORE than the 1 GB the full grouped scan reads once. IVF wins only
+with few probed rows per query: win=64 and nprobe <= 16 on this corpus.
+
+Run: timeout 5400 python scripts/bench_ivf.py > /tmp/bench_ivf.log 2>&1
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.ivf import build_ivf, ivf_topk
+
+    N, D, NQ = 8_000_000, 96, 1024
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(50_000, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    gt = np.load("/tmp/deep8m_gt.npz")["gt"]
+    gt_sets = [set(map(int, gt[i])) for i in range(NQ)]
+
+    t0 = time.perf_counter()
+    state = build_ivf(x, np.arange(N, dtype=np.int32), target_cluster=256,
+                      iters=6, seed=0)
+    jax.block_until_ready(state.sketch)
+    build_s = time.perf_counter() - t0
+    kc = int(state.centroids.shape[0])
+    print(f"build: {build_s:.1f} s, K={kc}, npad={int(state.sketch.shape[0])}",
+          flush=True)
+
+    qd = jnp.asarray(x[:NQ])
+    qids = jnp.arange(NQ, dtype=jnp.int32)
+
+    out = {"n": N, "dim": D, "build_s": round(build_s, 1), "k_clusters": kc,
+           "target_cluster": 256, "points": []}
+    for nprobe, win in ((4, 64), (8, 64), (16, 64), (32, 64), (64, 64)):
+        wb = nprobe * 6       # ~1.5x slack over nprobe*(256/64) windows
+        try:
+            args = (state.sketch, state.corpus, state.row_ids,
+                    state.centroids, state.starts, qd, qids, 10)
+            kw = dict(nprobe=nprobe, win=win, wb=wb, refine=128)
+            ids, _ = ivf_topk(*args, **kw)
+            jax.block_until_ready(ids)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                ids, _ = ivf_topk(*args, **kw)
+            jax.block_until_ready(ids)
+            dt = (time.perf_counter() - t0) / 5
+            ids_np = np.asarray(ids)
+            hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
+                                            if v >= 0)) for i in range(NQ))
+            rec = hits / (NQ * 10)
+            qps = NQ / dt
+            print(f"nprobe{nprobe}_win{win}_wb{wb}: {qps:.0f} qps "
+                  f"recall {rec:.4f}", flush=True)
+            out["points"].append({"nprobe": nprobe, "win": win, "wb": wb,
+                                  "qps": round(qps), "recall@10": round(rec, 4)})
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(f"nprobe{nprobe}: FAILED", flush=True)
+    out["note"] = ("IVF clustered-flat (ops/ivf.py); synthetic clustered "
+                   "corpus seed 11; exact GT; pipelined timing; v5e")
+    with open("results/ivf_deep8m.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,9 @@ def main():
     qd = jnp.asarray(x[:NQ])
     qids = jnp.arange(NQ, dtype=jnp.int32)
 
-    def timed(label, fn):
+    points = []
+
+    def timed(label, fn, meta):
         try:
             ids, _ = fn()
             jax.block_until_ready(ids)
@@ -47,19 +49,30 @@ def main():
             ids_np = np.asarray(ids)
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
-            print(f"{label}: {NQ/dt:.0f} qps recall {hits/(NQ*10):.4f}",
-                  flush=True)
+            rec = hits / (NQ * 10)
+            print(f"{label}: {NQ/dt:.0f} qps recall {rec:.4f}", flush=True)
+            points.append(dict(meta, qps=round(NQ / dt),
+                               **{"recall@10": round(rec, 4)}))
         except Exception as e:
             import traceback
             traceback.print_exc()
             print(f"{label}: FAILED {type(e).__name__}", flush=True)
 
-    for rg, rf, rt in ((24, 128, 0.998), (32, 128, 0.998), (32, 128, 0.9999),
-                       (48, 128, 0.998), (24, 128, 0.95)):
-        timed(f"rg{rg}_rf{rf}_rt{rt}",
-              lambda rg=rg, rf=rf, rt=rt: flat_topk_grouped(
+    # large groups kill the approx_max_k select wall (~12 ms over NG=125k at
+    # group 64 — results/ab_qmajor.json); sweep checks the recall cost
+    for g, rg, rf, rt in ((64, 24, 128, 0.998), (256, 6, 128, 0.998),
+                          (256, 12, 128, 0.998), (512, 6, 128, 0.998),
+                          (512, 12, 128, 0.998), (512, 24, 128, 0.998)):
+        timed(f"g{g}_rg{rg}_rf{rf}_rt{rt}",
+              lambda g=g, rg=rg, rf=rf, rt=rt: flat_topk_grouped(
                   sk, corpus, rid, qd, qids, 10, refine=rf, r_groups=rg,
-                  recall_target=rt))
+                  group=g, recall_target=rt),
+              {"group": g, "r_groups": rg, "refine": rf, "recall_target": rt})
+    import json
+    with open("results/tune_grouped_r02.json", "w") as f:
+        json.dump({"points": points,
+                   "note": "8Mx96 B=1024 int8; synthetic seed 11; exact GT; "
+                           "pipelined timing; v5e"}, f, indent=1)
 
 
 def stages():

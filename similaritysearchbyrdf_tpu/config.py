@@ -178,6 +178,17 @@ class RDFConfig:
         return self.table_num * self.permutation_num
 
     @property
+    def hash_tables(self) -> int:
+        """Tables the hash model actually produces. The reference's pStable
+        pick ignores permutationNum (`PStableHashFamily.pick` draws tableNum
+        chains, `PStableHashFamily.scala:59-77`), so a pStable forest is
+        tableNum wide; everything sized per hash table (partition chains,
+        bucket tables) must use this, not `total_tables`."""
+        if self.family_name == "pStable":
+            return self.table_num
+        return self.table_num * self.permutation_num
+
+    @property
     def num_partitions(self) -> int:
         """Sub-indexes per table = 2**partitionBits
         (ref `utils/Partitioner.scala:28`)."""

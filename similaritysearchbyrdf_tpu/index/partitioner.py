@@ -41,7 +41,7 @@ def generate_partition_projections(
     pconf = partition_config(conf)
     base_seed = conf.seed if seed is None else seed
     qs = []
-    for table in range(conf.total_tables):
+    for table in range(conf.hash_tables):
         m = generate_angle_model(pconf, seed=base_seed + 7919 * (table + 1))
         # pconf has table_num=1, permutation_num=1: proj is [1, pbits, 32]
         qs.append(np.asarray(m.proj[0]))
@@ -92,7 +92,7 @@ def load_partition_file(path: str, conf: RDFConfig) -> jax.Array:
             f"partitionBits {pbits}"
         )
     chains = np.stack(rows).reshape(-1, pbits, rows[0].shape[0])
-    l = conf.total_tables
+    l = conf.hash_tables
     if chains.shape[0] == 1:
         chains = np.broadcast_to(chains, (l,) + chains.shape[1:])
     elif chains.shape[0] != l:

@@ -289,25 +289,33 @@ def _grouped_candidates(
     _, gidx = jax.lax.approx_max_k(gmax, rg,
                                    recall_target=recall_target)  # [B, RG]
 
-    # row-wise sketch re-score of every selected group's rows
-    blk_start = gidx * group                            # 8-aligned (64 | start)
+    # row-wise sketch re-score of every selected group's rows. Large groups
+    # (>64 rows) expand into 64-row windows for the DMA kernel — win=group
+    # would blow the kernel's per-step [grp*win, B] VMEM score buffer and
+    # shrink grp below the SMEM block-divisibility floor.
+    win = min(group, 64)
+    wpg = group // win                                  # windows per group
+    blk_start = (
+        (gidx * group)[:, :, None]
+        + (jnp.arange(wpg, dtype=jnp.int32) * win)[None, None, :]
+    ).reshape(b, rg * wpg)                              # 8-aligned starts
     if use_pallas and jax.default_backend() == "tpu":
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
         w_scores = pallas_coarse_scores_aligned(
             sk[None], _pad_lanes(queries.astype(jnp.bfloat16))[:, :d],
-            jnp.zeros_like(gidx), blk_start, group,
-        )                                               # [B, RG, group]
+            jnp.zeros_like(blk_start), blk_start, win,
+        )                                               # [B, RG*wpg, win]
     else:
-        rows_i = blk_start[:, :, None] + jnp.arange(group, dtype=jnp.int32)
-        w_rows = sk[jnp.clip(rows_i, 0, npad - 1)]      # [B, RG, group, D]
+        rows_i = blk_start[:, :, None] + jnp.arange(win, dtype=jnp.int32)
+        w_rows = sk[jnp.clip(rows_i, 0, npad - 1)]      # [B, RG*wpg, win, D]
         w_scores = jnp.einsum(
             "brgd,bd->brg", w_rows.astype(jnp.bfloat16),
             _pad_lanes(queries.astype(jnp.bfloat16))[:, :d],
             preferred_element_type=jnp.float32,
         )
     pos = (blk_start[:, :, None]
-           + jnp.arange(group, dtype=jnp.int32)[None, None, :])
+           + jnp.arange(win, dtype=jnp.int32)[None, None, :])
     m = rg * group
     w_scores = jnp.where(pos < n, w_scores, -jnp.inf).reshape(b, m)
     pos = pos.reshape(b, m)

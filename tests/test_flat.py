@@ -220,3 +220,29 @@ def test_sparse_flat_excludes_self():
         assert i not in set(map(int, ids[i]))
     ids2, _ = engine.query(idx[:20], val[:20], k=1, exclude_self=False)
     assert (ids2[:, 0] == np.arange(20)).mean() >= 0.9
+
+
+def test_grouped_large_group_matches_flat():
+    """group > 64 expands into 64-row rescore windows (the DMA kernel's
+    VMEM/SMEM limits cap win at 64); results must still match the plain
+    scan at rescue-proof settings."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        build_flat_sketch, flat_topk, flat_topk_grouped,
+    )
+
+    x = _corpus(n=6000, d=48, seed=10)
+    c = jnp.asarray(x)
+    sk, _ = build_flat_sketch(c)
+    rid = jnp.arange(6000, dtype=jnp.int32)
+    q = jnp.asarray(x[:64])
+    qi = jnp.arange(64, dtype=jnp.int32)
+    a_ids, a_sc = flat_topk(sk, c, rid, q, qi, 10, refine=64, block=1024)
+    for group in (256, 512):
+        b_ids, b_sc = flat_topk_grouped(sk, c, rid, q, qi, 10, refine=64,
+                                        r_groups=12, group=group,
+                                        use_pallas=False)
+        np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc),
+                                   rtol=1e-5)
+        assert (np.asarray(a_ids) == np.asarray(b_ids)).mean() > 0.99

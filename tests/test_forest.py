@@ -274,3 +274,36 @@ def test_dense_similarity_threshold_filter():
     keep = sc0 >= thr
     np.testing.assert_array_equal(ids1, np.where(keep, ids0, -1))
     assert (sc1[~keep] == -np.inf).all()
+
+
+def test_pstable_forest_end_to_end():
+    """pStable family end-to-end: model width is tableNum (the reference's
+    pick ignores permutationNum, `PStableHashFamily.scala:59-77`), so the
+    partition chains must size by `conf.hash_tables` — fit+query must work
+    and recall clustered structure (regression: r2 sizing bug)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.ops.exact import exact_search
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(50, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50, 4000)] + 0.05 * rng.normal(size=(4000, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    conf = RDFConfig(
+        vector_dim=16, table_num=4, permutation_num=2, family_size=20,
+        partition_bits=2, family_name="pStable",
+        lsh_table=TableConfig(chain_length=8, bucket_overflow=50),
+    )
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(4000, dtype=np.int32), x))
+    assert forest.state.tables.num_tables == conf.hash_tables == 4
+    got, _ = forest.query(x[:200], steps=1, query_ids=np.arange(200))
+    gt, _ = exact_search(x, x[:200], k=10, exclude_self=True)
+    gt = np.asarray(gt)
+    hits = sum(
+        len(set(gt[i].tolist()) & set(int(v) for v in got[i] if v >= 0))
+        for i in range(200)
+    )
+    assert hits / 2000 > 0.9
