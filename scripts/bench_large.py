@@ -72,6 +72,7 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
     print(f"[{name}] build: {build_s:.2f}s steady ({n / build_s:.0f} vec/s), "
           f"{forest.index_bytes_per_vector():.0f} B/vec", flush=True)
 
+    lines = []
     modes = [("reference", 0)] + [("margin", b) for b in (12,)]
     for steps in steps_list:
         for mode, budget in modes:
@@ -96,6 +97,19 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
                                 & set(int(v) for v in got[i][:k] if v >= 0))
                 line[f"recall@{k}"] = round(hits / (n_query * k), 4)
             print(json.dumps(line), flush=True)
+            lines.append(line)
+    out = {
+        "corpus": name, "n": n, "dim": d,
+        "build_s": round(build_s, 1),
+        "build_vectors_per_sec": round(n / build_s, 1),
+        "index_bytes_per_vector": round(forest.index_bytes_per_vector(), 1),
+        "points": lines,
+        "note": "synthetic clustered corpus (zero-egress image); exact GT",
+    }
+    fn = f"results/{name.replace('.', 'p')}.json"
+    with open(fn, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", fn, flush=True)
 
 
 if __name__ == "__main__":
