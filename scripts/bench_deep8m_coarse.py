@@ -1,0 +1,95 @@
+"""Deep-8M forest through the LANE-PACKED coarse tier — VERDICT r1 item 3
+(forest >= 600 qps @ recall >= 0.92 at 8M x 96).
+
+The non-coarse path at this scale is gather-bound: candidate ids arrive as
+~4.2M element gathers (~67 ms per 64-query chunk) plus a bf16 full-row
+gather of every candidate (~1 GB per chunk). The cd=16 lane-packed tier
+(G=8 tables per 128-lane row; 16 B/row/table = 3.8 GB at 8M x 30 tables)
+scores candidates POSITIONALLY via aligned-window DMA instead, and only the
+top `coarse_refine` rows get id + f32-row gathers.
+
+HBM: corpus f32 4.3 GB + tier 4.3 GB + ids/keys ~2 GB — fits; rerank_dtype
+stays f32 so no bf16 corpus copy is built.
+
+Run: timeout 5400 python scripts/bench_deep8m_coarse.py > /tmp/deep8m_coarse.log 2>&1
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    N, D, NQ = 8_000_000, 96, 1024
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(50_000, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    queries = x[:NQ]
+    gt_ids = np.load("/tmp/deep8m_gt.npz")["gt"]
+    gt_sets = [set(map(int, gt_ids[i])) for i in range(NQ)]
+
+    conf = RDFConfig(
+        vector_dim=D, table_num=10, permutation_num=3, family_size=100,
+        partition_bits=3, lsh_table=TableConfig(chain_length=32,
+                                                bucket_overflow=500),
+        query_batch_size=64, max_candidates=65536, top_k=10,
+        coarse_dim=16, coarse_dtype="int8", coarse_refine=2048,
+    )
+    t0 = time.perf_counter()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
+    jax.block_until_ready(forest.state.tables.sorted_keys)
+    build_s = time.perf_counter() - t0
+    print(f"build: {build_s:.1f} s, {forest.index_bytes_per_vector():.1f} "
+          f"B/vec index", flush=True)
+
+    out = {"corpus": "deep8m_96d", "n": N, "dim": D,
+           "build_s": round(build_s, 1), "coarse_dim": 16,
+           "index_bytes_per_vector":
+               round(forest.index_bytes_per_vector(), 1),
+           "points": []}
+    for steps, budget, refine in ((1, 12, 2048), (1, 12, 4096), (0, 12, 2048)):
+        kw = dict(steps=steps, query_ids=np.arange(NQ), probe_mode="margin",
+                  probe_budget=budget, coarse_refine=refine)
+        try:
+            forest.query(queries, **kw)                  # compile + warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                got, _ = forest.query(queries, **kw)
+            dt = (time.perf_counter() - t0) / reps
+            hits = sum(len(gt_sets[i] & set(int(v) for v in got[i]
+                                            if v >= 0)) for i in range(NQ))
+            rec = hits / (NQ * 10)
+            print(f"steps{steps}_b{budget}_rf{refine}: {NQ/dt:.0f} qps "
+                  f"recall {rec:.4f}", flush=True)
+            out["points"].append(
+                {"steps": steps, "probe_mode": "margin",
+                 "probe_budget": budget, "m_cap": 65536,
+                 "coarse_refine": refine, "qps": round(NQ / dt),
+                 "recall@10": round(rec, 4)})
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(f"steps{steps}_rf{refine}: FAILED", flush=True)
+    out["note"] = ("lane-packed cd=16 coarse tier; synthetic clustered "
+                   "corpus; exact GT; per-chip slice of the Deep-100M plan")
+    with open("results/deep8m_coarse.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

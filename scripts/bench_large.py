@@ -25,7 +25,8 @@ def clustered(n, d, n_clusters, noise, seed=7):
     return x.astype(np.float32)
 
 
-def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000):
+def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000,
+        coarse_dim=None):
     import jax
 
     from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
@@ -42,7 +43,7 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
         # (m_cap >= 32768 enables window mode + the Pallas coarse gather),
         # then exactly re-scores the top `coarse_refine`
         query_batch_size=128, max_candidates=65536, top_k=max(ks),
-        coarse_dim=d, coarse_dtype="int8", coarse_refine=1024,
+        coarse_dim=coarse_dim or d, coarse_dtype="int8", coarse_refine=1024,
     )
     x = clustered(n, d, n_clusters, noise)
     ids = np.arange(n, dtype=np.int32)
@@ -103,6 +104,10 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
         "build_s": round(build_s, 1),
         "build_vectors_per_sec": round(n / build_s, 1),
         "index_bytes_per_vector": round(forest.index_bytes_per_vector(), 1),
+        "coarse_tier_bytes_per_vector": round(
+            forest.state.coarse_by_table.size
+            * forest.state.coarse_by_table.dtype.itemsize / n, 1)
+            if forest.state.coarse_by_table is not None else 0.0,
         "points": lines,
         "note": "synthetic clustered corpus (zero-egress image); exact GT",
     }
@@ -115,7 +120,8 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "glove"
     if which == "glove":
-        run("glove1.2m", 1_200_000, 100, 20_000, 0.05, ks=(10,), steps_list=(0, 1))
+        run("glove1.2m", 1_200_000, 100, 20_000, 0.05, ks=(10,), steps_list=(0, 1),
+            coarse_dim=32)
     elif which == "sift":
         run("sift1m", 1_000_000, 128, 20_000, 0.05, ks=(1, 10, 100),
             steps_list=(0, 1))

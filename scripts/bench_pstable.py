@@ -52,7 +52,7 @@ def main():
             partition_bits=3, family_name="pStable",
             pstable=PStableConfig(w=w),
             lsh_table=TableConfig(chain_length=cl, bucket_overflow=500),
-            max_candidates=m_cap, query_batch_size=1000,
+            max_candidates=m_cap, query_batch_size=250,
         )
         forest = RDFForest(conf)
         t0 = time.perf_counter()

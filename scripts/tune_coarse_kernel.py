@@ -24,11 +24,20 @@ def main():
         pallas_coarse_scores_aligned,
     )
 
-    LG, CAP, LANES = 4, 8_400_000, 128
+    LG, CAP, LANES = 4, 8_400_000, 128  # CAP % 8 == 0
     B, MB, WIN = 64, 1024, 64                     # m_cap 65536, win 64
     CS, G = 16, 8                                 # cd=16 lane packing
-    key = jax.random.PRNGKey(0)
-    cbt = jax.random.randint(key, (LG, CAP, LANES), -127, 128, dtype=jnp.int8)
+    # chunked generation: one-shot randint materializes an i32 intermediate
+    # (17 GB at this shape — OOMs the chip)
+    chunks = []
+    for i in range(8):
+        k = jax.random.PRNGKey(i)
+        c = jax.random.randint(k, (LG, CAP // 8, LANES), -127, 128,
+                               dtype=jnp.int8)
+        c.block_until_ready()
+        chunks.append(c)
+    cbt = jnp.concatenate(chunks, axis=1)
+    del chunks
     # B*G segment-placed query rows (the packed call layout)
     q = jax.random.normal(jax.random.PRNGKey(1), (B * G, LANES),
                           dtype=jnp.float32).astype(jnp.bfloat16)
@@ -48,7 +57,10 @@ def main():
                 cbt, q, lg_b, blk, win, grp=grp, live=live,
                 groups=G, seg_b=seg_b,
             )
-            return s.sum()
+            # dead windows skip their DMA and leave STALE scratch rows (the
+            # query path masks them by position); mask before reducing or
+            # the checksum depends on scheduling
+            return jnp.where(live[:, :, None], s, 0.0).sum()
         return f
 
     # verify grp variants agree (same math, different scheduling)
@@ -85,7 +97,7 @@ def main():
                 cbt, q, lg2, blk2, 128, grp=grp, live=live2,
                 groups=G, seg_b=seg2,
             )
-            return s.sum()
+            return jnp.where(live2[:, :, None], s, 0.0).sum()
         v = f2(cbt, q, lg2, blk2, live2, seg2)
         v.block_until_ready()
         t0 = time.perf_counter()
