@@ -1,0 +1,295 @@
+"""Mesh-sharded clustered-flat (IVF) engine: P7 distribution for `ops/ivf.py`.
+
+Design (the distributed-IVF classic, recast for a JAX mesh):
+
+  k-means  GLOBAL spherical Lloyd over row-sharded corpus: each shard
+           assigns its rows against replicated centroids (chunked MXU
+           matmuls) and contributes one-hot partial sums; `psum` over the
+           shard axis merges them — one shard_map program per iteration,
+           no scatters, no host round-trips inside an iteration.
+  layout   every shard lays ITS OWN rows out cluster-ordered (8-aligned
+           per-cluster ranges over the GLOBAL cluster ids), so cluster c
+           is one contiguous window range on every shard.
+  query    centroids are replicated: every shard selects the same top
+           `nprobe` clusters (a tiny [B, K] matmul), DMA-scans its local
+           portion of them, exact-refines locally, and the only collective
+           is the usual ICI all-gather top-k merge (exact f32 scores are
+           comparable across shards; the int8 sketch is only used for
+           WITHIN-shard preselection, so per-shard scales would still be
+           correct — a global scale is used anyway for uniformity).
+
+Single-process fit here (host holds the corpus, like `fit_flat_sharded`);
+the host-local-rows distributed variant follows the
+`fit_flat_sharded_distributed` pattern if Deep-100M-scale ingestion needs
+it. No reference counterpart (COVERAGE.md divergence #10; distribution
+contract mirrors the paper's sub-index scheme, `/root/reference/README.md:5-7`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ivf import ivf_topk
+from .mesh import SHARD_AXIS, make_forest_mesh
+from .sharded_flat import _gather_merge_topk, _pad_to
+
+
+class ShardedIVFState(NamedTuple):
+    sketch: jax.Array      # int8 [ndev, npad_max, Dp], shard axis 0
+    corpus: jax.Array      # f32  [ndev, npad_max, Dp], shard axis 0
+    row_ids: jax.Array     # i32  [ndev, npad_max], shard axis 0 (-1 = pad)
+    centroids: jax.Array   # bf16 [K, Dp], replicated
+    starts: jax.Array      # i32  [ndev, K+1], shard axis 0
+
+
+def _local_kmeans_stats(xc, cent, *, chunk):
+    """Shard-local Lloyd statistics + psum merge: returns (replicated
+    centroid sums f32[K, Dp], counts f32[K], local assignment i32[nloc])."""
+    nloc, dp = xc.shape
+    k = cent.shape[0]
+    nc = max(nloc // chunk, 1)
+    while nloc % nc:                 # nc must divide nloc exactly
+        nc -= 1
+
+    def assign_one(xb):
+        s = jnp.einsum("nd,kd->nk", xb, cent,
+                       preferred_element_type=jnp.float32)
+        return jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    assign = jax.lax.map(assign_one, xc.reshape(nc, -1, dp)).reshape(nloc)
+    live = jnp.any(xc != 0, axis=1)          # zero rows = padding
+    assign = jnp.where(live, assign, -1)
+
+    def update_one(carry, args):
+        sums, counts = carry
+        xb, ab = args
+        onehot = (
+            ab[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+        ).astype(jnp.bfloat16)
+        sums = sums + jnp.einsum("nk,nd->kd", onehot, xb,
+                                 preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot.astype(jnp.float32), axis=0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        update_one,
+        (jnp.zeros((k, dp), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        (xc.reshape(nc, -1, dp).astype(jnp.bfloat16),
+         assign.reshape(nc, -1)),
+    )
+    sums = jax.lax.psum(sums, SHARD_AXIS)
+    counts = jax.lax.psum(counts, SHARD_AXIS)
+    return sums, counts, assign
+
+
+def _kmeans_sharded(
+    x_d: jax.Array,          # f32[ndev*nloc, Dp] row-sharded
+    mesh: Mesh,
+    k: int,
+    iters: int,
+    seed: int,
+    init_cent: np.ndarray,   # f32[K, Dp] host-sampled initial centroids
+    chunk: int = 16384,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Global spherical k-means over the mesh. Returns (centroids bf16
+    [K, Dp] replicated, assignment i32[ndev*nloc] host numpy; -1 pad)."""
+    cent = jnp.asarray(init_cent, jnp.bfloat16)
+
+    step = jax.jit(
+        jax.shard_map(
+            functools.partial(_local_kmeans_stats, chunk=chunk),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P()),
+            out_specs=(P(), P(), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+    )
+    assign = None
+    for _ in range(iters):
+        sums, counts, assign = step(x_d, cent)
+        new_c = jnp.where(
+            (counts > 0)[:, None],
+            sums / jnp.maximum(counts, 1.0)[:, None],
+            cent.astype(jnp.float32),
+        )
+        norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+        cent = (new_c / jnp.maximum(norm, 1e-20)).astype(jnp.bfloat16)
+    return cent, np.asarray(assign)
+
+
+def fit_ivf_sharded(
+    values: np.ndarray,              # f32[N, D]
+    ids: np.ndarray,                 # i32[N]
+    mesh: Optional[Mesh] = None,
+    target_cluster: int = 256,
+    iters: int = 6,
+    seed: int = 0,
+    k_clusters: Optional[int] = None,
+) -> Tuple[ShardedIVFState, Mesh]:
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    n, d = values.shape
+    dp = _pad_to(d, 128)
+    nloc = _pad_to(int(np.ceil(n / ndev)), 8)
+    npad = nloc * ndev
+    x = np.zeros((npad, dp), dtype=np.float32)
+    x[:n, :d] = values
+    rid = np.full((npad,), -1, dtype=np.int32)
+    rid[:n] = ids
+
+    kc = k_clusters or int(np.clip(n // target_cluster, 16, 65536))
+    rng = np.random.default_rng(seed ^ 0xC1)
+    init_rows = rng.choice(max(n, 1), size=kc, replace=n < kc).astype(np.int32)
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    x_d = jax.device_put(x, shard)
+    centroids, assign = _kmeans_sharded(
+        x_d, mesh, kc, iters, seed, x[init_rows],
+        chunk=min(16384, nloc),
+    )
+
+    # per-shard cluster-ordered layout over GLOBAL cluster ids (host-side
+    # integer work, one pass per shard)
+    a2 = assign.reshape(ndev, nloc)
+    scale = 127.0 / max(float(np.max(np.abs(values))) if n else 0.0, 1e-30)
+    per_shard = []
+    npad_max = 0
+    for s in range(ndev):
+        a = a2[s]
+        live = a >= 0
+        order = np.argsort(np.where(live, a, kc), kind="stable")
+        order = order[: int(live.sum())]
+        counts = np.bincount(a[live], minlength=kc)
+        padded = ((counts + 7) // 8) * 8
+        starts = np.zeros(kc + 1, np.int64)
+        starts[1:] = np.cumsum(padded)
+        tot = int(starts[-1])
+        perm = np.full(tot, -1, np.int64)
+        src = np.zeros(kc + 1, np.int64)
+        src[1:] = np.cumsum(counts)
+        for c in np.flatnonzero(counts):
+            perm[starts[c]: starts[c] + counts[c]] = order[src[c]: src[c + 1]]
+        per_shard.append((perm, starts))
+        npad_max = max(npad_max, tot)
+    npad_max = _pad_to(max(npad_max, 8), 8)
+
+    sk = np.zeros((ndev, npad_max, dp), dtype=np.int8)
+    co = np.zeros((ndev, npad_max, dp), dtype=np.float32)
+    ro = np.full((ndev, npad_max), -1, dtype=np.int32)
+    st = np.zeros((ndev, kc + 1), dtype=np.int32)
+    for s, (perm, starts) in enumerate(per_shard):
+        rows = np.where(
+            (perm >= 0)[:, None], x[s * nloc + np.maximum(perm, 0)], 0.0
+        )
+        co[s, : len(perm)] = rows
+        sk[s, : len(perm)] = np.clip(np.round(rows * scale), -127, 127)
+        ro[s, : len(perm)] = np.where(
+            perm >= 0, rid[s * nloc + np.maximum(perm, 0)], -1
+        )
+        st[s] = np.minimum(starts, npad_max)
+
+    state = ShardedIVFState(
+        sketch=jax.device_put(sk, shard),
+        corpus=jax.device_put(co, shard),
+        row_ids=jax.device_put(ro, shard),
+        centroids=centroids,
+        starts=jax.device_put(st, shard),
+    )
+    return state, mesh
+
+
+def _local_ivf_query(sketch, corpus, row_ids, starts, centroids, queries,
+                     query_ids, *, k, nprobe, win, wb, refine, exclude_self):
+    ids, scores = ivf_topk(
+        sketch[0], corpus[0], row_ids[0], centroids, starts[0],
+        queries, query_ids, k, nprobe=nprobe, win=win, wb=wb,
+        refine=refine, exclude_self=exclude_self,
+    )
+    return _gather_merge_topk(ids, scores, k)
+
+
+def make_ivf_query_fn(
+    mesh: Mesh,
+    k: int = 10,
+    nprobe: int = 32,
+    win: int = 64,
+    wb: Optional[int] = None,
+    refine: int = 128,
+    exclude_self: bool = True,
+):
+    """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores).
+    Every shard probes the same globally-selected clusters (replicated
+    centroids) over its local rows; one all-gather merges the exact top-k."""
+    fn = jax.shard_map(
+        functools.partial(
+            _local_ivf_query, k=k, nprobe=nprobe, win=win,
+            wb=wb or 2 * nprobe, refine=refine, exclude_self=exclude_self,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        lambda state, q, qi: fn(
+            state.sketch, state.corpus, state.row_ids, state.starts,
+            state.centroids, q, qi,
+        )
+    )
+
+
+class ShardedIVFIndex:
+    """Host orchestrator for the mesh-sharded clustered-flat engine (same
+    query surface as `ops.ivf.IVFFlatIndex`; `nprobe` is the recall knob)."""
+
+    def __init__(self, mesh: Optional[Mesh] = None,
+                 target_cluster: int = 256, nprobe: int = 32, win: int = 64,
+                 refine: int = 128, iters: int = 6, seed: int = 0):
+        self.mesh = mesh
+        self.target_cluster = target_cluster
+        self.nprobe = nprobe
+        self.win = win
+        self.refine = refine
+        self.iters = iters
+        self.seed = seed
+        self.state: Optional[ShardedIVFState] = None
+        self._qfn = {}
+
+    def fit(self, batch) -> "ShardedIVFIndex":
+        self.state, self.mesh = fit_ivf_sharded(
+            np.asarray(batch.values, np.float32),
+            np.asarray(batch.ids, np.int32),
+            self.mesh, target_cluster=self.target_cluster,
+            iters=self.iters, seed=self.seed,
+        )
+        return self
+
+    def query(self, queries: np.ndarray, k: int = 10,
+              query_ids: Optional[np.ndarray] = None,
+              exclude_self: bool = True,
+              nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        if self.state is None:
+            print("need to fit the data first")
+            kk = max(k, 1)
+            return (np.full((len(queries), kk), -1, np.int32),
+                    np.full((len(queries), kk), -np.inf, np.float32))
+        npb = min(nprobe or self.nprobe, int(self.state.centroids.shape[0]))
+        key = (k, npb, exclude_self)
+        if key not in self._qfn:
+            self._qfn[key] = make_ivf_query_fn(
+                self.mesh, k=k, nprobe=npb, win=self.win,
+                refine=self.refine, exclude_self=exclude_self,
+            )
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qids = (jnp.asarray(np.asarray(query_ids, np.int32))
+                if query_ids is not None
+                else jnp.full((len(queries),), -1, jnp.int32))
+        ids, scores = self._qfn[key](self.state, q, qids)
+        return np.asarray(ids), np.asarray(scores)
