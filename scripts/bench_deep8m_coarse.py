@@ -60,9 +60,19 @@ def main():
            "index_bytes_per_vector":
                round(forest.index_bytes_per_vector(), 1),
            "points": []}
-    for steps, budget, refine in ((1, 12, 2048), (1, 12, 4096), (0, 12, 2048)):
+    # The window kernel is per-DMA bound (~1.55 us/window at any grp,
+    # results/tune_coarse_kernel.json): win 64->128->256 measured 416->
+    # 624->846 qps. Recall is coarse-preselect bound at cd=16 (rf4096 was
+    # +0.024 over rf2048), so this sweep trades window count (m_cap/win)
+    # against refine depth at win=256.
+    for steps, budget, refine, cw, mc in (
+        (1, 12, 4096, 256, 65536), (1, 16, 8192, 256, 65536),
+        (1, 12, 4096, 256, 131072), (1, 16, 8192, 256, 131072),
+        (1, 16, 16384, 256, 131072),
+    ):
         kw = dict(steps=steps, query_ids=np.arange(NQ), probe_mode="margin",
-                  probe_budget=budget, coarse_refine=refine)
+                  probe_budget=budget, coarse_refine=refine,
+                  coarse_window=cw, m_cap=mc)
         try:
             forest.query(queries, **kw)                  # compile + warm
             t0 = time.perf_counter()
@@ -73,19 +83,28 @@ def main():
             hits = sum(len(gt_sets[i] & set(int(v) for v in got[i]
                                             if v >= 0)) for i in range(NQ))
             rec = hits / (NQ * 10)
-            print(f"steps{steps}_b{budget}_rf{refine}: {NQ/dt:.0f} qps "
+            print(f"steps{steps}_b{budget}_rf{refine}_w{cw}_m{mc}: {NQ/dt:.0f} qps "
                   f"recall {rec:.4f}", flush=True)
             out["points"].append(
                 {"steps": steps, "probe_mode": "margin",
-                 "probe_budget": budget, "m_cap": 65536,
-                 "coarse_refine": refine, "qps": round(NQ / dt),
+                 "probe_budget": budget,
+                 "coarse_refine": refine, "coarse_window": cw, "m_cap": mc,
+                 "qps": round(NQ / dt),
                  "recall@10": round(rec, 4)})
         except Exception:
             import traceback
             traceback.print_exc()
-            print(f"steps{steps}_rf{refine}: FAILED", flush=True)
+            print(f"steps{steps}_rf{refine}_w{cw}_m{mc}: FAILED", flush=True)
     out["note"] = ("lane-packed cd=16 coarse tier; synthetic clustered "
                    "corpus; exact GT; per-chip slice of the Deep-100M plan")
+    try:  # keep prior sweep points (e.g. the window-scaling evidence)
+        with open("results/deep8m_coarse.json") as f:
+            prior = json.load(f).get("points", [])
+        seen = {tuple(sorted(p.items())) for p in out["points"]}
+        out["points"] += [p for p in prior
+                          if tuple(sorted(p.items())) not in seen]
+    except (OSError, ValueError):
+        pass
     with open("results/deep8m_coarse.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)

@@ -30,7 +30,7 @@ from .ops.flat import (FlatIndex, SparseFlatIndex, flat_topk,
 from .deploy.dense import DenseRDFInit
 from .deploy.sparse import SparseRDFInit
 from .deploy.multi_feature import MultiFeatureRDFInit
-from .storage.persist import save_forest, load_forest, save_flat, load_flat, TieredForest, GenerationStore
+from .storage.persist import save_forest, load_forest, save_flat, load_flat, save_ivf, load_ivf, TieredForest, GenerationStore
 
 __version__ = "0.1.0"
 
@@ -71,6 +71,8 @@ __all__ = [
     "save_forest",
     "save_flat",
     "load_flat",
+    "save_ivf",
+    "load_ivf",
     "load_forest",
     "TieredForest",
     "GenerationStore",

@@ -157,16 +157,10 @@ def fit_dense(
         keys, ids, layout, conf.lsh_table.bucket_overflow, nb_pad=nb_pad
     )
     del keys, ids
-    coarse_proj = coarse_by_table = None
-    if conf.coarse_dim:
-        coarse_proj, coarse_by_table = _build_coarse_tier(
-            values_d, tables.sorted_ids, conf.coarse_dim,
-            conf.coarse_dtype, conf.seed,
-        )
     # the stored scoring copies are LANE-PADDED to a 128 multiple: full-row
     # gathers from non-aligned rows cost up to 2x more
     # (scripts/bench_rowgather.py); rerank pads queries to match. Built
-    # LAST (after the build's big sort temporaries) and the unpadded values
+    # after the build's big sort temporaries and the unpadded values
     # dropped right after — at Deep-scale row counts the padded + unpadded
     # copies coexisting through build_tables OOMs a 16 GB chip.
     dpad = _pad_to(batch.dim, 128)
@@ -177,6 +171,15 @@ def fit_dense(
     del values_d
     if dpad != batch.dim:
         corpus_store.block_until_ready()   # let the unpadded buffer free
+    # the coarse tier (itself bytes-per-vector scale) builds FROM the padded
+    # scoring copy — with a row-padded projection — so it never coexists
+    # with both corpus copies (the 8M x 96 Deep bench OOMed otherwise)
+    coarse_proj = coarse_by_table = None
+    if conf.coarse_dim:
+        coarse_proj, coarse_by_table = _build_coarse_tier(
+            corpus_store, tables.sorted_ids, conf.coarse_dim,
+            conf.coarse_dtype, conf.seed, dim=batch.dim,
+        )
     corpus_lp = (
         corpus_store.astype(jnp.bfloat16)
         if conf.rerank_dtype == "bfloat16" else None
@@ -204,11 +207,12 @@ def coarse_seg_width(cd: int) -> int:
 
 
 def _build_coarse_tier(
-    corpus: jax.Array,       # f32[Npad, D]
+    corpus: jax.Array,       # f32[Npad, Dpad] (lane-padded scoring copy)
     sorted_ids: jax.Array,   # i32[L, Npad+ID_PAD]
     coarse_dim: int,
     coarse_dtype: str,
     seed: int,
+    dim: Optional[int] = None,   # true vector dim (<= corpus.shape[1])
 ) -> Tuple[jax.Array, jax.Array]:
     """Coarse rows replicated per table in BUCKET-SORTED order (padding
     rows = 0), so a query block's coarse rows are one contiguous slice.
@@ -225,7 +229,7 @@ def _build_coarse_tier(
     all 128 lanes; scoring zero-pads the query into the right segment so
     foreign segments contribute nothing to the dot.
     One-time fit cost: one [N, D] x [D, Cd] matmul + L gathers of N rows."""
-    d = corpus.shape[1]
+    d = dim if dim is not None else corpus.shape[1]
     cd = min(coarse_dim, d)
     if cd == d:
         proj = np.eye(d, dtype=np.float32)
@@ -238,9 +242,16 @@ def _build_coarse_tier(
     if cs != proj.shape[1]:
         proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
     coarse_proj = jnp.asarray(proj)                            # [D, cs]
+    # zero-pad projection ROWS up to the lane-padded corpus width: padding
+    # dims contribute 0, so the tier is identical to projecting the true-D
+    # corpus (queries keep using the [D, cs] projection)
+    proj_build = (
+        jnp.asarray(np.pad(proj, ((0, corpus.shape[1] - d), (0, 0))))
+        if corpus.shape[1] != d else coarse_proj
+    )
     store_int8 = coarse_dtype == "int8"
     return coarse_proj, _coarse_tier_build(
-        coarse_proj, corpus, sorted_ids, store_int8
+        proj_build, corpus, sorted_ids, store_int8
     )
 
 
@@ -267,17 +278,57 @@ def _pack_tables_by_lane(low: jax.Array, si: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("store_int8",))
-def _coarse_tier_build(cp, c, si, store_int8):
-    """Module-level jit (a closure-local jit would recompile on every
-    fit call — measured as a ~2x build-rate regression on the smoke
-    bench)."""
+def _coarse_low(cp, c, store_int8):
+    """Project + quantize the corpus once: [Npad, Dpad] → [Npad, cs]."""
     low = c @ cp                                               # [Npad, cs] f32
     if store_int8:
         scale = jnp.float32(127.0) / jnp.maximum(jnp.max(jnp.abs(low)), 1e-20)
-        low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
-    else:
-        low = low.astype(jnp.bfloat16)
-    return _pack_tables_by_lane(low, si)         # [Lg, Npad+P, G*cs]
+        return jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
+    return low.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fill_coarse_group(out, low, si_g, lg):
+    """Write ONE lane-packed group into the donated tier buffer (gather
+    each of the G tables' rows in sort order, concatenate along lanes,
+    dynamic-update slice lg). Donation keeps the peak at one output buffer
+    plus one group of transients — `jnp.stack` over all groups inside a
+    single program double-buffers the full tier and OOMed the 8M x 96
+    Deep fit. One compiled program serves every group (lg is traced)."""
+    g = si_g.shape[0]
+
+    def per_table(si_t):
+        rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+        return jnp.where((si_t >= 0)[:, None], rows, 0)
+
+    segs = [per_table(si_g[s]) for s in range(g)]
+    grp = jnp.concatenate(segs, axis=1) if g > 1 else segs[0]
+    return jax.lax.dynamic_update_slice(
+        out, grp[None], (lg, jnp.int32(0), jnp.int32(0))
+    )
+
+
+def _coarse_tier_build(cp, c, si, store_int8):
+    """Pack G = 128//cs tables per 128-lane row → [ceil(L/G), Npad+P, G*cs].
+    Module-level jits (a closure-local jit would recompile on every fit
+    call — measured as a ~2x build-rate regression on the smoke bench)."""
+    low = _coarse_low(cp, c, store_int8)
+    l, caprows = si.shape
+    cs = low.shape[1]
+    g = max(1, 128 // cs)
+    lg_n = int(np.ceil(l / g))
+    if l % g:                                    # ragged last group: -1 pad
+        si = jnp.concatenate(
+            [si, jnp.full((lg_n * g - l, caprows), -1, si.dtype)], axis=0
+        )
+    out = jnp.zeros((lg_n, caprows, g * cs), low.dtype)
+    for lg in range(lg_n):
+        out = _fill_coarse_group(
+            out, low,
+            jax.lax.slice_in_dim(si, lg * g, (lg + 1) * g, axis=0),
+            jnp.int32(lg),
+        )
+    return out                                   # [Lg, Npad+P, G*cs]
 
 
 # ---------------------------------------------------------------------------
@@ -1097,16 +1148,17 @@ class RDFForest:
         probe_budget: int = 8,
         coarse_refine: Optional[int] = None,
         m_cap: Optional[int] = None,
+        coarse_window: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
-        Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap default to
-        the config's coarse_refine / max_candidates (per-call overrides let
-        operating-point sweeps reuse one fitted forest)."""
+        Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap /
+        coarse_window default to the config's values (per-call overrides
+        let operating-point sweeps reuse one fitted forest)."""
         ids, scores = self.query_device(
             queries, steps=steps, query_ids=query_ids, k=k,
             multiprobe=multiprobe, probe_mode=probe_mode,
             probe_budget=probe_budget, coarse_refine=coarse_refine,
-            m_cap=m_cap,
+            m_cap=m_cap, coarse_window=coarse_window,
         )
         return np.asarray(ids), np.asarray(scores)
 
@@ -1121,6 +1173,7 @@ class RDFForest:
         probe_budget: int = 8,
         coarse_refine: Optional[int] = None,
         m_cap: Optional[int] = None,
+        coarse_window: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """`query` without the final host transfer: returns device arrays so
         multi-tier callers (`storage.persist.TieredForest`) can merge many
@@ -1146,7 +1199,8 @@ class RDFForest:
             multiprobe=multiprobe, exclude_self=exclude, chunk=bs,
             probe_mode=probe_mode, probe_budget=probe_budget,
             coarse_refine=coarse_refine or self.conf.coarse_refine,
-            coarse_window=self.conf.coarse_window,
+            coarse_window=(coarse_window if coarse_window is not None
+                           else self.conf.coarse_window),
         )
         thr = self.conf.similarity_threshold
         if thr > 0.0:

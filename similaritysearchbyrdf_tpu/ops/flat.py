@@ -285,9 +285,28 @@ def _grouped_candidates(
     gmax = jnp.where(g_live[None, :], gmax, -jnp.inf)
     rg = min(r_groups, ng)
     # the group select bounds end recall: a missed group loses all its rows
-    # (refine can't recover it) — run it at a high recall target
-    _, gidx = jax.lax.approx_max_k(gmax, rg,
-                                   recall_target=recall_target)  # [B, RG]
+    # (refine can't recover it). At large NG a flat approx_max_k over
+    # [B, NG] is the pipeline's single most expensive stage (12.2 ms of
+    # sort overhead at NG=125k/B=1024 vs 0.64 ms of reads,
+    # results/attrib_flat_r02.json) — use an EXACT two-level select
+    # instead: any top-rg group's 64-group supergroup has super-max >= the
+    # rg-th best group max, and at most rg supergroups can (each needs a
+    # >= rg-th-best group inside), so the top-rg supergroups provably
+    # contain every top-rg group.
+    sg = 64
+    if ng % sg == 0 and ng // sg >= 4 * rg:
+        nsg = ng // sg
+        sgmax = gmax.reshape(b, nsg, sg).max(axis=-1)     # [B, NSG]
+        _, sgi = jax.lax.top_k(sgmax, rg)                 # exact, [B, RG]
+        child = (
+            sgi[:, :, None] * sg + jnp.arange(sg, dtype=jnp.int32)
+        ).reshape(b, rg * sg)
+        cg = jnp.take_along_axis(gmax, child, axis=1)     # [B, RG*sg]
+        _, ci = jax.lax.top_k(cg, rg)
+        gidx = jnp.take_along_axis(child, ci, axis=1)     # [B, RG]
+    else:
+        _, gidx = jax.lax.approx_max_k(gmax, rg,
+                                       recall_target=recall_target)
 
     # row-wise sketch re-score of every selected group's rows. Large groups
     # (>64 rows) expand into 64-row windows for the DMA kernel — win=group

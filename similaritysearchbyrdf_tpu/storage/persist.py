@@ -497,3 +497,50 @@ def load_flat(path: str):
     idx.row_ids = jnp.asarray(z["row_ids"])
     idx.scale = meta["scale"]
     return idx
+
+def save_ivf(index, path: str) -> None:
+    """Serialize an IVFFlatIndex (cluster-ordered sketch/corpus, centroids,
+    starts) to `<path>.npz` / `<path>.json` — the clustered-flat engine's
+    counterpart of `save_flat` (the reference has no engine-state load path
+    at all, SURVEY.md §5 checkpoint)."""
+    st = index.state
+    assert st is not None, "nothing to save: fit first"
+    np.savez_compressed(
+        path + ".npz",
+        sketch=np.asarray(st.sketch),
+        corpus=np.asarray(st.corpus),
+        row_ids=np.asarray(st.row_ids),
+        centroids=np.asarray(st.centroids.astype(jnp.float32)),
+        starts=np.asarray(st.starts),
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(
+            dict(engine="ivf", target_cluster=index.target_cluster,
+                 nprobe=index.nprobe, win=index.win, refine=index.refine,
+                 iters=index.iters, query_batch=index.query_batch,
+                 seed=index.seed, version=1),
+            f,
+        )
+
+
+def load_ivf(path: str):
+    """Load an IVFFlatIndex saved by `save_ivf`."""
+    from ..ops.ivf import IVFFlatIndex, IVFState
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    assert meta["engine"] == "ivf", meta
+    z = np.load(path + ".npz")
+    idx = IVFFlatIndex(
+        target_cluster=meta["target_cluster"], nprobe=meta["nprobe"],
+        win=meta["win"], refine=meta["refine"], iters=meta["iters"],
+        query_batch=meta["query_batch"], seed=meta["seed"],
+    )
+    idx.state = IVFState(
+        sketch=jnp.asarray(z["sketch"]),
+        corpus=jnp.asarray(z["corpus"]),
+        row_ids=jnp.asarray(z["row_ids"]),
+        centroids=jnp.asarray(z["centroids"]).astype(jnp.bfloat16),
+        starts=jnp.asarray(z["starts"]),
+    )
+    return idx

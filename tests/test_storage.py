@@ -276,3 +276,26 @@ def test_add_grows_device_tier(tmp_path):
     tiered.add(DenseBatch(np.arange(20, 40, dtype=np.int32), x[20:]))
     assert tiered.device_tier.size() == 40
     assert len(store.generations()) == 0   # under threshold: no spill
+
+
+def test_ivf_save_load_roundtrip(tmp_path):
+    """Clustered-flat engine state round-trips through save_ivf/load_ivf
+    with identical query results."""
+    import numpy as np
+
+    from similaritysearchbyrdf_tpu import DenseBatch, save_ivf, load_ivf
+    from similaritysearchbyrdf_tpu.ops.ivf import IVFFlatIndex
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(600, 24)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = IVFFlatIndex(target_cluster=32, nprobe=8, refine=64,
+                       iters=3).fit(DenseBatch(np.arange(600, dtype=np.int32), x))
+    path = str(tmp_path / "ivf_ckpt")
+    save_ivf(idx, path)
+    idx2 = load_ivf(path)
+    q = x[:16]
+    ids1, s1 = idx.query(q, k=5, query_ids=np.arange(16))
+    ids2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
