@@ -49,8 +49,11 @@ class ShardedIVFState(NamedTuple):
 
 
 def _local_kmeans_stats(xc, cent, *, chunk):
-    """Shard-local Lloyd statistics + psum merge: returns (replicated
-    centroid sums f32[K, Dp], counts f32[K], local assignment i32[nloc])."""
+    """Shard-local Lloyd statistics + psum merge + replicated centroid
+    update: returns (new centroids bf16[K, Dp] replicated, local
+    assignment i32[nloc]). The update runs INSIDE the mapped program
+    (replicated, duplicated per device — tiny) so multi-process fits never
+    run eager host ops on distributed arrays."""
     nloc, dp = xc.shape
     k = cent.shape[0]
     nc = max(nloc // chunk, 1)
@@ -85,7 +88,14 @@ def _local_kmeans_stats(xc, cent, *, chunk):
     )
     sums = jax.lax.psum(sums, SHARD_AXIS)
     counts = jax.lax.psum(counts, SHARD_AXIS)
-    return sums, counts, assign
+    new_c = jnp.where(
+        (counts > 0)[:, None],
+        sums / jnp.maximum(counts, 1.0)[:, None],
+        cent.astype(jnp.float32),
+    )
+    norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+    new_c = (new_c / jnp.maximum(norm, 1e-20)).astype(jnp.bfloat16)
+    return new_c, assign
 
 
 def _kmeans_sharded(
@@ -96,9 +106,11 @@ def _kmeans_sharded(
     seed: int,
     init_cent: np.ndarray,   # f32[K, Dp] host-sampled initial centroids
     chunk: int = 16384,
-) -> Tuple[jax.Array, np.ndarray]:
+) -> Tuple[jax.Array, jax.Array]:
     """Global spherical k-means over the mesh. Returns (centroids bf16
-    [K, Dp] replicated, assignment i32[ndev*nloc] host numpy; -1 pad)."""
+    [K, Dp] replicated, assignment i32[ndev*nloc] SHARDED device array;
+    -1 pad) — callers pull assignments via `.addressable_shards` so the
+    same loop serves single- and multi-process meshes."""
     cent = jnp.asarray(init_cent, jnp.bfloat16)
 
     step = jax.jit(
@@ -106,21 +118,55 @@ def _kmeans_sharded(
             functools.partial(_local_kmeans_stats, chunk=chunk),
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P()),
-            out_specs=(P(), P(), P(SHARD_AXIS)),
+            out_specs=(P(), P(SHARD_AXIS)),
             check_vma=False,
         )
     )
     assign = None
     for _ in range(iters):
-        sums, counts, assign = step(x_d, cent)
-        new_c = jnp.where(
-            (counts > 0)[:, None],
-            sums / jnp.maximum(counts, 1.0)[:, None],
-            cent.astype(jnp.float32),
-        )
-        norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
-        cent = (new_c / jnp.maximum(norm, 1e-20)).astype(jnp.bfloat16)
-    return cent, np.asarray(assign)
+        cent, assign = step(x_d, cent)
+    return cent, assign
+
+
+def _shard_cluster_layout(
+    a: np.ndarray, kc: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster-ordered layout for ONE shard's assignment a (-1 = pad row):
+    rows of cluster c occupy [starts[c], starts[c]+count_c) of an 8-aligned
+    range. Returns (perm i64[tot] source positions (-1 = hole),
+    starts i64[kc+1])."""
+    live = a >= 0
+    order = np.argsort(np.where(live, a, kc), kind="stable")
+    order = order[: int(live.sum())]
+    counts = np.bincount(a[live], minlength=kc)
+    padded = ((counts + 7) // 8) * 8
+    starts = np.zeros(kc + 1, np.int64)
+    starts[1:] = np.cumsum(padded)
+    perm = np.full(int(starts[-1]), -1, np.int64)
+    src = np.zeros(kc + 1, np.int64)
+    src[1:] = np.cumsum(counts)
+    for c in np.flatnonzero(counts):
+        perm[starts[c]: starts[c] + counts[c]] = order[src[c]: src[c + 1]]
+    return perm, starts
+
+
+def _fill_shard(perm, starts, rows_src, rid_src, scale, npad_max):
+    """Materialize one shard's cluster-ordered arrays →
+    (sk int8[npad_max, dp], co f32[npad_max, dp], ro i32[npad_max],
+    st i32[kc+1])."""
+    dp = rows_src.shape[1]
+    sk = np.zeros((npad_max, dp), dtype=np.int8)
+    co = np.zeros((npad_max, dp), dtype=np.float32)
+    ro = np.full((npad_max,), -1, dtype=np.int32)
+    rows = np.where(
+        (perm >= 0)[:, None], rows_src[np.maximum(perm, 0)], 0.0
+    )
+    co[: len(perm)] = rows
+    sk[: len(perm)] = np.clip(np.round(rows * scale), -127, 127)
+    ro[: len(perm)] = np.where(
+        perm >= 0, rid_src[np.maximum(perm, 0)], -1
+    )
+    return sk, co, ro, np.minimum(starts, npad_max).astype(np.int32)
 
 
 def fit_ivf_sharded(
@@ -149,50 +195,29 @@ def fit_ivf_sharded(
 
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     x_d = jax.device_put(x, shard)
-    centroids, assign = _kmeans_sharded(
+    centroids, assign_d = _kmeans_sharded(
         x_d, mesh, kc, iters, seed, x[init_rows],
         chunk=min(16384, nloc),
     )
 
     # per-shard cluster-ordered layout over GLOBAL cluster ids (host-side
     # integer work, one pass per shard)
-    a2 = assign.reshape(ndev, nloc)
+    a2 = np.asarray(assign_d).reshape(ndev, nloc)
     scale = 127.0 / max(float(np.max(np.abs(values))) if n else 0.0, 1e-30)
-    per_shard = []
-    npad_max = 0
-    for s in range(ndev):
-        a = a2[s]
-        live = a >= 0
-        order = np.argsort(np.where(live, a, kc), kind="stable")
-        order = order[: int(live.sum())]
-        counts = np.bincount(a[live], minlength=kc)
-        padded = ((counts + 7) // 8) * 8
-        starts = np.zeros(kc + 1, np.int64)
-        starts[1:] = np.cumsum(padded)
-        tot = int(starts[-1])
-        perm = np.full(tot, -1, np.int64)
-        src = np.zeros(kc + 1, np.int64)
-        src[1:] = np.cumsum(counts)
-        for c in np.flatnonzero(counts):
-            perm[starts[c]: starts[c] + counts[c]] = order[src[c]: src[c + 1]]
-        per_shard.append((perm, starts))
-        npad_max = max(npad_max, tot)
-    npad_max = _pad_to(max(npad_max, 8), 8)
+    layouts = [_shard_cluster_layout(a2[s], kc) for s in range(ndev)]
+    npad_max = _pad_to(
+        max(max((int(st[-1]) for _, st in layouts)), 8), 8
+    )
 
     sk = np.zeros((ndev, npad_max, dp), dtype=np.int8)
     co = np.zeros((ndev, npad_max, dp), dtype=np.float32)
     ro = np.full((ndev, npad_max), -1, dtype=np.int32)
     st = np.zeros((ndev, kc + 1), dtype=np.int32)
-    for s, (perm, starts) in enumerate(per_shard):
-        rows = np.where(
-            (perm >= 0)[:, None], x[s * nloc + np.maximum(perm, 0)], 0.0
+    for s, (perm, starts) in enumerate(layouts):
+        sk[s], co[s], ro[s], st[s] = _fill_shard(
+            perm, starts, x[s * nloc: (s + 1) * nloc],
+            rid[s * nloc: (s + 1) * nloc], scale, npad_max,
         )
-        co[s, : len(perm)] = rows
-        sk[s, : len(perm)] = np.clip(np.round(rows * scale), -127, 127)
-        ro[s, : len(perm)] = np.where(
-            perm >= 0, rid[s * nloc + np.maximum(perm, 0)], -1
-        )
-        st[s] = np.minimum(starts, npad_max)
 
     state = ShardedIVFState(
         sketch=jax.device_put(sk, shard),
@@ -200,6 +225,106 @@ def fit_ivf_sharded(
         row_ids=jax.device_put(ro, shard),
         centroids=centroids,
         starts=jax.device_put(st, shard),
+    )
+    return state, mesh
+
+
+def fit_ivf_sharded_distributed(
+    local_values: np.ndarray,        # f32[n_local, D] THIS process's rows
+    local_ids: np.ndarray,           # i32[n_local]
+    mesh: Optional[Mesh] = None,
+    target_cluster: int = 256,
+    iters: int = 6,
+    seed: int = 0,
+    k_clusters: Optional[int] = None,
+) -> Tuple[ShardedIVFState, Mesh]:
+    """Multi-process IVF fit: every process supplies only its host-local
+    rows (the Deep-100M contract — the global corpus never exists on any
+    single host). k-means is the SAME psum-merged global loop; each
+    process then lays out only its own devices' shards, agreeing on the
+    global quantization scale, cluster count, and per-shard capacity via
+    tiny allgathers."""
+    from .sharded_flat import _global_nloc_and_amax
+
+    mesh = mesh or make_forest_mesh()
+    my_proc = jax.process_index()
+    local_devs = [d for d in mesh.devices.flat if d.process_index == my_proc]
+    if not local_devs:
+        raise ValueError(f"process {my_proc} owns no devices of the mesh")
+    ndev_local = len(local_devs)
+    ndev = mesh.shape[SHARD_AXIS]
+    n, d = local_values.shape
+    nloc, amax = _global_nloc_and_amax(
+        n, float(np.max(np.abs(local_values))) if n else 0.0, ndev_local
+    )
+    dp = _pad_to(d, 128)
+    x = np.zeros((ndev_local, nloc, dp), dtype=np.float32)
+    x.reshape(ndev_local * nloc, dp)[:n, :d] = local_values
+    rid = np.full((ndev_local, nloc), -1, dtype=np.int32)
+    rid.reshape(ndev_local * nloc)[:n] = local_ids
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    x_d = jax.make_array_from_single_device_arrays(
+        (ndev * nloc, dp), shard,
+        [jax.device_put(x[i], dev) for i, dev in enumerate(local_devs)],
+    )
+
+    nproc = jax.process_count()
+    n_glob = n
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        n_glob = int(multihost_utils.process_allgather(
+            np.asarray([n], np.int64)).sum())
+    kc = k_clusters or int(np.clip(n_glob // target_cluster, 16, 65536))
+
+    # init centroids: each process contributes an equal host-local sample
+    rng = np.random.default_rng(seed ^ 0xC1)
+    per = int(np.ceil(kc / nproc))
+    rows_local = x.reshape(ndev_local * nloc, dp)
+    pick = rng.choice(max(n, 1), size=per, replace=n < per)
+    mine = rows_local[np.minimum(pick, max(n - 1, 0))]
+    if nproc > 1:
+        init = multihost_utils.process_allgather(mine).reshape(-1, dp)[:kc]
+    else:
+        init = mine[:kc]
+
+    centroids, assign_d = _kmeans_sharded(
+        x_d, mesh, kc, iters, seed, init, chunk=min(16384, nloc),
+    )
+    # this process's shard assignments, keyed by device (shard order is
+    # not guaranteed to match local_devs order)
+    by_dev = {s.device: np.asarray(s.data)
+              for s in assign_d.addressable_shards}
+    a_locals = [by_dev[dev] for dev in local_devs]
+
+    layouts = [_shard_cluster_layout(a, kc) for a in a_locals]
+    tot_max = max(max((int(st[-1]) for _, st in layouts)), 8)
+    if nproc > 1:
+        tot_max = int(multihost_utils.process_allgather(
+            np.asarray([tot_max], np.int64)).max())
+    npad_max = _pad_to(tot_max, 8)
+    scale = 127.0 / max(amax, 1e-30)
+
+    sk = np.zeros((ndev_local, npad_max, dp), dtype=np.int8)
+    co = np.zeros((ndev_local, npad_max, dp), dtype=np.float32)
+    ro = np.full((ndev_local, npad_max), -1, dtype=np.int32)
+    st = np.zeros((ndev_local, kc + 1), dtype=np.int32)
+    for i, (perm, starts) in enumerate(layouts):
+        sk[i], co[i], ro[i], st[i] = _fill_shard(
+            perm, starts, x[i], rid[i], scale, npad_max,
+        )
+
+    def stack(a):
+        gshape = (ndev,) + a.shape[1:]
+        return jax.make_array_from_single_device_arrays(
+            gshape, shard,
+            [jax.device_put(a[i: i + 1], dev)
+             for i, dev in enumerate(local_devs)],
+        )
+
+    state = ShardedIVFState(
+        sketch=stack(sk), corpus=stack(co), row_ids=stack(ro),
+        centroids=centroids, starts=stack(st),
     )
     return state, mesh
 

@@ -97,8 +97,20 @@ sfids, _ = sffn(sfstate, jnp.asarray(sidx[:16]), jnp.asarray(sval[:16]),
                 jnp.arange(16, dtype=jnp.int32))
 sfids = np.asarray(jax.device_get(sfids))
 
+# --- IVF leg: psum-merged global k-means over host-local rows; full
+# probe + wide refine makes the result exact regardless of clustering ---
+from similaritysearchbyrdf_tpu.parallel.sharded_ivf import (
+    fit_ivf_sharded_distributed, make_ivf_query_fn)
+ist, _ = fit_ivf_sharded_distributed(
+    x[lo:hi], np.arange(lo, hi, dtype=np.int32), mesh,
+    target_cluster=32, iters=3)
+kc = int(ist.centroids.shape[0])
+iqfn = make_ivf_query_fn(mesh, k=5, nprobe=kc, win=8, refine=512)
+iids, _ = iqfn(ist, q, qids)
+iids = np.asarray(jax.device_get(iids))
+
 if proc_id == 0:
-    np.savez(out, ids=ids, cids=cids, fids=fids, sfids=sfids)
+    np.savez(out, ids=ids, cids=cids, fids=fids, sfids=sfids, iids=iids)
 print("WORKER", proc_id, "OK", flush=True)
 """
 
@@ -207,3 +219,10 @@ def test_two_process_distributed_fit_matches_single(tmp_path):
                         jnp.asarray(sval[:16]),
                         jnp.arange(16, dtype=jnp.int32))
     np.testing.assert_array_equal(z["sfids"], np.asarray(sfids_ref))
+
+    # IVF leg reference: full probe + wide refine covers every row on
+    # every shard, so the distributed result must equal brute force
+    from similaritysearchbyrdf_tpu import exact_search
+
+    gt_ids, _ = exact_search(x, x[:32], k=5, exclude_self=True)
+    np.testing.assert_array_equal(z["iids"], gt_ids)
