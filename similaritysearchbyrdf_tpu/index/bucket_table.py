@@ -405,17 +405,39 @@ def lookup_ranges(
         def per_table_fast(bk, rec, q):
             # rank probes against bucket boundaries. Merge-based rank (one
             # VPU-wide sort of [NB + Q]) wins while the bucket array is
-            # within ~16x of the probe count; at Deep-scale bucket counts
-            # (>=150k/table at 8M rows) the sort's NB term dominates and
-            # log2(NB) binary-search gathers are cheaper (measured: lookup
-            # 52 ms -> ~10 ms per 64-chunk at 8M x 96d).
-            method = "sort" if bk.shape[0] <= 16 * q.shape[0] else "scan"
-            b_idx = (
-                jnp.searchsorted(
-                    bk, q, side="right", method=method
-                ).astype(jnp.int32)
-                - 1
-            )
+            # within ~16x of the probe count. At Deep-scale bucket counts
+            # (>=150k/table at 8M rows) the sort's NB term dominates;
+            # there a DECIMATED two-level rank wins: merge-rank against
+            # every DEC-th boundary (a small sort), then log2(DEC)
+            # vectorized element-gather binary steps inside the DEC-wide
+            # span — ~6 gathers/probe instead of log2(NB)~19 (measured:
+            # the lookup stage was 40.8 ms of a 137 ms Deep-8M window
+            # query chunk, results/bisect_deep8m_window.json).
+            nb = bk.shape[0]
+            if nb <= max(4096, 2 * q.shape[0]):
+                b_idx = (
+                    jnp.searchsorted(
+                        bk, q, side="right", method="sort"
+                    ).astype(jnp.int32)
+                    - 1
+                )
+            else:
+                dec = 64
+                c = (
+                    jnp.searchsorted(
+                        bk[::dec], q, side="right", method="sort"
+                    ).astype(jnp.int32)
+                    - 1
+                )
+                # b_idx ∈ [c*dec, (c+1)*dec): bk[c*dec] <= q < bk[(c+1)*dec]
+                idx = jnp.maximum(c, 0) * dec
+                s = dec // 2
+                while s:
+                    mid = idx + s
+                    ok = (mid < nb) & (bk[jnp.minimum(mid, nb - 1)] <= q)
+                    idx = jnp.where(ok, mid, idx)
+                    s //= 2
+                b_idx = jnp.where(c >= 0, idx, -1).astype(jnp.int32)
             r4 = rec[jnp.maximum(b_idx, 0)]             # [Q, 4] packed
             key_b = r4[:, 0].astype(jnp.uint32)
             shift_b = r4[:, 1].astype(jnp.uint32)
