@@ -432,83 +432,6 @@ def probe_key_set(
     return probe_keys.reshape(b, r), table_of, valid_r
 
 
-def _merge_touching_ranges(
-    start_s: jax.Array,   # i32[B, R] sorted by prio (dead ranges last)
-    table_s: jax.Array,   # i32[B, R]
-    length_s: jax.Array,  # i32[B, R] (0 = dead/dup)
-    prio_s: jax.Array,    # i32[B, R] (2**30 for dead)
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Coalesce per-query bucket ranges that are CONSECUTIVE in their
-    table's sorted layout (same table, next.start == prev.end) into one
-    range. Buckets within a table are disjoint spans of a dense partition,
-    so after sorting by (table, start) a touching chain's union covers
-    exactly its members' rows — the merge is candidate-set-preserving.
-    The merged range takes the chain's MINIMUM priority (its best member
-    can never be truncated later than it would have been unmerged; the
-    attached rows are a superset, per the candidate-set contract).
-    Implementation: one (table, start) sort, one reversed segmented
-    associative scan (sum of lengths + min of prios per chain), one
-    priority re-sort — all VPU-wide, no gathers."""
-    b, r = start_s.shape
-    live = length_s > 0
-    big = jnp.int32(2**31 - 1)
-    tkey = jnp.where(live, table_s, big)
-    skey = jnp.where(live, start_s, big)
-    tkey, skey, length_o, prio_o = jax.lax.sort(
-        (tkey, skey, length_s, prio_s), dimension=1, num_keys=2
-    )
-    live_o = length_o > 0
-    start_o = jnp.where(live_o, skey, 0)
-    table_o = jnp.where(live_o, tkey, 0)
-    # head = first range of a chain: previous range is absent, in another
-    # table, or not ending exactly at this range's start.
-    prev_end = jnp.concatenate(
-        [jnp.full((b, 1), -1, jnp.int32), (start_o + length_o)[:, :-1]],
-        axis=1,
-    )
-    prev_tab = jnp.concatenate(
-        [jnp.full((b, 1), -1, jnp.int32), table_o[:, :-1]], axis=1
-    )
-    prev_live = jnp.concatenate(
-        [jnp.zeros((b, 1), bool), live_o[:, :-1]], axis=1
-    )
-    head = ~(
-        live_o & prev_live & (table_o == prev_tab) & (start_o == prev_end)
-    )
-    # chain aggregates at the HEAD via a reversed segmented inclusive scan:
-    # in right-to-left order a segment starts at the chain's LAST element,
-    # i.e. where the next element is a head (or at the right edge).
-    is_last = jnp.concatenate(
-        [head[:, 1:], jnp.ones((b, 1), bool)], axis=1
-    )
-
-    def comb(a, c):
-        af, asum, amin = a
-        cf, csum, cmin = c
-        return (
-            af | cf,
-            jnp.where(cf, csum, asum + csum),
-            jnp.where(cf, cmin, jnp.minimum(amin, cmin)),
-        )
-
-    _, sum_rev, min_rev = jax.lax.associative_scan(
-        comb,
-        (is_last[:, ::-1], length_o[:, ::-1], prio_o[:, ::-1]),
-        axis=1,
-    )
-    chain_len = sum_rev[:, ::-1]   # at a head: total rows of its chain
-    chain_pri = min_rev[:, ::-1]   # at a head: min prio of its chain
-    keep = head & live_o
-    length_m = jnp.where(keep, chain_len, 0)
-    prio_m = jnp.where(keep, chain_pri, jnp.int32(2**30))
-    # re-sort by priority (stable) so m_cap truncation still drops the
-    # lowest-value chains first.
-    prio_m, start_m, table_m, length_m = jax.lax.sort(
-        (prio_m, start_o, table_o, length_m), dimension=1, num_keys=1
-    )
-    return start_m, table_m, length_m, prio_m
-
-
 def gather_blocks(
     tables: BucketTables,
     h: jax.Array,                # u32[B, L]
@@ -619,16 +542,15 @@ def gather_blocks(
             (prio_s, start_u, table_u, length_s), dimension=1, num_keys=1
         )
 
-    # --- merge TOUCHING ranges (same table, next.start == running end):
-    # each table's sorted layout is a dense partition, so probed buckets
-    # that are consecutive in the table always touch — merging them is
-    # candidate-set-PRESERVING (the union covers exactly the probed
-    # buckets' rows) while cutting range count ~20% (measured at 200k,
-    # budget 16: 397 → 305 ranges/query). Fewer ranges → fewer aligned
-    # windows (the coarse DMA wall) and less m_cap truncation.
-    start_s, table_s, length_s, prio_s = _merge_touching_ranges(
-        start_s, table_s, length_s, prio_s
-    )
+    # NOTE a touching-range merge (coalescing buckets consecutive in the
+    # table layout) was tried here and REVERTED: it cut ranges ~20% and
+    # raised qps 11-18%, but merged chains inherit their best member's
+    # priority, so low-value tail buckets jump the m_cap truncation queue
+    # and displace mid-priority good buckets — Deep-8M recall@10 dropped
+    # 1.3-4pp at identical configs (results/deep8m_coarse.json: 0.9254 →
+    # 0.9031 at w512/m262144) and the merged frontier was strictly
+    # dominated. Round-up waste is attacked instead by cheaper per-window
+    # DMA cost (static-drain kernel) at smaller windows.
 
     # --- ragged flatten (SURVEY.md §7 hard part (b)) into fixed M_cap slots.
     # Per-slot values (source position, source table) are piecewise constant

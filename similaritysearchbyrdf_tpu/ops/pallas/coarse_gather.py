@@ -230,7 +230,55 @@ def _kernel_aligned_packed(idx_ref, qrow_ref, cbt_ref, out_ref, scratch,
     out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
 
 
-@functools.partial(jax.jit, static_argnames=("win", "grp", "groups"))
+def _kernel_aligned_packed_static(idx_ref, qrow_ref, cbt_ref, out_ref,
+                                  scratch, sem, *, grp, win, cd):
+    """Static-drain variant of `_kernel_aligned_packed`. The per-window
+    scalar-core work is the kernel's wall (~1.57 µs/window,
+    results/tune_coarse_kernel.json) and ~half of it was the drain loop's
+    per-copy waits plus the issue loop's liveness predicates. Here EVERY
+    window issues its copy unconditionally (dead windows fetch clipped
+    real rows — their scores are masked by position validity in the
+    caller, and the extra HBM bytes are ~60 ns/window against a ~1.5 µs
+    issue cost), all copies signal ONE semaphore, and the drain is a
+    SINGLE wait whose descriptor spans the whole grp*win-row scratch:
+    Mosaic DMA semaphores count transfer units, so the sum of grp
+    identical win-row copies equals one grp*win-row wait exactly
+    (validated on-device: scripts/check_coarse_drain_static.py,
+    exact-equal to the per-copy kernel).
+
+    MEASURED OUTCOME (results/check_coarse_drain_static.json): 40.6 ms vs
+    39.7 ms per-copy at b64/mb512/win512 — i.e. NOT faster. Eliminating
+    the whole drain loop and all issue predicates changed nothing, so the
+    ~1.2 us/window wall is the DMA engine's own descriptor-processing
+    rate, not scalar-core work. Kept as the documented probe of that
+    conclusion; per_copy stays the default. The gather path is therefore
+    at its floor (>= one descriptor per bucket range) and further coarse
+    wins must come from issuing FEWER descriptors, not cheaper ones."""
+    def issue(g, _):
+        t = idx_ref[0, g, 0]
+        s8 = idx_ref[0, g, 1]
+        pltpu.make_async_copy(
+            cbt_ref.at[t, pl.ds(s8 * 8, win), :],
+            scratch.at[pl.ds(g * win, win), :],
+            sem,
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, grp, issue, 0)
+    pltpu.make_async_copy(
+        scratch.at[pl.ds(0, grp * win), :],
+        scratch.at[pl.ds(0, grp * win), :],
+        sem,
+    ).wait()
+
+    rows = scratch[:].reshape(grp, win, cd).astype(jnp.float32)
+    q = qrow_ref[0].astype(jnp.float32)                   # [grp, lanes]
+    out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "grp", "groups", "drain")
+)
 def pallas_coarse_scores_aligned(
     coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, lanes]
     q_low: jax.Array,             # bf16[B, lanes] (B*groups rows if packed)
@@ -241,6 +289,7 @@ def pallas_coarse_scores_aligned(
     live: "jax.Array | None" = None,   # bool[B, MB] window has live rows
     groups: int = 1,                   # lane-packed tables per row (G)
     seg_b: "jax.Array | None" = None,  # i32[B, MB] lane segment per block
+    drain: str = "per_copy",           # "per_copy" | "counted" (packed only)
 ) -> jax.Array:
     """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
     Windows marked dead in `live` are neither copied nor scored validly —
@@ -295,6 +344,36 @@ def pallas_coarse_scores_aligned(
         jnp.broadcast_to(seg_b[:, :, None], (b, mb_cap, cd)),
         axis=1,
     ).astype(jnp.bfloat16)                                 # [B, MB, lanes]
+    if drain == "static":
+        # unpredicated issue: dead windows fetch clipped REAL rows (their
+        # scores are masked by position validity in the caller)
+        idx = jnp.stack(
+            [
+                jnp.clip(table_b2, 0, l - 1),
+                jnp.clip(blk_start, 0, caprows - win) >> 3,
+            ],
+            axis=-1,
+        ).astype(jnp.int32)
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_aligned_packed_static, grp=grp, win=win, cd=cd
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
+            grid=(b, mb_cap // grp),
+            in_specs=[
+                pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((grp * win, cd), coarse_by_table.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(idx, q_rows, coarse_by_table)
     return pl.pallas_call(
         functools.partial(_kernel_aligned_packed, grp=grp, win=win, cd=cd),
         out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),

@@ -187,6 +187,48 @@ def test_pallas_coarse_aligned_packed_matches_reference(monkeypatch):
     np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
 
 
+def test_pallas_coarse_static_drain_matches_per_copy(monkeypatch):
+    """Static-drain packed kernel (unpredicated issue of every window, one
+    whole-scratch wait) must score every live window exactly like the
+    per-copy-drain kernel — dead windows fetch real rows whose scores the
+    caller masks, so only live positions are compared. (Interpret mode
+    checks plumbing/shapes; the on-device semaphore-accounting half of the
+    contract is scripts/check_pallas_coarse.py.)"""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(7)
+    g, cs = 4, 32
+    lanes = g * cs
+    lg, cap, b, mb_cap, win = 2, 256, 4, 16, 16
+    cbt = rng.integers(-100, 100, size=(lg, cap, lanes)).astype(np.int8)
+    q = rng.normal(size=(b, cs)).astype(np.float32)
+    lg_b = rng.integers(0, lg, size=(b, mb_cap)).astype(np.int32)
+    seg_b = rng.integers(0, g, size=(b, mb_cap)).astype(np.int32)
+    bs = (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+        np.int32
+    )
+    live = rng.random(size=(b, mb_cap)) > 0.3
+    live[:, -3:] = False                 # dead tail past the prefix bound
+    live[2] = False                      # a fully dead query row
+    q_seg = np.stack(
+        [np.pad(q, ((0, 0), (s * cs, (g - 1 - s) * cs))) for s in range(g)],
+        axis=1,
+    )
+    args = (
+        jnp.asarray(cbt), jnp.asarray(q_seg.reshape(b * g, lanes)),
+        jnp.asarray(lg_b), jnp.asarray(bs),
+    )
+    kw = dict(live=jnp.asarray(live), groups=g, seg_b=jnp.asarray(seg_b))
+    ref = np.asarray(
+        cg.pallas_coarse_scores_aligned(*args, win, **kw)
+    )
+    out = np.asarray(
+        cg.pallas_coarse_scores_aligned(*args, win, drain="static", **kw)
+    )
+    np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
+
+
 def test_pallas_groupmax_qmajor_matches_plain(monkeypatch):
     """Query-major group-max (in-kernel transpose) == plain kernel's .T."""
     from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
