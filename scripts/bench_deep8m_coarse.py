@@ -66,8 +66,8 @@ def main():
     # +0.024 over rf2048), so this sweep trades window count (m_cap/win)
     # against refine depth at win=256.
     for steps, budget, refine, cw, mc in (
-        (1, 16, 8192, 512, 262144), (1, 16, 16384, 512, 262144),
-        (1, 16, 8192, 256, 131072), (1, 12, 4096, 256, 131072),
+        (1, 16, 12288, 256, 196608), (1, 16, 16384, 256, 196608),
+        (1, 20, 16384, 512, 262144), (1, 16, 12288, 512, 262144),
     ):
         kw = dict(steps=steps, query_ids=np.arange(NQ), probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,

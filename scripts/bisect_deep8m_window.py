@@ -96,19 +96,24 @@ def main():
                 return scores.sum() + pos.sum() + table_slot.sum()
             cap = tables.capacity
             m2 = min(max(REFINE, (K + 1) * l), M_CAP)
-            if stage == "select_perwin":
-                # per-window top-r variant: [B, MB, win] → top r per window
-                # (r*MB == m2) — bounded local sorts instead of one
-                # [B, m_cap]-wide approx select
+            if stage == "select_tournament":
+                # production prefilter: strided 4-way max tournament
+                # (forest._query_dense_coarse) — O(n) passes, then the
+                # approx select runs 4x narrower
                 mb_n = M_CAP // WIN
-                r_pw = m2 // mb_n
-                s3 = scores.reshape(B, mb_n, WIN)
-                v3, i3 = jax.lax.top_k(s3, r_pw)
-                p3 = jnp.take_along_axis(
-                    pos.reshape(B, mb_n, WIN), i3, axis=2)
-                t3 = jnp.take_along_axis(
-                    table_slot.reshape(B, mb_n, WIN), i3, axis=2)
-                return v3.sum() + p3.sum() + t3.sum()
+                wq = WIN // 4
+                s4 = scores.reshape(B, mb_n, 4, wq)
+                am = jnp.argmax(s4, axis=2)
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (B, mb_n, 4, wq), 2) == am[:, :, None, :])
+                sc2 = jnp.max(s4, axis=2).reshape(B, mb_n * wq)
+                packed = table_slot * jnp.int32(cap + 1) + pos
+                packed = jnp.sum(
+                    jnp.where(onehot, packed.reshape(B, mb_n, 4, wq), 0),
+                    axis=2).reshape(B, mb_n * wq)
+                v3, i3 = jax.lax.approx_max_k(sc2, m2, recall_target=0.98)
+                pk2 = jnp.take_along_axis(packed, i3, axis=1)
+                return v3.sum() + pk2.sum()
             vals, idxs = jax.lax.approx_max_k(scores, m2, recall_target=0.98)
             t2 = jnp.take_along_axis(table_slot, idxs, axis=1)
             p2 = jnp.take_along_axis(pos, idxs, axis=1)
@@ -132,13 +137,13 @@ def main():
     prev = 0.0
     outd = {}
     for stage in ("hash+probes", "lookup", "flatten", "coarse", "select",
-                  "select_perwin", "idgather", "exact", "full"):
+                  "select_tournament", "idgather", "exact", "full"):
         fn = upto(stage)
         t = timeit(fn, state.tables, state.coarse_by_table, state.coarse_proj,
                    state.corpus, state.row_ids, state.model, state.part_proj,
                    q, qids)
         outd[f"upto_{stage}_ms"] = round(t * 1e3, 2)
-        if stage not in ("lookup", "select_perwin"):
+        if stage not in ("lookup", "select_tournament"):
             outd[f"stage_{stage}_ms"] = round((t - prev) * 1e3, 2)
             prev = t
         print(f"upto {stage}: {t*1e3:.2f}ms", flush=True)

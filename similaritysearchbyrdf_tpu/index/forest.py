@@ -933,27 +933,51 @@ def _query_dense_coarse(
     cap = state.tables.capacity
     m2 = min(max(refine, (k + 1) * l), m_cap)
 
-    # window-mode per-window prefilter: [B, MB, win] → top r per window
-    # with r ≈ 2×(m2/MB) (min 16), then the wide select below runs over
-    # the ~16x narrower slab. A window only loses a global-top-m2 row if
-    # r better rows hide it — it then already contributes r rows — so the
-    # refine-set quality loss is negligible while the [B, m_cap]-wide
-    # approx_max_k (29 ms of a 137 ms Deep-8M window chunk,
-    # results/bisect_deep8m_window.json) shrinks accordingly. Skipped when
-    # m2 is within 8x of m_cap (incl. the exhaustive refine >= m_cap
-    # parity case — bit-equal behavior preserved there).
-    if win and m2 * 8 <= m_cap:
+    # window-mode prefilter: STRIDED 4-WAY MAX TOURNAMENT. Each window's
+    # slots regroup into win/4 groups of 4 members spaced win/4 apart
+    # ([B, MB, 4, win/4], reduce axis 2 — max + one-hot payload select,
+    # all O(n) elementwise/reduce passes), so the wide select below runs
+    # over a 4x narrower slab. The STRIDE matters: a bucket's rows are
+    # CONSECUTIVE slots and a query's true neighbors cluster in its home
+    # bucket, so consecutive grouping makes them eliminate each other
+    # (measured 0.46 top-k overlap on a clustered corpus); strided
+    # members are bucket rows ~win/4 apart, so the bucket's coarse-top-j
+    # row survives with p ≈ (1 - 3(j-1)/win) — ~0.95 for j=10 at win
+    # 512 — per APPEARANCE, and close neighbors appear in most of the L
+    # tables' probed buckets with ~independent groupings. Replaces a
+    # per-window lax.top_k(r≈win/16) (O(n*r), ~15 ms of a 111 ms Deep-8M
+    # chunk). Skipped when m2 is within 2x of m_cap/4 (incl. the
+    # exhaustive refine >= m_cap parity case — bit-equal there).
+    if win and win % 4 == 0 and m2 * 8 <= m_cap:
+        gs = 4
         mb_n = m_cap // win
-        r_pw = min(win, max(16, -(-m2 // mb_n)))
-        s3 = scores.reshape(b, mb_n, win)
-        _, i3 = jax.lax.top_k(s3, r_pw)
-        scores = jnp.take_along_axis(s3, i3, axis=2).reshape(b, mb_n * r_pw)
-        pos = jnp.take_along_axis(
-            pos.reshape(b, mb_n, win), i3, axis=2
-        ).reshape(b, mb_n * r_pw)
-        table_slot = jnp.take_along_axis(
-            table_slot.reshape(b, mb_n, win), i3, axis=2
-        ).reshape(b, mb_n * r_pw)
+        wq = win // gs
+        ng = mb_n * wq
+        s4 = scores.reshape(b, mb_n, gs, wq)
+        am = jnp.argmax(s4, axis=2)                        # [B, MB, WQ]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, mb_n, gs, wq), 2)
+            == am[:, :, None, :]
+        )
+        scores = jnp.max(s4, axis=2).reshape(b, ng)
+        # pos on dead tail windows can exceed cap by up to m_cap before
+        # the downstream clip — include that margin in the overflow guard
+        if l * (cap + 1) + m_cap < 2**31:
+            packed = table_slot * jnp.int32(cap + 1) + pos
+            packed = jnp.sum(
+                jnp.where(onehot, packed.reshape(b, mb_n, gs, wq), 0),
+                axis=2,
+            ).reshape(b, ng)
+            pos = packed % jnp.int32(cap + 1)
+            table_slot = packed // jnp.int32(cap + 1)
+        else:
+            pos = jnp.sum(
+                jnp.where(onehot, pos.reshape(b, mb_n, gs, wq), 0), axis=2
+            ).reshape(b, ng)
+            table_slot = jnp.sum(
+                jnp.where(onehot, table_slot.reshape(b, mb_n, gs, wq), 0),
+                axis=2,
+            ).reshape(b, ng)
 
     # top-m2 by coarse score. For narrow slices the TPU's hardware
     # approximate top-k (PartialReduce) replaces the full-width sort — the

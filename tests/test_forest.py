@@ -257,6 +257,43 @@ def test_coarse_window_mode_matches_reference_path():
     np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
 
 
+def test_coarse_window_tournament_prefilter_recall():
+    """With refine << m_cap the window path engages the strided 4-way
+    max-tournament prefilter (approximate select). It must still recover
+    nearly all of the exhaustive-refine window path's answers — a row is
+    dropped only when a better row lands in its strided 4-member group,
+    and bucket-mates (consecutive slots) are spread across groups."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=8192, top_k=8, seed=19,
+    )
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 900)] + 0.1 * rng.normal(size=(900, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(900, dtype=np.int32), x)
+
+    full = RDFForest(RDFConfig(**base, coarse_dim=24, coarse_refine=8192,
+                               coarse_window=64)).fit(batch)
+    pre = RDFForest(RDFConfig(**base, coarse_dim=24, coarse_refine=512,
+                              coarse_window=64)).fit(batch)
+    ids_a, _ = full.query(x[:16], steps=1, query_ids=np.arange(16))
+    ids_b, _ = pre.query(x[:16], steps=1, query_ids=np.arange(16))
+    hits = total = 0
+    for i in range(16):
+        ga = set(ids_a[i][ids_a[i] >= 0].tolist())
+        gb = set(ids_b[i][ids_b[i] >= 0].tolist())
+        hits += len(ga & gb)
+        total += len(ga)
+    assert hits / max(total, 1) > 0.9, hits / max(total, 1)
+
+
 def test_dense_similarity_threshold_filter():
     """similarity_threshold > 0 post-filters results by exact score — the
     live equivalent of the reference's dead hash-distance filter
