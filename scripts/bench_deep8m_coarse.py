@@ -24,7 +24,11 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
+
+    cd = int(os.environ.get("DEEP_COARSE_DIM", "16"))
 
     from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
     from similaritysearchbyrdf_tpu.index.forest import RDFForest
@@ -46,7 +50,7 @@ def main():
         partition_bits=3, lsh_table=TableConfig(chain_length=32,
                                                 bucket_overflow=500),
         query_batch_size=64, max_candidates=65536, top_k=10,
-        coarse_dim=16, coarse_dtype="int8", coarse_refine=2048,
+        coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
     )
     t0 = time.perf_counter()
     forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
@@ -56,7 +60,7 @@ def main():
           f"B/vec index", flush=True)
 
     out = {"corpus": "deep8m_96d", "n": N, "dim": D,
-           "build_s": round(build_s, 1), "coarse_dim": 16,
+           "build_s": round(build_s, 1), "coarse_dim": cd,
            "index_bytes_per_vector":
                round(forest.index_bytes_per_vector(), 1),
            "points": []}
@@ -94,17 +98,19 @@ def main():
             import traceback
             traceback.print_exc()
             print(f"steps{steps}_rf{refine}_w{cw}_m{mc}: FAILED", flush=True)
-    out["note"] = ("lane-packed cd=16 coarse tier; synthetic clustered "
+    out["note"] = (f"lane-packed cd={cd} coarse tier; synthetic clustered "
                    "corpus; exact GT; per-chip slice of the Deep-100M plan")
+    path = ("results/deep8m_coarse.json" if cd == 16
+            else f"results/deep8m_coarse_cd{cd}.json")
     try:  # keep prior sweep points (e.g. the window-scaling evidence)
-        with open("results/deep8m_coarse.json") as f:
+        with open(path) as f:
             prior = json.load(f).get("points", [])
         seen = {tuple(sorted(p.items())) for p in out["points"]}
         out["points"] += [p for p in prior
                           if tuple(sorted(p.items())) not in seen]
     except (OSError, ValueError):
         pass
-    with open("results/deep8m_coarse.json", "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
