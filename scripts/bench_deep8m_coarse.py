@@ -69,10 +69,17 @@ def main():
     # 624->846 qps. Recall is coarse-preselect bound at cd=16 (rf4096 was
     # +0.024 over rf2048), so this sweep trades window count (m_cap/win)
     # against refine depth at win=256.
-    for steps, budget, refine, cw, mc in (
+    points = (
         (1, 16, 12288, 256, 196608), (1, 16, 16384, 256, 196608),
         (1, 20, 16384, 512, 262144), (1, 16, 12288, 512, 262144),
-    ):
+    )
+    if os.environ.get("DEEP_POINTS"):
+        # "steps,budget,refine,window,m_cap;..." override for ad-hoc sweeps
+        points = tuple(
+            tuple(int(v) for v in grp.split(","))
+            for grp in os.environ["DEEP_POINTS"].split(";")
+        )
+    for steps, budget, refine, cw, mc in points:
         kw = dict(steps=steps, query_ids=np.arange(NQ), probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
                   coarse_window=cw, m_cap=mc)

@@ -54,8 +54,9 @@ def main():
     # sketch ordering, not cluster coverage, caps recall; the refine sweep
     # below measures that ceiling (refine rows get exact f32 re-rank)
     for nprobe, win, refine in (
-            (4, 64, 128), (8, 64, 128), (16, 64, 128), (32, 64, 128),
-            (64, 64, 128), (4, 64, 512), (8, 64, 512), (8, 64, 2048)):
+            (2, 64, 128), (4, 64, 128), (8, 64, 128), (16, 64, 128),
+            (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),
+            (8, 64, 2048)):
         wb = nprobe * 6       # ~1.5x slack over nprobe*(256/64) windows
         try:
             args = (state.sketch, state.corpus, state.row_ids,
