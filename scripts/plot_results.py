@@ -68,6 +68,11 @@ def panel(ax, title, series):
         ax.plot(ts, rs, "-o", color=color, linewidth=2, markersize=5,
                 label=name, markeredgecolor=SURFACE, markeredgewidth=1)
     ax.set_xscale("log")
+    from matplotlib.ticker import FuncFormatter, LogLocator, NullFormatter
+
+    ax.xaxis.set_major_locator(LogLocator(base=10, subs=(1.0, 2.0, 5.0)))
+    ax.xaxis.set_major_formatter(FuncFormatter(lambda v, _: f"{v:g}"))
+    ax.xaxis.set_minor_formatter(NullFormatter())
     ax.set_title(title, color=INK, fontsize=11)
     ax.set_xlabel("seconds per 1000 queries (log)", color=INK2, fontsize=9)
     ax.grid(True, which="both", color="#e6e4df", linewidth=0.6)
