@@ -70,8 +70,13 @@ def main():
     # +0.024 over rf2048), so this sweep trades window count (m_cap/win)
     # against refine depth at win=256.
     points = (
-        (1, 16, 12288, 256, 196608), (1, 16, 16384, 256, 196608),
-        (1, 20, 16384, 512, 262144), (1, 16, 12288, 512, 262144),
+        # descriptor count is the wall (~1.2 us/window, DMA engine rate —
+        # results/check_coarse_drain_static.json): w=1024 halves windows
+        # per m_cap vs w=512; the 524288 point buys recall headroom at the
+        # same 512 windows/query as today's w=512 x 262144 operating point
+        (1, 16, 12288, 1024, 262144), (1, 16, 16384, 1024, 524288),
+        (1, 16, 12288, 512, 262144), (1, 16, 12288, 256, 196608),
+        (1, 20, 16384, 512, 262144),
     )
     if os.environ.get("DEEP_POINTS"):
         # "steps,budget,refine,window,m_cap;..." override for ad-hoc sweeps
