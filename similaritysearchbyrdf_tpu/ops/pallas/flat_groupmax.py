@@ -28,30 +28,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out):
+def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
+                 nsub=1):
     # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT]
     # (or f32[BT, NT//g] when transpose_out).
     # TRANSPOSED score tile: the group split must land on the SUBLANE dim —
     # splitting the minor (lane) dim is an unsupported Mosaic shape cast.
-    if int8_mxu:
-        scores = jax.lax.dot_general(
-            sk_ref[:], q_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                               # [NT, BT] i32
-    else:
-        scores = jax.lax.dot_general(
-            sk_ref[:].astype(jnp.bfloat16),
-            q_ref[:].astype(jnp.bfloat16),
+    #
+    # nsub > 1 SOFTWARE-PIPELINES the tile: the block's matmul and its
+    # group-max reduce run on different units (MXU vs VPU) whose costs ADD
+    # when the body is one matmul followed by one reduce (measured 13.5 ms
+    # at 8M x 96 x B1024 int8 = ~4.2 ms MXU + ~8.9 ms VPU, exactly serial).
+    # Splitting the NT dim into nsub chunks and issuing chunk s+1's matmul
+    # before chunk s's reduce lets in-order issue overlap the units: the
+    # reduce of chunk s depends only on chunk s's scores, so the VPU works
+    # while the MXU fills chunk s+1.
+    nt = sk_ref.shape[0]
+    sub = nt // nsub
+
+    def mm(s):
+        blk = sk_ref[pl.ds(s * sub, sub), :]
+        if int8_mxu:
+            return jax.lax.dot_general(
+                blk, q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                           # [sub, BT] i32
+        return jax.lax.dot_general(
+            blk.astype(jnp.bfloat16), q_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [NT, BT] f32
-    nt, bt = scores.shape
-    gmax = jnp.max(scores.reshape(nt // g, g, bt), axis=1)
+        )                                               # [sub, BT] f32
+
+    def reduce(scores):
+        bt = scores.shape[1]
+        return jnp.max(scores.reshape(sub // g, g, bt), axis=1)
+
+    pieces = []
+    prev = mm(0)
+    for s in range(1, nsub):
+        cur = mm(s)              # issue next chunk's MXU work first...
+        pieces.append(reduce(prev))  # ...then reduce the previous on VPU
+        prev = cur
+    pieces.append(reduce(prev))
+    gmax = pieces[0] if nsub == 1 else jnp.concatenate(pieces, axis=0)
     if transpose_out:
-        # in-kernel [NT//g, BT] transpose: emitting query-major gmax saves
-        # the XLA transpose of the full [NG, B] matrix (measured at 8M x 96,
-        # B=1024: the select stage dropped from +12.2 ms to ~+1 ms)
+        # in-kernel transpose: emitting query-major gmax saves the XLA
+        # transpose of the full [NG, B] matrix (measured at 8M x 96,
+        # B=1024: the select stage dropped from +12.2 ms to ~+1 ms). One
+        # whole-tile store at the end — per-chunk stores would be narrow
+        # (sub/g < 128) lane slices.
         out_ref[:] = gmax.astype(jnp.float32).T
     else:
         out_ref[:] = gmax.astype(jnp.float32)
@@ -59,7 +85,8 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret"),
+    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
+                     "nsub"),
 )
 def pallas_flat_groupmax(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -69,6 +96,7 @@ def pallas_flat_groupmax(
     block_n: int = 8192,
     int8_mxu: bool = True,
     interpret: bool = False,
+    nsub: int = 1,
 ) -> jax.Array:
     """Per-group score maxima, TRANSPOSED: f32[Npad/group, B] (the caller
     transposes once in XLA; inside the kernel the group split must stay on
@@ -83,9 +111,10 @@ def pallas_flat_groupmax(
     use_int8 = bool(int8_mxu) and sketch.dtype == jnp.int8 and (
         q_lp.dtype == jnp.int8
     )
+    assert block_n % (nsub * group) == 0, (block_n, nsub, group)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=False),
+                          transpose_out=False, nsub=nsub),
         out_shape=jax.ShapeDtypeStruct((npad // group, b), jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[
@@ -104,7 +133,8 @@ def pallas_flat_groupmax(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret"),
+    static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
+                     "nsub"),
 )
 def pallas_flat_groupmax_qmajor(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -114,6 +144,7 @@ def pallas_flat_groupmax_qmajor(
     block_n: int = 8192,
     int8_mxu: bool = True,
     interpret: bool = False,
+    nsub: int = 1,
 ) -> jax.Array:
     """Per-group score maxima in QUERY-MAJOR layout f32[B, Npad/group] —
     the layout `approx_max_k` consumes — via an in-kernel tile transpose.
@@ -130,9 +161,10 @@ def pallas_flat_groupmax_qmajor(
     use_int8 = bool(int8_mxu) and sketch.dtype == jnp.int8 and (
         q_lp.dtype == jnp.int8
     )
+    assert block_n % (nsub * group) == 0, (block_n, nsub, group)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=True),
+                          transpose_out=True, nsub=nsub),
         out_shape=jax.ShapeDtypeStruct((b, npad // group), jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[

@@ -254,3 +254,34 @@ def test_pallas_groupmax_qmajor_matches_plain(monkeypatch):
         n // group, group, b
     ).max(axis=1)
     np.testing.assert_array_equal(a, ref.astype(np.float32))
+
+
+def test_pallas_groupmax_nsub_pipelined_matches(monkeypatch):
+    """Software-pipelined (nsub>1) group-max == unpipelined, both layouts."""
+    from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
+
+    rng = np.random.default_rng(6)
+    n, d, b, group, block_n = 2048, 128, 16, 8, 1024
+    sk = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    q = rng.integers(-100, 100, size=(b, d)).astype(np.int8)
+    base = np.asarray(
+        fg.pallas_flat_groupmax(
+            jnp.asarray(sk), jnp.asarray(q), group=group,
+            block_b=b, block_n=block_n, interpret=True,
+        )
+    )
+    for nsub in (2, 4):
+        piped = np.asarray(
+            fg.pallas_flat_groupmax(
+                jnp.asarray(sk), jnp.asarray(q), group=group,
+                block_b=b, block_n=block_n, interpret=True, nsub=nsub,
+            )
+        )
+        np.testing.assert_array_equal(base, piped)
+        piped_q = np.asarray(
+            fg.pallas_flat_groupmax_qmajor(
+                jnp.asarray(sk), jnp.asarray(q), group=group,
+                block_b=b, block_n=block_n, interpret=True, nsub=nsub,
+            )
+        )
+        np.testing.assert_array_equal(base.T, piped_q)
