@@ -24,7 +24,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from similaritysearchbyrdf_tpu.ops.ivf import build_ivf, ivf_topk
+    from similaritysearchbyrdf_tpu.ops.ivf import (
+        build_ivf, ivf_topk, ivf_window_budget)
 
     N, D, NQ = 8_000_000, 96, 1024
     rng = np.random.default_rng(11)
@@ -57,10 +58,10 @@ def main():
             (2, 64, 128), (4, 64, 128), (8, 64, 128), (16, 64, 128),
             (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),
             (8, 64, 2048)):
-        wb = nprobe * 6       # ~1.5x slack over nprobe*(256/64) windows
+        wb = ivf_window_budget(state.starts, state.ends, nprobe, win)
         try:
             args = (state.sketch, state.corpus, state.row_ids,
-                    state.centroids, state.starts, qd, qids, 10)
+                    state.centroids, state.starts, state.ends, qd, qids, 10)
             kw = dict(nprobe=nprobe, win=win, wb=wb, refine=refine)
             ids, _ = ivf_topk(*args, **kw)
             jax.block_until_ready(ids)

@@ -110,18 +110,29 @@ def kmeans(
     """Spherical Lloyd k-means. Returns (centroids bf16[K, Dp],
     assign i32[N]; -1 for invalid rows)."""
     n, dp = x.shape
+    if n == 0:
+        raise ValueError("kmeans: empty corpus")
     rng = np.random.default_rng(seed ^ 0xC1)
-    n_valid = int(jnp.sum(valid))
-    init_rows = rng.choice(max(n_valid, 1), size=k, replace=n_valid < k)
+    # sample initial centroids from the VALID rows (the mask is not
+    # guaranteed to be a prefix)
+    pool = np.flatnonzero(np.asarray(valid))
+    if pool.size == 0:
+        raise ValueError("kmeans: no valid rows")
+    init_rows = rng.choice(pool, size=k, replace=pool.size < k)
     xb = x.astype(jnp.bfloat16)
     centroids = xb[jnp.asarray(init_rows.astype(np.int32))]
+    # pad rows (masked invalid) up to a chunk multiple — searching for a
+    # divisor instead can collapse to chunk=1 for odd N (one lax.map step
+    # per ROW)
     chunk = min(chunk, n)
-    while n % chunk:
-        chunk //= 2
+    npad2 = (n + chunk - 1) // chunk * chunk
+    if npad2 != n:
+        xb = jnp.pad(xb, ((0, npad2 - n), (0, 0)))
+        valid = jnp.pad(valid, (0, npad2 - n))
     assign = None
     for _ in range(iters):
         centroids, assign = _kmeans_iter(xb, centroids, valid, chunk)
-    return centroids, assign
+    return centroids, assign[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +146,10 @@ class IVFState(NamedTuple):
     row_ids: jax.Array     # i32  [Npad]      user ids (-1 = pad/dead)
     centroids: jax.Array   # bf16 [K, Dp]     unit-norm cluster centers
     starts: jax.Array      # i32  [K+1]       8-aligned cluster offsets
+    ends: jax.Array        # i32  [K]         TRUE (unpadded) cluster ends —
+    #                        alignment pad rows are all-zero and score 0,
+    #                        which would otherwise beat real negative-
+    #                        scoring candidates into the refine set
 
 
 def build_ivf(
@@ -186,12 +201,32 @@ def build_ivf(
         row_ids=rid_o,
         centroids=centroids,
         starts=jnp.asarray(starts.astype(np.int32)),
+        ends=jnp.asarray((starts[:-1] + counts).astype(np.int32)),
     )
 
 
 # ---------------------------------------------------------------------------
 # query
 # ---------------------------------------------------------------------------
+
+
+def ivf_window_budget(
+    starts, ends, nprobe: int, win: int, cap: int = 4096
+) -> int:
+    """Window budget that cannot truncate a probed cluster: the sum of the
+    `nprobe` LARGEST clusters' window counts — the exact worst case over
+    any probe set (the previous 2*nprobe heuristic silently dropped ~half
+    the probed rows whenever clusters spanned more than two windows).
+    Beyond `cap`, _flatten_windows truncates farthest-selected clusters
+    first (windows are filled in selection order)."""
+    st = np.asarray(starts)
+    en = np.asarray(ends)
+    lens = en - st[..., :-1]                 # works for [K+1] and [S, K+1]
+    if lens.size == 0:
+        return nprobe
+    wc = -np.sort(-((lens + win - 1) // win), axis=-1)[..., :nprobe]
+    need = int(wc.sum(axis=-1).max())        # worst shard, worst probe set
+    return int(min(max(need, nprobe), cap))
 
 
 def _flatten_windows(
@@ -233,6 +268,7 @@ def ivf_topk(
     row_ids: jax.Array,      # i32  [Npad]
     centroids: jax.Array,    # bf16 [K, Dp]
     starts: jax.Array,       # i32  [K+1]
+    ends: jax.Array,         # i32  [K] true (unpadded) cluster ends
     queries: jax.Array,      # f32[B, D]
     query_ids: jax.Array,    # i32[B]
     k: int,
@@ -257,26 +293,34 @@ def ivf_topk(
     np_eff = min(nprobe, kc)
     _, sel = jax.lax.top_k(c_scores, np_eff)                    # [B, P]
     sel_start = starts[sel]
-    sel_end = starts[sel + 1]
+    sel_end = ends[sel]          # TRUE ends: pad rows never score as valid
     blk, end_b, live = _flatten_windows(sel_start, sel_end, win, wb)
+    # the DMA (and the gather fallback, for uniformity) reads the window at
+    # min(blk, npad - win): the kernel clips starts to caprows - win, so
+    # labeling scores with the UNCLIPPED positions would misattribute every
+    # tail window of a not-win-multiple layout. The shifted window's extra
+    # leading rows belong to earlier clusters and are masked by pos >= blk.
+    blk_dma = jnp.minimum(blk, max(npad - win, 0))
 
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu" and npad >= win:
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
         w_scores = pallas_coarse_scores_aligned(
-            sketch[None], qb, jnp.zeros_like(blk), blk, win, live=live,
+            sketch[None], qb, jnp.zeros_like(blk), blk_dma, win, live=live,
         )                                                       # [B, WB, win]
     else:
         rows_i = jnp.clip(
-            blk[:, :, None] + jnp.arange(win, dtype=jnp.int32), 0, npad - 1
+            blk_dma[:, :, None] + jnp.arange(win, dtype=jnp.int32),
+            0, npad - 1,
         )
         w_rows = sketch[rows_i]                                 # [B,WB,win,Dp]
         w_scores = jnp.einsum(
             "bwjd,bd->bwj", w_rows.astype(jnp.bfloat16), qb,
             preferred_element_type=jnp.float32,
         )
-    pos = blk[:, :, None] + jnp.arange(win, dtype=jnp.int32)[None, None, :]
-    valid = live[:, :, None] & (pos < end_b[:, :, None])
+    pos = blk_dma[:, :, None] + jnp.arange(win, dtype=jnp.int32)[None, None, :]
+    valid = (live[:, :, None] & (pos < end_b[:, :, None])
+             & (pos >= blk[:, :, None]))
     m = wb * win
     w_scores = jnp.where(valid, w_scores, -jnp.inf).reshape(b, m)
     pos = jnp.where(valid, pos, npad).reshape(b, m)
@@ -334,6 +378,7 @@ class IVFFlatIndex:
                 if query_ids is not None
                 else np.full((nq,), -1, np.int32))
         st = self.state
+        npb = nprobe or self.nprobe
         bsz = self.query_batch
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
@@ -344,7 +389,8 @@ class IVFFlatIndex:
                                     constant_values=-1))
             ids, scores = ivf_topk(
                 st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
-                qc, qi, k, nprobe=nprobe or self.nprobe, win=self.win,
+                st.ends, qc, qi, k, nprobe=npb, win=self.win,
+                wb=ivf_window_budget(st.starts, st.ends, npb, self.win),
                 refine=self.refine, exclude_self=exclude_self,
             )
             out_i.append(np.asarray(ids[: s1 - s0]))

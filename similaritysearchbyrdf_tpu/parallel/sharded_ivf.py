@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ivf import ivf_topk
+from ..ops.ivf import ivf_topk, ivf_window_budget
 from .mesh import SHARD_AXIS, make_forest_mesh
 from .sharded_flat import _gather_merge_topk, _pad_to
 
@@ -46,27 +46,34 @@ class ShardedIVFState(NamedTuple):
     row_ids: jax.Array     # i32  [ndev, npad_max], shard axis 0 (-1 = pad)
     centroids: jax.Array   # bf16 [K, Dp], replicated
     starts: jax.Array      # i32  [ndev, K+1], shard axis 0
+    ends: jax.Array        # i32  [ndev, K], TRUE per-shard cluster ends
 
 
-def _local_kmeans_stats(xc, cent, *, chunk):
+def _local_kmeans_stats(xc, live, cent, *, chunk):
     """Shard-local Lloyd statistics + psum merge + replicated centroid
     update: returns (new centroids bf16[K, Dp] replicated, local
     assignment i32[nloc]). The update runs INSIDE the mapped program
     (replicated, duplicated per device — tiny) so multi-process fits never
-    run eager host ops on distributed arrays."""
+    run eager host ops on distributed arrays. `live` is an EXPLICIT pad
+    mask — inferring it from all-zero rows would silently drop genuine
+    zero vectors from the index."""
     nloc, dp = xc.shape
     k = cent.shape[0]
-    nc = max(nloc // chunk, 1)
-    while nloc % nc:                 # nc must divide nloc exactly
-        nc -= 1
+    # pad rows (masked dead) up to a chunk multiple — searching for an
+    # exact divisor can land on a tiny one (huge [rows, K] score blocks)
+    csz = min(chunk, nloc)
+    nc = (nloc + csz - 1) // csz
+    npl = nc * csz
+    if npl != nloc:
+        xc = jnp.pad(xc, ((0, npl - nloc), (0, 0)))
+        live = jnp.pad(live, (0, npl - nloc))
 
     def assign_one(xb):
         s = jnp.einsum("nd,kd->nk", xb, cent,
                        preferred_element_type=jnp.float32)
         return jnp.argmax(s, axis=1).astype(jnp.int32)
 
-    assign = jax.lax.map(assign_one, xc.reshape(nc, -1, dp)).reshape(nloc)
-    live = jnp.any(xc != 0, axis=1)          # zero rows = padding
+    assign = jax.lax.map(assign_one, xc.reshape(nc, -1, dp)).reshape(npl)
     assign = jnp.where(live, assign, -1)
 
     def update_one(carry, args):
@@ -95,11 +102,12 @@ def _local_kmeans_stats(xc, cent, *, chunk):
     )
     norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
     new_c = (new_c / jnp.maximum(norm, 1e-20)).astype(jnp.bfloat16)
-    return new_c, assign
+    return new_c, assign[:nloc]
 
 
 def _kmeans_sharded(
     x_d: jax.Array,          # f32[ndev*nloc, Dp] row-sharded
+    live_d: jax.Array,       # bool[ndev*nloc] row-sharded pad mask
     mesh: Mesh,
     k: int,
     iters: int,
@@ -117,24 +125,24 @@ def _kmeans_sharded(
         jax.shard_map(
             functools.partial(_local_kmeans_stats, chunk=chunk),
             mesh=mesh,
-            in_specs=(P(SHARD_AXIS), P()),
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
             out_specs=(P(), P(SHARD_AXIS)),
             check_vma=False,
         )
     )
     assign = None
     for _ in range(iters):
-        cent, assign = step(x_d, cent)
+        cent, assign = step(x_d, live_d, cent)
     return cent, assign
 
 
 def _shard_cluster_layout(
     a: np.ndarray, kc: int
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluster-ordered layout for ONE shard's assignment a (-1 = pad row):
     rows of cluster c occupy [starts[c], starts[c]+count_c) of an 8-aligned
     range. Returns (perm i64[tot] source positions (-1 = hole),
-    starts i64[kc+1])."""
+    starts i64[kc+1], ends i64[kc] true unpadded cluster ends)."""
     live = a >= 0
     order = np.argsort(np.where(live, a, kc), kind="stable")
     order = order[: int(live.sum())]
@@ -147,7 +155,7 @@ def _shard_cluster_layout(
     src[1:] = np.cumsum(counts)
     for c in np.flatnonzero(counts):
         perm[starts[c]: starts[c] + counts[c]] = order[src[c]: src[c + 1]]
-    return perm, starts
+    return perm, starts, starts[:-1] + counts
 
 
 def _fill_shard(perm, starts, rows_src, rid_src, scale, npad_max):
@@ -195,8 +203,10 @@ def fit_ivf_sharded(
 
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     x_d = jax.device_put(x, shard)
+    lv = np.zeros((npad,), bool)
+    lv[:n] = True
     centroids, assign_d = _kmeans_sharded(
-        x_d, mesh, kc, iters, seed, x[init_rows],
+        x_d, jax.device_put(lv, shard), mesh, kc, iters, seed, x[init_rows],
         chunk=min(16384, nloc),
     )
 
@@ -206,18 +216,20 @@ def fit_ivf_sharded(
     scale = 127.0 / max(float(np.max(np.abs(values))) if n else 0.0, 1e-30)
     layouts = [_shard_cluster_layout(a2[s], kc) for s in range(ndev)]
     npad_max = _pad_to(
-        max(max((int(st[-1]) for _, st in layouts)), 8), 8
+        max(max((int(st[-1]) for _, st, _ in layouts)), 8), 8
     )
 
     sk = np.zeros((ndev, npad_max, dp), dtype=np.int8)
     co = np.zeros((ndev, npad_max, dp), dtype=np.float32)
     ro = np.full((ndev, npad_max), -1, dtype=np.int32)
     st = np.zeros((ndev, kc + 1), dtype=np.int32)
-    for s, (perm, starts) in enumerate(layouts):
+    en = np.zeros((ndev, kc), dtype=np.int32)
+    for s, (perm, starts, ends) in enumerate(layouts):
         sk[s], co[s], ro[s], st[s] = _fill_shard(
             perm, starts, x[s * nloc: (s + 1) * nloc],
             rid[s * nloc: (s + 1) * nloc], scale, npad_max,
         )
+        en[s] = np.minimum(ends, npad_max).astype(np.int32)
 
     state = ShardedIVFState(
         sketch=jax.device_put(sk, shard),
@@ -225,6 +237,7 @@ def fit_ivf_sharded(
         row_ids=jax.device_put(ro, shard),
         centroids=centroids,
         starts=jax.device_put(st, shard),
+        ends=jax.device_put(en, shard),
     )
     return state, mesh
 
@@ -267,6 +280,12 @@ def fit_ivf_sharded_distributed(
         (ndev * nloc, dp), shard,
         [jax.device_put(x[i], dev) for i, dev in enumerate(local_devs)],
     )
+    lv = np.zeros((ndev_local, nloc), bool)
+    lv.reshape(ndev_local * nloc)[:n] = True
+    live_d = jax.make_array_from_single_device_arrays(
+        (ndev * nloc,), shard,
+        [jax.device_put(lv[i], dev) for i, dev in enumerate(local_devs)],
+    )
 
     nproc = jax.process_count()
     n_glob = n
@@ -289,7 +308,7 @@ def fit_ivf_sharded_distributed(
         init = mine[:kc]
 
     centroids, assign_d = _kmeans_sharded(
-        x_d, mesh, kc, iters, seed, init, chunk=min(16384, nloc),
+        x_d, live_d, mesh, kc, iters, seed, init, chunk=min(16384, nloc),
     )
     # this process's shard assignments, keyed by device (shard order is
     # not guaranteed to match local_devs order)
@@ -298,7 +317,7 @@ def fit_ivf_sharded_distributed(
     a_locals = [by_dev[dev] for dev in local_devs]
 
     layouts = [_shard_cluster_layout(a, kc) for a in a_locals]
-    tot_max = max(max((int(st[-1]) for _, st in layouts)), 8)
+    tot_max = max(max((int(st[-1]) for _, st, _ in layouts)), 8)
     if nproc > 1:
         tot_max = int(multihost_utils.process_allgather(
             np.asarray([tot_max], np.int64)).max())
@@ -309,10 +328,12 @@ def fit_ivf_sharded_distributed(
     co = np.zeros((ndev_local, npad_max, dp), dtype=np.float32)
     ro = np.full((ndev_local, npad_max), -1, dtype=np.int32)
     st = np.zeros((ndev_local, kc + 1), dtype=np.int32)
-    for i, (perm, starts) in enumerate(layouts):
+    en = np.zeros((ndev_local, kc), dtype=np.int32)
+    for i, (perm, starts, ends) in enumerate(layouts):
         sk[i], co[i], ro[i], st[i] = _fill_shard(
             perm, starts, x[i], rid[i], scale, npad_max,
         )
+        en[i] = np.minimum(ends, npad_max).astype(np.int32)
 
     def stack(a):
         gshape = (ndev,) + a.shape[1:]
@@ -324,15 +345,44 @@ def fit_ivf_sharded_distributed(
 
     state = ShardedIVFState(
         sketch=stack(sk), corpus=stack(co), row_ids=stack(ro),
-        centroids=centroids, starts=stack(st),
+        centroids=centroids, starts=stack(st), ends=stack(en),
     )
     return state, mesh
 
 
-def _local_ivf_query(sketch, corpus, row_ids, starts, centroids, queries,
-                     query_ids, *, k, nprobe, win, wb, refine, exclude_self):
+def ivf_window_budget_sharded(
+    state: ShardedIVFState, nprobe: int, win: int, cap: int = 4096
+) -> int:
+    """Global window budget for the sharded engine: the max of every
+    shard's `ivf_window_budget` (clusters have different lengths per
+    shard; the budget is a STATIC shape so all shards must share the
+    worst case). Multi-process safe — allgathers the per-process max."""
+    st_by = {s.device: np.asarray(s.data)
+             for s in state.starts.addressable_shards}
+    en_by = {s.device: np.asarray(s.data)
+             for s in state.ends.addressable_shards}
+    wb = max(
+        ivf_window_budget(st_by[d], en_by[d], nprobe, win, cap)
+        for d in st_by
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        wb = int(multihost_utils.process_allgather(
+            np.asarray([wb], np.int64)).max())
+    return wb
+
+
+def _local_ivf_query(sketch, corpus, row_ids, starts, ends, centroids,
+                     queries, query_ids, *, k, nprobe, win, wb, refine,
+                     exclude_self):
+    if wb is None:
+        # safe fallback: enough windows to cover the ENTIRE local shard —
+        # fine at test/dryrun scale; production callers pass
+        # ivf_window_budget_sharded(state, nprobe, win)
+        wb = max((sketch.shape[1] + win - 1) // win, 1)
     ids, scores = ivf_topk(
-        sketch[0], corpus[0], row_ids[0], centroids, starts[0],
+        sketch[0], corpus[0], row_ids[0], centroids, starts[0], ends[0],
         queries, query_ids, k, nprobe=nprobe, win=win, wb=wb,
         refine=refine, exclude_self=exclude_self,
     )
@@ -350,22 +400,24 @@ def make_ivf_query_fn(
 ):
     """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores).
     Every shard probes the same globally-selected clusters (replicated
-    centroids) over its local rows; one all-gather merges the exact top-k."""
+    centroids) over its local rows; one all-gather merges the exact top-k.
+    `wb=None` falls back to whole-shard window coverage (safe, test-scale
+    only); at scale pass `ivf_window_budget_sharded(state, nprobe, win)`."""
     fn = jax.shard_map(
         functools.partial(
             _local_ivf_query, k=k, nprobe=nprobe, win=win,
-            wb=wb or 2 * nprobe, refine=refine, exclude_self=exclude_self,
+            wb=wb, refine=refine, exclude_self=exclude_self,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(), P(), P()),
+                  P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(
         lambda state, q, qi: fn(
             state.sketch, state.corpus, state.row_ids, state.starts,
-            state.centroids, q, qi,
+            state.ends, state.centroids, q, qi,
         )
     )
 
@@ -406,10 +458,11 @@ class ShardedIVFIndex:
             return (np.full((len(queries), kk), -1, np.int32),
                     np.full((len(queries), kk), -np.inf, np.float32))
         npb = min(nprobe or self.nprobe, int(self.state.centroids.shape[0]))
-        key = (k, npb, exclude_self)
+        wb = ivf_window_budget_sharded(self.state, npb, self.win)
+        key = (k, npb, exclude_self, wb)
         if key not in self._qfn:
             self._qfn[key] = make_ivf_query_fn(
-                self.mesh, k=k, nprobe=npb, win=self.win,
+                self.mesh, k=k, nprobe=npb, win=self.win, wb=wb,
                 refine=self.refine, exclude_self=exclude_self,
             )
         q = jnp.asarray(np.asarray(queries, np.float32))

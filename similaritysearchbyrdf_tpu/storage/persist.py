@@ -512,6 +512,7 @@ def save_ivf(index, path: str) -> None:
         row_ids=np.asarray(st.row_ids),
         centroids=np.asarray(st.centroids.astype(jnp.float32)),
         starts=np.asarray(st.starts),
+        ends=np.asarray(st.ends),
     )
     with open(path + ".json", "w") as f:
         json.dump(
@@ -542,5 +543,8 @@ def load_ivf(path: str):
         row_ids=jnp.asarray(z["row_ids"]),
         centroids=jnp.asarray(z["centroids"]).astype(jnp.bfloat16),
         starts=jnp.asarray(z["starts"]),
+        # pre-`ends` files: fall back to padded ends (old query semantics)
+        ends=jnp.asarray(z["ends"] if "ends" in z.files
+                         else z["starts"][1:]),
     )
     return idx
