@@ -135,6 +135,46 @@ def kmeans(
     return centroids, assign[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _kmeans_assign(x, centroids, chunk):
+    """Assignment-only pass (chunked [chunk, K] matmul + argmax)."""
+    n, dp = x.shape
+    nc = n // chunk
+
+    def assign_one(xc):
+        s = jnp.einsum("nd,kd->nk", xc.astype(jnp.bfloat16), centroids,
+                       preferred_element_type=jnp.float32)
+        return jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    return jax.lax.map(assign_one, x.reshape(nc, chunk, dp)).reshape(n)
+
+
+def kmeans_sampled(
+    x: jax.Array,            # f32/bf16[N, Dp] corpus (lane-padded)
+    k: int,
+    train_sample: int,
+    iters: int = 8,
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd on a uniform row subsample, then ONE full assignment pass —
+    cuts build cost ~(iters·N)→(iters·S + N) matmul traffic with no
+    measurable recall change at S ≳ 32 rows/cluster (standard IVF practice;
+    all rows assumed valid)."""
+    n, dp = x.shape
+    s = min(train_sample, n)
+    rng = np.random.default_rng(seed ^ 0x5A)
+    sel = np.sort(rng.choice(n, size=s, replace=False)).astype(np.int32)
+    xs = x[jnp.asarray(sel)]
+    centroids, _ = kmeans(xs, jnp.ones((s,), bool), k, iters=iters,
+                          seed=seed, chunk=chunk)
+    chunk = min(chunk, n)
+    npad2 = (n + chunk - 1) // chunk * chunk
+    xp = jnp.pad(x, ((0, npad2 - n), (0, 0))) if npad2 != n else x
+    assign = _kmeans_assign(xp, centroids, chunk)
+    return centroids, assign[:n]
+
+
 # ---------------------------------------------------------------------------
 # build: cluster-ordered layout
 # ---------------------------------------------------------------------------
@@ -160,16 +200,24 @@ def build_ivf(
     seed: int = 0,
     sketch_dtype: str = "int8",
     k: Optional[int] = None,
+    train_sample: Optional[int] = None,
 ) -> IVFState:
     """Cluster the corpus and lay both tiers out cluster-ordered, every
     cluster padded to an 8-row multiple so each cluster is a whole number
-    of DMA-alignable windows."""
+    of DMA-alignable windows. `train_sample`: run Lloyd on that many
+    uniformly-sampled rows and only assign the full corpus once (big-N
+    build speedup; None = train on everything)."""
     n = corpus.shape[0]
     corpus_p = _pad_lanes(jnp.asarray(corpus, jnp.float32))
     if k is None:
         k = int(np.clip(n // target_cluster, 16, 65536))
-    valid = jnp.ones((n,), bool)
-    centroids, assign = kmeans(corpus_p, valid, k, iters=iters, seed=seed)
+    if train_sample is not None and train_sample < n:
+        centroids, assign = kmeans_sampled(
+            corpus_p, k, train_sample, iters=iters, seed=seed)
+    else:
+        valid = jnp.ones((n,), bool)
+        centroids, assign = kmeans(corpus_p, valid, k, iters=iters,
+                                   seed=seed)
     a = np.asarray(assign)
 
     # cluster-ordered permutation with per-cluster 8-row padding (host-side
@@ -340,7 +388,8 @@ class IVFFlatIndex:
 
     def __init__(self, target_cluster: int = 256, nprobe: int = 32,
                  win: int = 256, refine: int = 128, iters: int = 8,
-                 query_batch: int = 1024, seed: int = 0):
+                 query_batch: int = 1024, seed: int = 0,
+                 train_sample: Optional[int] = None):
         self.target_cluster = target_cluster
         self.nprobe = nprobe
         self.win = win
@@ -348,6 +397,7 @@ class IVFFlatIndex:
         self.iters = iters
         self.query_batch = query_batch
         self.seed = seed
+        self.train_sample = train_sample
         self.state: Optional[IVFState] = None
 
     def fit(self, batch) -> "IVFFlatIndex":
@@ -356,7 +406,7 @@ class IVFFlatIndex:
             jnp.asarray(batch.values, jnp.float32),
             np.asarray(batch.ids, np.int32),
             target_cluster=self.target_cluster, iters=self.iters,
-            seed=self.seed,
+            seed=self.seed, train_sample=self.train_sample,
         )
         return self
 

@@ -70,3 +70,70 @@ def test_ivf_unfitted():
     idx = IVFFlatIndex()
     ids, _ = idx.query(np.zeros((2, 8), np.float32), k=3)
     assert ids.shape == (2, 3) and (ids == -1).all()
+
+def test_window_budget_never_truncates():
+    """`ivf_window_budget` must cover the windows of ANY nprobe-cluster
+    probe set: querying with that budget returns identical results to a
+    whole-corpus window budget (no silent truncation — the round-2 review
+    found the old 2*nprobe heuristic dropped probed rows)."""
+    from similaritysearchbyrdf_tpu.ops.ivf import ivf_topk, ivf_window_budget
+
+    x = _data(n=2500, seed=3)
+    st = build_ivf(x, np.arange(len(x), dtype=np.int32), target_cluster=48,
+                   iters=4)
+    starts, ends = np.asarray(st.starts), np.asarray(st.ends)
+    win, nprobe = 16, 6
+    wb = ivf_window_budget(starts, ends, nprobe, win)
+    # exact worst case: sum of the nprobe largest clusters' window counts
+    wc = np.sort(-(-(ends - starts[:-1]) // win))[::-1]
+    assert wb >= wc[:nprobe].sum()
+    q = x[:32]
+    import jax.numpy as jnp
+    qd = jnp.asarray(q)
+    qi = jnp.arange(32, dtype=jnp.int32)
+    args = (st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
+            st.ends, qd, qi, 10)
+    ids_a, sc_a = ivf_topk(*args, nprobe=nprobe, win=win, wb=wb, refine=256)
+    full = (int(st.sketch.shape[0]) + win - 1) // win   # every window
+    ids_b, sc_b = ivf_topk(*args, nprobe=nprobe, win=win, wb=full, refine=256)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), rtol=1e-5)
+
+
+def test_ivf_pad_rows_never_reach_results():
+    """Clusters are 8-padded; pad rows score 0 which can beat real negative
+    candidates — `ends` must fence them out even when every real score is
+    negative (anti-correlated queries)."""
+    rng = np.random.default_rng(9)
+    x = _data(n=600, seed=9)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    idx = IVFFlatIndex(target_cluster=32, nprobe=64, iters=4, win=8,
+                       refine=600).fit(batch)
+    q = -x[:16]                       # all true scores <= 0
+    ids, scores = idx.query(q, k=10, exclude_self=False)
+    assert (ids >= 0).all()
+    # scores of returned rows must match the exact dot products (a pad row
+    # would report score 0 with some real row id, or id -1)
+    for i in range(16):
+        got = np.sort(scores[i])[::-1]
+        exact = np.sort(q[i] @ x[ids[i]].T)[::-1]
+        np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_ivf_sampled_training_recall():
+    """`train_sample` (Lloyd on a subsample + one full assignment) keeps
+    partial-probe recall — the big-N build speedup must not cost quality."""
+    x = _data(n=4000, seed=5)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    idx = IVFFlatIndex(target_cluster=128, nprobe=8, iters=6, win=64,
+                       refine=256, train_sample=1500).fit(batch)
+    q = x[:64]
+    ids, _ = idx.query(q, k=10, query_ids=np.arange(64))
+    gt_ids, _ = exact_search(x, q, k=10, exclude_self=True)
+    hits = sum(len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+               for i in range(64))
+    assert hits / 640 >= 0.9, hits / 640
+    # layout invariants hold for the sampled path too
+    st = idx.state
+    rid = np.asarray(st.row_ids)
+    assert (rid >= 0).sum() == 4000
