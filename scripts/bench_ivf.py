@@ -21,11 +21,17 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.ivf import (
         build_ivf, ivf_topk, ivf_window_budget)
+
+    # IVF_TRAIN_SAMPLE=2000000 -> sampled Lloyd + one full assignment
+    train_sample = (int(os.environ["IVF_TRAIN_SAMPLE"])
+                    if os.environ.get("IVF_TRAIN_SAMPLE") else None)
 
     N, D, NQ = 8_000_000, 96, 1024
     rng = np.random.default_rng(11)
@@ -39,7 +45,7 @@ def main():
 
     t0 = time.perf_counter()
     state = build_ivf(x, np.arange(N, dtype=np.int32), target_cluster=256,
-                      iters=6, seed=0)
+                      iters=6, seed=0, train_sample=train_sample)
     jax.block_until_ready(state.sketch)
     build_s = time.perf_counter() - t0
     kc = int(state.centroids.shape[0])
@@ -50,7 +56,8 @@ def main():
     qids = jnp.arange(NQ, dtype=jnp.int32)
 
     out = {"n": N, "dim": D, "build_s": round(build_s, 1), "k_clusters": kc,
-           "target_cluster": 256, "points": []}
+           "target_cluster": 256, "train_sample": train_sample,
+           "points": []}
     # recall was flat at 0.9861 across nprobe at refine=128 -> the int8
     # sketch ordering, not cluster coverage, caps recall; the refine sweep
     # below measures that ceiling (refine rows get exact f32 re-rank)

@@ -389,7 +389,8 @@ class IVFFlatIndex:
     def __init__(self, target_cluster: int = 256, nprobe: int = 32,
                  win: int = 256, refine: int = 128, iters: int = 8,
                  query_batch: int = 1024, seed: int = 0,
-                 train_sample: Optional[int] = None):
+                 train_sample: Optional[int] = None,
+                 wb: Optional[int] = None):
         self.target_cluster = target_cluster
         self.nprobe = nprobe
         self.win = win
@@ -398,6 +399,11 @@ class IVFFlatIndex:
         self.query_batch = query_batch
         self.seed = seed
         self.train_sample = train_sample
+        # None = exact no-truncation budget (ivf_window_budget); an int
+        # caps windows per query — _flatten_windows drops FARTHEST-selected
+        # clusters first, so a tuned cap trades bounded tail recall for the
+        # smaller top-k the select stage has to chew
+        self.wb = wb
         self.state: Optional[IVFState] = None
 
     def fit(self, batch) -> "IVFFlatIndex":
@@ -440,7 +446,8 @@ class IVFFlatIndex:
             ids, scores = ivf_topk(
                 st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
                 st.ends, qc, qi, k, nprobe=npb, win=self.win,
-                wb=ivf_window_budget(st.starts, st.ends, npb, self.win),
+                wb=self.wb or ivf_window_budget(st.starts, st.ends, npb,
+                                                self.win),
                 refine=self.refine, exclude_self=exclude_self,
             )
             out_i.append(np.asarray(ids[: s1 - s0]))

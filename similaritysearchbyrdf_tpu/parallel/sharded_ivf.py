@@ -428,7 +428,8 @@ class ShardedIVFIndex:
 
     def __init__(self, mesh: Optional[Mesh] = None,
                  target_cluster: int = 256, nprobe: int = 32, win: int = 64,
-                 refine: int = 128, iters: int = 6, seed: int = 0):
+                 refine: int = 128, iters: int = 6, seed: int = 0,
+                 wb: Optional[int] = None):
         self.mesh = mesh
         self.target_cluster = target_cluster
         self.nprobe = nprobe
@@ -436,6 +437,7 @@ class ShardedIVFIndex:
         self.refine = refine
         self.iters = iters
         self.seed = seed
+        self.wb = wb          # None = exact budget (see IVFFlatIndex.wb)
         self.state: Optional[ShardedIVFState] = None
         self._qfn = {}
 
@@ -458,7 +460,7 @@ class ShardedIVFIndex:
             return (np.full((len(queries), kk), -1, np.int32),
                     np.full((len(queries), kk), -np.inf, np.float32))
         npb = min(nprobe or self.nprobe, int(self.state.centroids.shape[0]))
-        wb = ivf_window_budget_sharded(self.state, npb, self.win)
+        wb = self.wb or ivf_window_budget_sharded(self.state, npb, self.win)
         key = (k, npb, exclude_self, wb)
         if key not in self._qfn:
             self._qfn[key] = make_ivf_query_fn(
