@@ -780,7 +780,6 @@ def _coarse_block_scores(
     end_b: jax.Array,            # i32[B, MB]
     bs_block: int,
     start_b: Optional[jax.Array] = None,   # i32[B, MB] (window mode)
-    n_tables: Optional[int] = None,        # real L (packing recovery)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse inner-product scores for every candidate slot, gathered as
     CONTIGUOUS (1, bs, lanes) slices from the table-ordered coarse tier —
@@ -800,7 +799,6 @@ def _coarse_block_scores(
     # when L % G != 0); legacy round-1 states have cs == lanes → G = 1
     cs = coarse_proj.shape[1]
     g = lanes // cs
-    del n_tables
     b, mb_cap = base_b.shape
     mb = jnp.arange(mb_cap, dtype=jnp.int32)
     blk_start = base_b + mb[None, :] * bs_block               # [B, MB]
@@ -926,7 +924,6 @@ def _query_dense_coarse(
     scores, pos, table_slot = _coarse_block_scores(
         state.coarse_by_table, state.coarse_proj, queries,
         base_b, table_b2, end_b, bs_block, start_b=start_b,
-        n_tables=state.tables.num_tables,
     )
     b = queries.shape[0]
     l = state.tables.num_tables

@@ -257,7 +257,6 @@ def _query_sparse(
         scores_c, pos, table_slot = _coarse_block_scores(
             state.coarse_by_table, state.coarse_proj, q_dense,
             base_b, table_b2, end_b, bs_block, start_b=start_b,
-            n_tables=state.tables.num_tables,
         )
         l = state.tables.num_tables
         cap = state.tables.capacity

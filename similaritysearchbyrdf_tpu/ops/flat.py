@@ -34,6 +34,7 @@ leaves per-query ranking unchanged. int8 scores fit f32 exactly
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -41,6 +42,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .exact import _top_k
+
+# group-max kernel schedule knobs (env-overridable for on-hardware tuning,
+# scripts/tune_gmax_nsub.py / attrib_flat_r03.py): block_b sets the MXU
+# tile's query width (wider = fewer sketch re-reads from HBM: the sketch
+# streams B/block_b times); nsub software-pipelines each tile so the MXU
+# matmul and VPU group-max reduce overlap instead of adding.
+_GMAX_BLOCK_B = int(os.environ.get("FLAT_GMAX_BLOCK_B", "128"))
+_GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 
 
 def _pad_lanes(a: jax.Array) -> jax.Array:
@@ -262,9 +271,13 @@ def _grouped_candidates(
             # stage's measured wall, results/attrib_flat_r02.json)
             from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
 
+            bb = min(_GMAX_BLOCK_B, bpad)
+            while bpad % bb:                   # both are 128-multiples
+                bb -= 128
+            nsub = _GMAX_NSUB if block_n % (_GMAX_NSUB * group) == 0 else 1
             gmax = pallas_flat_groupmax_qmajor(
                 sk, q_in, group=group,
-                block_b=min(128, bpad), block_n=block_n,
+                block_b=bb, block_n=block_n, nsub=nsub,
             )[:b]                                       # [B, NG]
         else:
             from .pallas.flat_groupmax import pallas_flat_groupmax

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .exact import _top_k
 from .flat import _exact_refine, _pad_lanes, build_flat_sketch
 
 
@@ -332,7 +331,11 @@ def ivf_topk(
     npad, dp = sketch.shape
     kc = centroids.shape[0]
     b = queries.shape[0]
-    wb = wb or 2 * nprobe
+    # default budget: whole-corpus window coverage PLUS one round-up window
+    # per cluster (each probed cluster needs ceil(len/win) windows) — safe
+    # (cannot truncate any probe set) but wide; real callers pass
+    # ivf_window_budget(...)
+    wb = wb or max((npad + win - 1) // win + kc, 1)
     qp = _pad_lanes(queries.astype(jnp.float32))[:, :dp]
     qb = qp.astype(jnp.bfloat16)
 
@@ -350,7 +353,10 @@ def ivf_topk(
     # leading rows belong to earlier clusters and are masked by pos >= blk.
     blk_dma = jnp.minimum(blk, max(npad - win, 0))
 
-    if use_pallas and jax.default_backend() == "tpu" and npad >= win:
+    # the DMA kernel addresses windows in 8-row units (start >> 3): a
+    # non-8-multiple win would misalign every window vs its `pos` labels
+    if (use_pallas and jax.default_backend() == "tpu" and npad >= win
+            and win % 8 == 0):
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
         w_scores = pallas_coarse_scores_aligned(
@@ -436,6 +442,7 @@ class IVFFlatIndex:
         st = self.state
         npb = nprobe or self.nprobe
         bsz = self.query_batch
+        wb = self.wb or ivf_window_budget(st.starts, st.ends, npb, self.win)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)
@@ -445,9 +452,7 @@ class IVFFlatIndex:
                                     constant_values=-1))
             ids, scores = ivf_topk(
                 st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
-                st.ends, qc, qi, k, nprobe=npb, win=self.win,
-                wb=self.wb or ivf_window_budget(st.starts, st.ends, npb,
-                                                self.win),
+                st.ends, qc, qi, k, nprobe=npb, win=self.win, wb=wb,
                 refine=self.refine, exclude_self=exclude_self,
             )
             out_i.append(np.asarray(ids[: s1 - s0]))

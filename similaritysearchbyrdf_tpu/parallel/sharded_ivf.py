@@ -377,10 +377,13 @@ def _local_ivf_query(sketch, corpus, row_ids, starts, ends, centroids,
                      queries, query_ids, *, k, nprobe, win, wb, refine,
                      exclude_self):
     if wb is None:
-        # safe fallback: enough windows to cover the ENTIRE local shard —
-        # fine at test/dryrun scale; production callers pass
-        # ivf_window_budget_sharded(state, nprobe, win)
-        wb = max((sketch.shape[1] + win - 1) // win, 1)
+        # safe fallback: enough windows to cover the ENTIRE local shard,
+        # plus one round-up window per cluster (probed clusters occupy a
+        # whole number of windows each) — fine at test/dryrun scale;
+        # production callers pass ivf_window_budget_sharded(state, nprobe,
+        # win)
+        wb = max((sketch.shape[1] + win - 1) // win
+                 + centroids.shape[0], 1)
     ids, scores = ivf_topk(
         sketch[0], corpus[0], row_ids[0], centroids, starts[0], ends[0],
         queries, query_ids, k, nprobe=nprobe, win=win, wb=wb,

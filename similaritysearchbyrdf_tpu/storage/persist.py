@@ -152,6 +152,23 @@ def forest_state_bytes(state: ForestState) -> int:
     return total
 
 
+def model_fingerprint(model: HashModel) -> bytes:
+    """Deterministic 16-byte identity of a hash model (projection tensors +
+    scalar params). Two forests agree on bucket keys for every vector iff
+    their fingerprints match — the soundness condition for gating one
+    tier's generations with probe keys computed from another's model."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (model.proj, model.perm, model.b, model.sampling_perm):
+        a = np.asarray(arr)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    h.update(f"{model.family}|{model.w}|{model.type_of_index}".encode())
+    return h.digest()[:16]
+
+
 class GenerationStore:
     """Timestamped spill generations under `working_dir/name/`, each with a
     Bloom summary of its vector ids — the array-era `StoreAppend` +
@@ -175,7 +192,8 @@ class GenerationStore:
         self.disk_loads = 0
         self._cache: "dict[str, RDFForest]" = {}
         self._lru: List[str] = []            # least-recent first
-        self._key_summaries: "dict[str, Tuple[np.ndarray, np.ndarray]]" = {}
+        # stem -> (bucket_keys, bucket_shifts, model_fp | None)
+        self._key_summaries: "dict[str, tuple]" = {}
 
     def generations(self) -> List[str]:
         out = []
@@ -214,6 +232,8 @@ class GenerationStore:
             stem + "-keysummary.npz",
             bucket_keys=np.asarray(forest.state.tables.bucket_keys),
             bucket_shifts=np.asarray(forest.state.tables.bucket_shifts),
+            model_fp=np.frombuffer(
+                model_fingerprint(forest.state.model), dtype=np.uint8),
         )
         return stem
 
@@ -221,11 +241,15 @@ class GenerationStore:
         z = np.load(stem + "-summary.npz")
         return BloomFilter(z["bits"], int(z["num_hashes"]))
 
-    def key_summary(self, stem: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """(bucket_keys u32[L, NB], bucket_shifts u32[L, NB]) of a
+    def key_summary(
+        self, stem: str
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[bytes]]]:
+        """(bucket_keys u32[L, NB], bucket_shifts u32[L, NB], model_fp) of a
         generation, or None for legacy spills without the sidecar (which
-        must then be treated as might-match). Host-cached: the sidecar is
-        tiny compared to the payload npz."""
+        must then be treated as might-match). `model_fp` identifies the hash
+        model the boundaries were built under (None for pre-fp sidecars) —
+        gating with probe keys from a DIFFERENT model would be unsound.
+        Host-cached: the sidecar is tiny compared to the payload npz."""
         cached = self._key_summaries.get(stem)
         if cached is not None:
             return cached
@@ -236,6 +260,7 @@ class GenerationStore:
         out = (
             z["bucket_keys"].astype(np.uint32),
             z["bucket_shifts"].astype(np.uint32),
+            z["model_fp"].tobytes() if "model_fp" in z.files else None,
         )
         self._key_summaries[stem] = out
         return out
@@ -379,15 +404,22 @@ class TieredForest:
 
     @staticmethod
     def _summary_matches(
-        summary: Tuple[np.ndarray, np.ndarray],
+        summary: tuple,            # (bucket_keys, bucket_shifts, model_fp)
         probe_keys: np.ndarray,    # u32[B, R]
         table_of: np.ndarray,      # i32[R]
+        proto_fp: Optional[bytes] = None,
     ) -> bool:
         """True iff ANY probe key lands in an existing bucket of the
         generation — the similarity-read analogue of `testInDataSummary`.
         Exact (bucket boundaries, not a Bloom), so false negatives are
-        impossible and false positives only arise from padding buckets."""
-        bucket_keys, bucket_shifts = summary
+        impossible and false positives only arise from padding buckets.
+        Soundness requires the probe keys to come from the SAME hash model
+        the generation was built under: on a fingerprint mismatch (or a
+        legacy sidecar without one) the gate conservatively answers True."""
+        bucket_keys, bucket_shifts = summary[0], summary[1]
+        gen_fp = summary[2] if len(summary) > 2 else None
+        if gen_fp is None or proto_fp is None or gen_fp != proto_fp:
+            return True
         for t in range(bucket_keys.shape[0]):
             q = np.unique(probe_keys[:, table_of == t])
             bk, bs = bucket_keys[t], bucket_shifts[t]
@@ -421,10 +453,11 @@ class TieredForest:
         gated: List[str] = []
         if stems:
             probe_keys, table_of = self._probe_keys_host(queries, steps)
+            proto_fp = model_fingerprint(self._prototype().model)
             for stem in stems:
                 summary = self.store.key_summary(stem)
                 if summary is None or self._summary_matches(
-                    summary, probe_keys, table_of
+                    summary, probe_keys, table_of, proto_fp
                 ):
                     gated.append(stem)
         tiers: List[RDFForest] = []
@@ -519,7 +552,8 @@ def save_ivf(index, path: str) -> None:
             dict(engine="ivf", target_cluster=index.target_cluster,
                  nprobe=index.nprobe, win=index.win, refine=index.refine,
                  iters=index.iters, query_batch=index.query_batch,
-                 seed=index.seed, version=1),
+                 seed=index.seed, wb=index.wb,
+                 train_sample=index.train_sample, version=1),
             f,
         )
 
@@ -536,6 +570,7 @@ def load_ivf(path: str):
         target_cluster=meta["target_cluster"], nprobe=meta["nprobe"],
         win=meta["win"], refine=meta["refine"], iters=meta["iters"],
         query_batch=meta["query_batch"], seed=meta["seed"],
+        wb=meta.get("wb"), train_sample=meta.get("train_sample"),
     )
     idx.state = IVFState(
         sketch=jnp.asarray(z["sketch"]),

@@ -245,10 +245,13 @@ def test_keysummary_sidecar_roundtrip(tmp_path):
     stem = tiered.spill()
     ks = store.key_summary(stem)
     assert ks is not None
-    bk, bs = ks
+    bk, bs, fp = ks
     f = load_forest(stem)
     np.testing.assert_array_equal(bk, np.asarray(f.state.tables.bucket_keys))
     np.testing.assert_array_equal(bs, np.asarray(f.state.tables.bucket_shifts))
+    from similaritysearchbyrdf_tpu.storage.persist import model_fingerprint
+
+    assert fp == model_fingerprint(f.state.model)
     # legacy generation without a sidecar: must be treated as might-match
     import os as _os
 
@@ -257,6 +260,44 @@ def test_keysummary_sidecar_roundtrip(tmp_path):
     assert store.key_summary(stem) is None
     ids, _ = tiered.query(x[:4], steps=0)
     assert stem in store._cache              # loaded despite missing sidecar
+
+
+def test_gate_distrusts_foreign_model(tmp_path):
+    """Generations spilled under a DIFFERENT hash model (other seed) must be
+    treated as might-match: probe keys computed from the prototype's model
+    are meaningless against a foreign model's bucket boundaries, so gating
+    on them could silently drop matching neighbors."""
+    import dataclasses as dc
+
+    conf = RDFConfig(
+        vector_dim=16, table_num=2, permutation_num=1, family_size=20,
+        partition_bits=0,
+        lsh_table=TableConfig(chain_length=10, bucket_overflow=4),
+        query_batch_size=4, max_candidates=512, top_k=3, seed=21,
+    )
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(1, 16)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    store = GenerationStore(str(tmp_path), "g")
+    tiered = TieredForest(conf, store)
+    # same unreachable-by-construction generation as
+    # test_query_skips_non_matching_generation: only negations of q
+    xb = (-q * np.linspace(0.5, 2.0, 40)[:, None]).astype(np.float32)
+    tiered.fit(DenseBatch(np.arange(100, 140, dtype=np.int32), xb))
+    stem_b = tiered.spill()
+
+    # same model: the gate may (and does) skip it
+    ids, _ = tiered.query(q, steps=0)
+    assert stem_b not in store._cache
+
+    # a restart under a different seed: fingerprints differ, the gate MUST
+    # load the generation — and its neighbors must surface in the merge
+    conf2 = dc.replace(conf, seed=99)
+    store2 = GenerationStore(str(tmp_path), "g")
+    tiered2 = TieredForest(conf2, store2)
+    ids2, _ = tiered2.query(-q, steps=1)     # -q's true neighbors are in B
+    assert stem_b in store2._cache           # loaded despite foreign keys
+    assert (ids2 >= 100).any()
 
 
 def test_add_grows_device_tier(tmp_path):
@@ -289,11 +330,14 @@ def test_ivf_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(7)
     x = rng.normal(size=(600, 24)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    idx = IVFFlatIndex(target_cluster=32, nprobe=8, refine=64,
-                       iters=3).fit(DenseBatch(np.arange(600, dtype=np.int32), x))
+    idx = IVFFlatIndex(target_cluster=32, nprobe=8, refine=64, iters=3,
+                       wb=40, train_sample=512,
+                       ).fit(DenseBatch(np.arange(600, dtype=np.int32), x))
     path = str(tmp_path / "ivf_ckpt")
     save_ivf(idx, path)
     idx2 = load_ivf(path)
+    # operating-point knobs survive the round trip
+    assert idx2.wb == 40 and idx2.train_sample == 512
     q = x[:16]
     ids1, s1 = idx.query(q, k=5, query_ids=np.arange(16))
     ids2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
