@@ -32,8 +32,8 @@ from ..config import RDFConfig
 from ..models.families import HashModel, generate_model
 from ..ops import rerank as rerank_ops
 from ..ops.bitops import clz
-from ..ops.hashing import hash_dense, hash_sparse
-from ..vectors import DenseBatch, SparseBatch
+from ..ops.hashing import hash_dense
+from ..vectors import DenseBatch
 from .bucket_table import (
     BucketTables,
     KeyLayout,

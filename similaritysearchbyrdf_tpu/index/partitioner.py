@@ -11,7 +11,6 @@ batch come from one einsum + sign + pack.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

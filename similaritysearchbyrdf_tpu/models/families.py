@@ -20,7 +20,7 @@ over by the jitted hash/fit/query functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

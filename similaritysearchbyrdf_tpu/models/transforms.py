@@ -17,7 +17,6 @@ All transforms here are elementwise uint32 ops over whole hash batches.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ whole batch come out of a single jitted call.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

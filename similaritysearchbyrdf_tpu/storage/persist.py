@@ -31,7 +31,6 @@ from ..config import RDFConfig
 from ..index.bucket_table import BucketTables
 from ..index.forest import ForestState, RDFForest
 from ..models.families import HashModel
-from ..models import transforms
 from .bloom import BloomFilter
 
 
