@@ -232,9 +232,14 @@ class FlatIndex:
                     refine=self.refine, block=self.block,
                     exclude_self=exclude_self,
                 )
-            out_i.append(np.asarray(ids[: s1 - s0]))
-            out_s.append(np.asarray(scores[: s1 - s0]))
-        return np.concatenate(out_i), np.concatenate(out_s)
+            # keep per-batch outputs on device: converting inside the loop
+            # blocks dispatch on a host round trip per batch (~34 ms through
+            # the remote tunnel, CLAUDE.md); the tiny [bsz, k] slices convert
+            # together after every batch has been dispatched
+            out_i.append(ids[: s1 - s0])
+            out_s.append(scores[: s1 - s0])
+        return (np.concatenate([np.asarray(a) for a in out_i]),
+                np.concatenate([np.asarray(a) for a in out_s]))
 
 
 def _grouped_candidates(
@@ -555,6 +560,11 @@ class SparseFlatIndex:
                 r_groups=max(self.r_groups, 3 * k),
                 exclude_self=exclude_self,
             )
-            out_i.append(np.asarray(ids[: s1 - s0]))
-            out_s.append(np.asarray(scores[: s1 - s0]))
-        return np.concatenate(out_i), np.concatenate(out_s)
+            # keep per-batch outputs on device: converting inside the loop
+            # blocks dispatch on a host round trip per batch (~34 ms through
+            # the remote tunnel, CLAUDE.md); the tiny [bsz, k] slices convert
+            # together after every batch has been dispatched
+            out_i.append(ids[: s1 - s0])
+            out_s.append(scores[: s1 - s0])
+        return (np.concatenate([np.asarray(a) for a in out_i]),
+                np.concatenate([np.asarray(a) for a in out_s]))
