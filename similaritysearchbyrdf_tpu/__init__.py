@@ -23,7 +23,7 @@ from .index.forest import RDFForest, ForestState, fit_dense, query_dense
 from .index.sparse_forest import SparseRDFForest
 from .index.bucket_table import KeyLayout, BucketTables
 from .ops.exact import exact_search
-from .ops.ivf import IVFFlatIndex
+from .ops.ivf import IVFFlatIndex, tune_nprobe
 from .ops.flat import (FlatIndex, SparseFlatIndex, flat_topk,
                        flat_topk_grouped, flat_topk_sparse,
                        build_flat_sketch)
@@ -60,6 +60,7 @@ __all__ = [
     "exact_search",
     "FlatIndex",
     "IVFFlatIndex",
+    "tune_nprobe",
     "SparseFlatIndex",
     "flat_topk_grouped",
     "flat_topk_sparse",

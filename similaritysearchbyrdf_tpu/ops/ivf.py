@@ -388,6 +388,40 @@ def ivf_topk(
                          jnp.isfinite(sel_s), query_ids, k, exclude_self)
 
 
+def tune_nprobe(
+    index,
+    sample_queries: np.ndarray,
+    target_recall: float = 0.95,
+    k: int = 10,
+    candidates: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256),
+) -> int:
+    """Smallest `nprobe` whose top-k matches a FULL-probe pass on the same
+    index at `target_recall` — a ground-truth-free operating-point tuner
+    (the full-probe pass scores every cluster, so it is the index's own
+    recall ceiling; cluster-coverage loss is the only thing nprobe trades
+    away). Sets `index.nprobe` and returns it. The reference tunes its
+    operating points the same way — by experiment sweeps
+    (`TestSingleRDFSuite.scala:103-122`), just with a human in the loop."""
+    st = index.state
+    assert st is not None, "fit first"
+    kc = int(st.centroids.shape[0])
+    q = np.asarray(sample_queries, np.float32)
+    ref_ids, _ = index.query(q, k=k, exclude_self=False, nprobe=kc)
+    ref_sets = [set(map(int, r[r >= 0])) for r in ref_ids]
+    denom = max(sum(len(s) for s in ref_sets), 1)
+    for p in sorted(set(min(c, kc) for c in candidates)):
+        ids, _ = index.query(q, k=k, exclude_self=False, nprobe=p)
+        hits = sum(
+            len(ref_sets[i] & set(map(int, ids[i][ids[i] >= 0])))
+            for i in range(len(ref_sets))
+        )
+        if hits / denom >= target_recall:
+            index.nprobe = p
+            return p
+    index.nprobe = kc
+    return kc
+
+
 class IVFFlatIndex:
     """Host orchestrator for the clustered-flat engine (same query surface
     as `FlatIndex`; `nprobe` is the recall knob)."""

@@ -137,3 +137,33 @@ def test_ivf_sampled_training_recall():
     st = idx.state
     rid = np.asarray(st.row_ids)
     assert (rid >= 0).sum() == 4000
+
+
+def test_tune_nprobe_hits_target_and_monotone():
+    """tune_nprobe picks the smallest candidate whose results match the
+    index's own full-probe pass at the target recall, and sets it on the
+    index. On a well-clustered corpus a tight target must still be met by
+    SOME candidate (the full-probe candidate itself closes the loop)."""
+    from similaritysearchbyrdf_tpu.ops.ivf import IVFFlatIndex, tune_nprobe
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(40, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 40, 3000)] + 0.05 * rng.normal(size=(3000, 16))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    idx = IVFFlatIndex(target_cluster=64, nprobe=1, refine=128,
+                       iters=4).fit(
+                           DenseBatch(np.arange(3000, dtype=np.int32), x))
+    q = x[:32]
+    p = tune_nprobe(idx, q, target_recall=0.98, k=5)
+    assert idx.nprobe == p
+    kc = int(idx.state.centroids.shape[0])
+    assert 1 <= p <= kc
+    # the tuned point really achieves the target vs the full-probe pass
+    ref, _ = idx.query(q, k=5, exclude_self=False, nprobe=kc)
+    got, _ = idx.query(q, k=5, exclude_self=False, nprobe=p)
+    ref_sets = [set(map(int, r[r >= 0])) for r in ref]
+    hits = sum(len(ref_sets[i] & set(map(int, got[i][got[i] >= 0])))
+               for i in range(32))
+    assert hits / max(sum(len(s) for s in ref_sets), 1) >= 0.98
