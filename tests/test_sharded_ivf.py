@@ -71,3 +71,17 @@ def test_sharded_ivf_unfitted():
     idx = ShardedIVFIndex()
     ids, scores = idx.query(np.zeros((3, 16), np.float32), k=5)
     assert (ids == -1).all()
+
+
+def test_tune_nprobe_works_on_sharded_index():
+    """The GT-free autotuner drives any index exposing query(..., nprobe=)
+    and state.centroids — including the mesh-sharded engine."""
+    from similaritysearchbyrdf_tpu import tune_nprobe
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    x = _data(n=1200)
+    idx = ShardedIVFIndex(target_cluster=64, nprobe=1, iters=3).fit(
+        DenseBatch(np.arange(1200, dtype=np.int32), x))
+    p = tune_nprobe(idx, x[:24], target_recall=0.95, k=5)
+    assert idx.nprobe == p
+    assert 1 <= p <= int(idx.state.centroids.shape[0])
