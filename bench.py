@@ -17,9 +17,40 @@ Prints ONE JSON line:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def wait_for_backend(max_wait_s: int = 1800) -> None:
+    """The remote TPU tunnel has outage windows where backend init hangs
+    ~25 min and then fails (CLAUDE.md). Probe it with a tiny jit in a
+    SUBPROCESS (a hung init cannot poison this process) and retry for up to
+    `max_wait_s` before starting the real run; on persistent failure fall
+    through and let the run try anyway."""
+    import subprocess
+
+    code = ("import jax.numpy as jnp; "
+            "print(int((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=300)
+            if "512" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            print(f"bench: backend probe still failing after "
+                  f"{attempt} attempts; proceeding anyway", file=sys.stderr)
+            return
+        print(f"bench: backend probe attempt {attempt} failed; retrying",
+              file=sys.stderr)
+        time.sleep(120)
 
 N_CORPUS = 20_000
 N_QUERY = 1_000
@@ -45,6 +76,8 @@ def make_data(seed=42):
 
 
 def main():
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 

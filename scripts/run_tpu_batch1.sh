@@ -6,7 +6,7 @@
 cd /root/repo
 for i in $(seq 1 40); do
   echo "[batch1] probe attempt $i $(date -u +%H:%M:%S)"
-  if timeout 300 python -c "import jax.numpy as jnp; print((jnp.ones((8,8))@jnp.ones((8,8))).sum())" 2>&1 | grep -q 64.0; then
+  if timeout 300 python -c "import jax.numpy as jnp; print(int((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" 2>&1 | grep -q 512; then
     echo "[batch1] tunnel up"
     break
   fi
