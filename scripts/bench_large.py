@@ -99,6 +99,42 @@ def run(name, n, d, n_clusters, noise, ks=(10,), steps_list=(0, 1), n_query=1000
                 line[f"recall@{k}"] = round(hits / (n_query * k), 4)
             print(json.dumps(line), flush=True)
             lines.append(line)
+    import os
+
+    if os.environ.get("LARGE_IVF"):
+        # clustered-flat comparison on the SAME corpus + GT (sampled-Lloyd
+        # build; pipelined timing like the forest rows above)
+        from similaritysearchbyrdf_tpu.ops.ivf import (
+            IVFFlatIndex, ivf_window_budget)
+
+        t0 = time.perf_counter()
+        ivf = IVFFlatIndex(target_cluster=256, win=64, refine=128,
+                           train_sample=min(n, 2_000_000))
+        ivf.fit(DenseBatch(ids, x))
+        jax.block_until_ready(ivf.state.sketch)
+        ivf_build = time.perf_counter() - t0
+        print(f"[{name}] IVF build: {ivf_build:.1f}s", flush=True)
+        for npb in (4, 8, 16):
+            ivf.query(queries, k=max(ks), query_ids=ids[:n_query],
+                      nprobe=npb)                       # compile + warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                got, _ = ivf.query(queries, k=max(ks),
+                                   query_ids=ids[:n_query], nprobe=npb)
+            dt = (time.perf_counter() - t0) / reps
+            line = {"bench": name, "engine": "ivf", "nprobe": npb,
+                    "ivf_build_s": round(ivf_build, 1),
+                    "qps": round(n_query / dt, 1)}
+            for k in ks:
+                hits = sum(
+                    len(set(gt_ids[i][:k].tolist())
+                        & set(int(v) for v in got[i][:k] if v >= 0))
+                    for i in range(n_query))
+                line[f"recall@{k}"] = round(hits / (n_query * k), 4)
+            print(json.dumps(line), flush=True)
+            lines.append(line)
+
     out = {
         "corpus": name, "n": n, "dim": d,
         "build_s": round(build_s, 1),
