@@ -156,16 +156,20 @@ class DynamicForest:
         extra = next(b for b in self.OVERFETCH_BUCKETS if b >= live_tombs)
         all_ids, all_scores = [], []
         for t in tiers:
-            ids, scores = t.query(queries, steps=steps, query_ids=query_ids,
-                                  k=k + extra, **kw)
+            # device arrays: both tiers dispatch before either transfers
+            ids, scores = t.query_device(
+                queries, steps=steps, query_ids=query_ids, k=k + extra, **kw
+            )
             all_ids.append(ids)
             all_scores.append(scores)
         if not all_ids:
             q = np.asarray(queries).shape[0]
             return (np.full((q, k), -1, np.int32),
                     np.full((q, k), -np.inf, np.float32))
-        ids = np.concatenate(all_ids, axis=1)
-        scores = np.concatenate(all_scores, axis=1)
+        import jax.numpy as jnp
+
+        ids = np.asarray(jnp.concatenate(all_ids, axis=1))
+        scores = np.asarray(jnp.concatenate(all_scores, axis=1))
         if self._tombstones:
             dead = np.isin(ids, np.fromiter(self._tombstones, dtype=np.int32,
                                             count=len(self._tombstones)))
