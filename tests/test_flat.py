@@ -246,3 +246,47 @@ def test_grouped_large_group_matches_flat():
         np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc),
                                    rtol=1e-5)
         assert (np.asarray(a_ids) == np.asarray(b_ids)).mean() > 0.99
+
+
+def test_two_level_group_select_is_exact():
+    """The hierarchical group select in _grouped_candidates (top-RG
+    supergroups -> top-RG children) must return EXACTLY the top-RG groups:
+    any top-RG group's supergroup has super-max >= the RG-th best group
+    max, and at most RG supergroups can contain such a group. Checked
+    against a brute-force top-RG over the group maxima."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import _grouped_candidates
+
+    rng = np.random.default_rng(17)
+    n, d, b, group, rg = 65536, 16, 4, 64, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:b] + 0.01 * rng.normal(size=(b, d)).astype(np.float32)
+    sk = jnp.asarray(
+        np.clip(np.round(x * (127.0 / np.abs(x).max())), -127, 127)
+    ).astype(jnp.int8)
+
+    cand, sel_s = _grouped_candidates(
+        sk, jnp.asarray(q), refine=rg * group, r_groups=rg, group=group,
+        use_pallas=False, recall_target=0.998,
+    )
+    # reference: exact top-rg groups by group-max of the same quantized dot
+    qs = 127.0 / np.abs(q).max(axis=1, keepdims=True)
+    qq = np.clip(np.round(q * qs), -127, 127).astype(np.int32)
+    scores = np.asarray(sk, np.int32) @ qq.T                   # [N, B]
+    gmax = scores.reshape(n // group, group, b).max(axis=1).T  # [B, NG]
+    # the path requires ng % 64 == 0 and ng//64 >= 4*rg — holds here
+    assert (n // group) % 64 == 0 and (n // group) // 64 >= 4 * rg
+    for i in range(b):
+        want = set(np.argsort(-gmax[i], kind="stable")[:rg].tolist())
+        got_groups = set((np.asarray(cand[i]) // group).tolist())
+        # candidate rows cover exactly the top-rg groups (ties can swap
+        # members with equal gmax — accept any group whose max ties the
+        # rg-th best)
+        thr = np.sort(gmax[i])[-rg]
+        assert all(gmax[i][g] >= thr for g in got_groups)
+        assert len(got_groups) == rg
+        # and every strictly-above-threshold group is present
+        strict = {g for g in want if gmax[i][g] > thr}
+        assert strict <= got_groups
