@@ -53,6 +53,13 @@ from .partitioner import (
 # path on small corpora (see tests/test_edge_cases.py).
 _FORCE_UNPACKED_RANGES = False
 
+# Coarse-select schedule knob (see _query_dense_coarse): approx_max_k is
+# used when m2 * FACTOR <= slab width, the packed sort otherwise.
+import os as _os
+
+_SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
+                                            "8"))
+
 
 # ---------------------------------------------------------------------------
 # Device state
@@ -981,7 +988,11 @@ def _query_dense_coarse(
     # refine slice is itself a coarse pre-selection, so a >=98% per-element
     # retrieval target costs no measurable end recall (verified on the 1.2M
     # bench) and saves a [B, m_cap]-wide 2-operand sort.
-    use_approx = m2 * 8 <= scores.shape[1]
+    # env knob for on-hardware A/B: at m2 == width/8 approx_max_k's
+    # PartialReduce is near-degenerate (the Deep-8M bisect charges 30 ms to
+    # this select at [64, 65536] -> 8192) and the packed 2-operand sort may
+    # win; raise the factor to push such shapes onto the sort path
+    use_approx = m2 * _SELECT_APPROX_FACTOR <= scores.shape[1]
     can_pack = l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES
     if use_approx:
         vals, idxs = jax.lax.approx_max_k(scores, m2, recall_target=0.98)
