@@ -100,12 +100,15 @@ def main():
             rec = hits / (NQ * 10)
             print(f"steps{steps}_b{budget}_rf{refine}_w{cw}_m{mc}: {NQ/dt:.0f} qps "
                   f"recall {rec:.4f}", flush=True)
-            out["points"].append(
-                {"steps": steps, "probe_mode": "margin",
-                 "probe_budget": budget,
-                 "coarse_refine": refine, "coarse_window": cw, "m_cap": mc,
-                 "qps": round(NQ / dt),
-                 "recall@10": round(rec, 4)})
+            point = {"steps": steps, "probe_mode": "margin",
+                     "probe_budget": budget,
+                     "coarse_refine": refine, "coarse_window": cw,
+                     "m_cap": mc, "qps": round(NQ / dt),
+                     "recall@10": round(rec, 4)}
+            saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
+            if saf != "8":
+                point["select_approx_factor"] = int(saf)
+            out["points"].append(point)
         except Exception:
             import traceback
             traceback.print_exc()

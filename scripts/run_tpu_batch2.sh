@@ -34,6 +34,9 @@ echo "[batch2] bench_flat start $(date -u +%H:%M:%S)"
 timeout 5400 python scripts/bench_flat.py 2>&1 | tail -20
 echo "[batch2] bench_deep8m_coarse start $(date -u +%H:%M:%S)"
 timeout 5400 python scripts/bench_deep8m_coarse.py 2>&1 | tail -25
+echo "[batch2] select-factor A/B (sort vs approx at the Deep headline point) $(date -u +%H:%M:%S)"
+FOREST_SELECT_APPROX_FACTOR=32 DEEP_POINTS="1,16,12288,1024,262144" \
+  timeout 3600 python scripts/bench_deep8m_coarse.py 2>&1 | tail -8
 echo "[batch2] bench_ivf start $(date -u +%H:%M:%S)"
 IVF_TRAIN_SAMPLE=2000000 timeout 5400 python scripts/bench_ivf.py 2>&1 | tail -25
 echo "[batch2] done $(date -u +%H:%M:%S)"
