@@ -30,7 +30,11 @@ from .ops.flat import (FlatIndex, SparseFlatIndex, flat_topk,
 from .deploy.dense import DenseRDFInit
 from .deploy.sparse import SparseRDFInit
 from .deploy.multi_feature import MultiFeatureRDFInit
-from .storage.persist import save_forest, load_forest, save_flat, load_flat, save_ivf, load_ivf, TieredForest, GenerationStore
+from .storage.persist import (save_forest, load_forest, save_flat,
+                              load_flat, save_ivf, load_ivf,
+                              save_sharded_flat, load_sharded_flat,
+                              save_sharded_ivf, load_sharded_ivf,
+                              TieredForest, GenerationStore)
 
 __version__ = "0.1.0"
 
@@ -73,6 +77,10 @@ __all__ = [
     "save_flat",
     "load_flat",
     "save_ivf",
+    "save_sharded_flat",
+    "load_sharded_flat",
+    "save_sharded_ivf",
+    "load_sharded_ivf",
     "load_ivf",
     "load_forest",
     "TieredForest",

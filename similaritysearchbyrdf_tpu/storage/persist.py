@@ -582,3 +582,145 @@ def load_ivf(path: str):
                          else z["starts"][1:]),
     )
     return idx
+
+
+# ---------------------------------------------------------------------------
+# Sharded-engine save / load (single-process meshes)
+# ---------------------------------------------------------------------------
+
+
+def save_sharded_flat(index, path: str) -> None:
+    """Serialize a ShardedFlatIndex (row-sharded sketch/corpus/ids gathered
+    to host) — restart-without-refit for the mesh engine. Single-process
+    meshes only (a host gather of a multi-process array would need every
+    process's shards)."""
+    import jax
+
+    assert index.state is not None, "nothing to save: fit first"
+    assert jax.process_count() == 1, "multi-process save not supported"
+    st = index.state
+    sketch = st.sketch
+    if sketch.dtype == jnp.bfloat16:
+        sketch = sketch.astype(jnp.float32)
+    np.savez_compressed(
+        path + ".npz",
+        sketch=np.asarray(sketch),
+        corpus=np.asarray(st.corpus),
+        row_ids=np.asarray(st.row_ids),
+    )
+    ndev = index.mesh.shape[_shard_axis()]
+    with open(path + ".json", "w") as f:
+        json.dump(
+            dict(engine="sharded_flat", sketch_dtype=index.sketch_dtype,
+                 refine=index.refine, block=index.block, ndev=ndev,
+                 version=1),
+            f,
+        )
+
+
+def load_sharded_flat(path: str, mesh=None):
+    """Load a ShardedFlatIndex saved by `save_sharded_flat`. Rows are
+    independent under the flat engine's local-topk + all-gather merge, so
+    the target mesh may have a different device count as long as it divides
+    the stored row count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax
+
+    from ..parallel.mesh import SHARD_AXIS, make_forest_mesh
+    from ..parallel.sharded_flat import ShardedFlatIndex, ShardedFlatState
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    assert meta["engine"] == "sharded_flat", meta
+    z = np.load(path + ".npz")
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    rows = z["row_ids"].shape[0]
+    if rows % ndev:
+        raise ValueError(
+            f"stored rows ({rows}) not divisible by mesh devices ({ndev})")
+    idx = ShardedFlatIndex(mesh=mesh, sketch_dtype=meta["sketch_dtype"],
+                           refine=meta["refine"], block=meta["block"])
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    sketch = z["sketch"]
+    if meta["sketch_dtype"] == "bfloat16":
+        sketch = jnp.asarray(sketch).astype(jnp.bfloat16)
+    idx.state = ShardedFlatState(
+        sketch=jax.device_put(sketch, shard),
+        corpus=jax.device_put(z["corpus"], shard),
+        row_ids=jax.device_put(z["row_ids"], shard),
+    )
+    return idx
+
+
+def save_sharded_ivf(index, path: str) -> None:
+    """Serialize a ShardedIVFIndex. The per-shard cluster layouts
+    (starts/ends) are tied to the fitted device count, so load requires a
+    mesh of the SAME size (recorded in the sidecar)."""
+    import jax
+
+    assert index.state is not None, "nothing to save: fit first"
+    assert jax.process_count() == 1, "multi-process save not supported"
+    st = index.state
+    np.savez_compressed(
+        path + ".npz",
+        sketch=np.asarray(st.sketch),
+        corpus=np.asarray(st.corpus),
+        row_ids=np.asarray(st.row_ids),
+        centroids=np.asarray(st.centroids.astype(jnp.float32)),
+        starts=np.asarray(st.starts),
+        ends=np.asarray(st.ends),
+    )
+    with open(path + ".json", "w") as f:
+        json.dump(
+            dict(engine="sharded_ivf", target_cluster=index.target_cluster,
+                 nprobe=index.nprobe, win=index.win, refine=index.refine,
+                 iters=index.iters, seed=index.seed, wb=index.wb,
+                 ndev=int(st.sketch.shape[0]), version=1),
+            f,
+        )
+
+
+def load_sharded_ivf(path: str, mesh=None):
+    """Load a ShardedIVFIndex saved by `save_sharded_ivf` onto a mesh of
+    the same device count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax
+
+    from ..parallel.mesh import SHARD_AXIS, make_forest_mesh
+    from ..parallel.sharded_ivf import ShardedIVFIndex, ShardedIVFState
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    assert meta["engine"] == "sharded_ivf", meta
+    z = np.load(path + ".npz")
+    mesh = mesh or make_forest_mesh()
+    ndev = mesh.shape[SHARD_AXIS]
+    if ndev != meta["ndev"]:
+        raise ValueError(
+            f"saved for {meta['ndev']} devices, mesh has {ndev} "
+            "(per-shard cluster layouts are device-count-specific)")
+    idx = ShardedIVFIndex(mesh=mesh, target_cluster=meta["target_cluster"],
+                          nprobe=meta["nprobe"], win=meta["win"],
+                          refine=meta["refine"], iters=meta["iters"],
+                          seed=meta["seed"], wb=meta.get("wb"))
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    repl = NamedSharding(mesh, P())
+    idx.state = ShardedIVFState(
+        sketch=jax.device_put(z["sketch"], shard),
+        corpus=jax.device_put(z["corpus"], shard),
+        row_ids=jax.device_put(z["row_ids"], shard),
+        centroids=jax.device_put(
+            jnp.asarray(z["centroids"]).astype(jnp.bfloat16), repl),
+        starts=jax.device_put(z["starts"], shard),
+        ends=jax.device_put(z["ends"], shard),
+    )
+    return idx
+
+
+def _shard_axis() -> str:
+    from ..parallel.mesh import SHARD_AXIS
+
+    return SHARD_AXIS

@@ -101,3 +101,25 @@ def test_sharded_sparse_flat_unfitted():
     idx = ShardedSparseFlatIndex()
     ids, _ = idx.query(np.zeros((2, 4), np.int32), np.zeros((2, 4), np.float32), k=3)
     assert ids.shape == (2, 3) and (ids == -1).all()
+
+
+def test_sharded_flat_save_load_roundtrip(tmp_path):
+    """Mesh-engine checkpoint for the flat engine; rows are shard-agnostic
+    so the round trip must hold query results bit-equal."""
+    from similaritysearchbyrdf_tpu import save_sharded_flat, load_sharded_flat
+    from similaritysearchbyrdf_tpu.parallel.sharded_flat import ShardedFlatIndex
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(640, 24)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(refine=64).fit(
+        DenseBatch(np.arange(640, dtype=np.int32), x))
+    p = str(tmp_path / "sflat")
+    save_sharded_flat(idx, p)
+    idx2 = load_sharded_flat(p)
+    q = x[:16]
+    i1, s1 = idx.query(q, k=5, query_ids=np.arange(16))
+    i2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)

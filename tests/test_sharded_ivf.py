@@ -85,3 +85,22 @@ def test_tune_nprobe_works_on_sharded_index():
     p = tune_nprobe(idx, x[:24], target_recall=0.95, k=5)
     assert idx.nprobe == p
     assert 1 <= p <= int(idx.state.centroids.shape[0])
+
+
+def test_sharded_ivf_save_load_roundtrip(tmp_path):
+    """Mesh-engine checkpoint: save_sharded_ivf/load_sharded_ivf restore
+    identical query results on a same-size mesh."""
+    from similaritysearchbyrdf_tpu import save_sharded_ivf, load_sharded_ivf
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    x = _data(n=1000)
+    idx = ShardedIVFIndex(target_cluster=64, nprobe=8, iters=3).fit(
+        DenseBatch(np.arange(1000, dtype=np.int32), x))
+    p = str(tmp_path / "sivf")
+    save_sharded_ivf(idx, p)
+    idx2 = load_sharded_ivf(p)
+    q = x[:16]
+    i1, s1 = idx.query(q, k=5, query_ids=np.arange(16))
+    i2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
