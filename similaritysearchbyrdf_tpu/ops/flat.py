@@ -62,6 +62,21 @@ def _pad_lanes(a: jax.Array) -> jax.Array:
     return a if dp == d else jnp.pad(a, ((0, 0), (0, dp - d)))
 
 
+def effective_query_batch(nq: int, query_batch: int) -> int:
+    """Clamp the padded dispatch batch to the work actually present: the
+    next power of two >= nq (floor 32), capped at `query_batch`. Large
+    callers (nq >= query_batch) are unchanged — benches keep their exact
+    warmed shapes — but a 32-query call no longer pays for 1024 padded
+    rows of window gathers (32x wasted work on small probes/tests). The
+    pow2 rounding bounds the number of distinct compiled programs."""
+    if nq >= query_batch:
+        return query_batch
+    b = 32
+    while b < nq:
+        b <<= 1
+    return min(b, query_batch)
+
+
 def build_flat_sketch(
     corpus: jax.Array,            # f32[N, D]
     dtype: str = "int8",
@@ -208,7 +223,7 @@ class FlatIndex:
         qids = (np.asarray(query_ids, dtype=np.int32)
                 if query_ids is not None
                 else np.full((nq,), -1, np.int32))
-        bsz = self.query_batch
+        bsz = effective_query_batch(nq, self.query_batch)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)
@@ -543,7 +558,7 @@ class SparseFlatIndex:
         qids = (np.asarray(query_ids, dtype=np.int32)
                 if query_ids is not None
                 else np.full((nq,), -1, np.int32))
-        bsz = self.query_batch
+        bsz = effective_query_batch(nq, self.query_batch)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)

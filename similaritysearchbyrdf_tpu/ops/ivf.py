@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .flat import _exact_refine, _pad_lanes, build_flat_sketch
+from .flat import (_exact_refine, _pad_lanes, build_flat_sketch,
+                   effective_query_batch)
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +476,7 @@ class IVFFlatIndex:
                 else np.full((nq,), -1, np.int32))
         st = self.state
         npb = nprobe or self.nprobe
-        bsz = self.query_batch
+        bsz = effective_query_batch(nq, self.query_batch)
         wb = self.wb or ivf_window_budget(st.starts, st.ends, npb, self.win)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
