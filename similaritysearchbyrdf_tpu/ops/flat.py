@@ -51,6 +51,18 @@ from .exact import _top_k
 _GMAX_BLOCK_B = int(os.environ.get("FLAT_GMAX_BLOCK_B", "128"))
 _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 
+# group-select stage knobs. The select is the grouped pipeline's most
+# expensive stage after the gmax kernel (35 ms of 58 at NG=131k/B=1024,
+# results/attrib_flat_r03.json) and its cost is ALL gather elements: the
+# two-level exact select gathers rg*sg child maxes per query at ~16
+# ns/element (CLAUDE.md cost model). Modes: "exact2" two-level exact
+# (supergroup max -> top-rg supergroups -> row-gather children -> top-rg;
+# FLAT_SELECT_SG sets the supergroup width = the gather size/level-1
+# top_k tradeoff), "approx" flat approx_max_k over [B, NG], "topk" flat
+# exact lax.top_k.
+_SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "exact2")
+_SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
+
 
 def _pad_lanes(a: jax.Array) -> jax.Array:
     """Pad the minor dim to a 128-lane multiple: the TPU's tiled layout
@@ -265,6 +277,8 @@ def _grouped_candidates(
     group: int,
     use_pallas: bool,
     recall_target: float,
+    select_mode: str = _SELECT_MODE,
+    select_sg: int = _SELECT_SG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared grouped preselection: fused matmul+group-max → top groups →
     row-wise window re-score → (cand i32[B, refine] row positions,
@@ -326,17 +340,27 @@ def _grouped_candidates(
     # rg-th best group max, and at most rg supergroups can (each needs a
     # >= rg-th-best group inside), so the top-rg supergroups provably
     # contain every top-rg group.
-    sg = 64
-    if ng % sg == 0 and ng // sg >= 4 * rg:
+    sg = select_sg
+    if (select_mode == "exact2" and ng % sg == 0
+            and ng // sg >= 4 * rg):
         nsg = ng // sg
-        sgmax = gmax.reshape(b, nsg, sg).max(axis=-1)     # [B, NSG]
+        g3 = gmax.reshape(b, nsg, sg)
+        sgmax = g3.max(axis=-1)                           # [B, NSG]
         _, sgi = jax.lax.top_k(sgmax, rg)                 # exact, [B, RG]
+        # row-gather the selected supergroups' children (minor dim fully
+        # spanned -> vectorized gather): rg*sg elements/query is the
+        # stage's whole cost, so sg trades gather bytes against the
+        # level-1 top_k's O(nsg*rg) scan
+        cg = jnp.take_along_axis(
+            g3, sgi[:, :, None], axis=1
+        ).reshape(b, rg * sg)                             # [B, RG*sg]
         child = (
             sgi[:, :, None] * sg + jnp.arange(sg, dtype=jnp.int32)
         ).reshape(b, rg * sg)
-        cg = jnp.take_along_axis(gmax, child, axis=1)     # [B, RG*sg]
         _, ci = jax.lax.top_k(cg, rg)
         gidx = jnp.take_along_axis(child, ci, axis=1)     # [B, RG]
+    elif select_mode == "topk":
+        _, gidx = jax.lax.top_k(gmax, rg)
     else:
         _, gidx = jax.lax.approx_max_k(gmax, rg,
                                        recall_target=recall_target)
@@ -382,7 +406,8 @@ def _grouped_candidates(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
-                     "use_pallas", "recall_target"),
+                     "use_pallas", "recall_target", "select_mode",
+                     "select_sg"),
 )
 def flat_topk_grouped(
     sketch: jax.Array,            # int8/bf16 [N, D]
@@ -397,6 +422,8 @@ def flat_topk_grouped(
     exclude_self: bool = True,
     use_pallas: bool = True,
     recall_target: float = 0.998,
+    select_mode: str = _SELECT_MODE,
+    select_sg: int = _SELECT_SG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped flat scan: fused matmul+group-max (never materializes the
     [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
@@ -407,7 +434,8 @@ def flat_topk_grouped(
     PROVIDED the group select runs at a high recall target; recall is
     int8-sketch-bound, same as `flat_topk`."""
     cand, sel_s = _grouped_candidates(
-        sketch, queries, refine, r_groups, group, use_pallas, recall_target
+        sketch, queries, refine, r_groups, group, use_pallas, recall_target,
+        select_mode, select_sg,
     )
     return _exact_refine(corpus, row_ids, queries, cand,
                          jnp.isfinite(sel_s), query_ids, k, exclude_self)

@@ -290,3 +290,42 @@ def test_two_level_group_select_is_exact():
         # and every strictly-above-threshold group is present
         strict = {g for g in want if gmax[i][g] > thr}
         assert strict <= got_groups
+
+
+@pytest.mark.parametrize("mode,sg", [("exact2", 8), ("exact2", 16),
+                                     ("exact2", 64), ("topk", 64)])
+def test_select_modes_agree(mode, sg):
+    """Every exact select mode (two-level at any supergroup width, flat
+    top_k) must pick the same top-RG groups — the two-level row-gather
+    variant exists only to cut the child gather's element count
+    (results/attrib_flat_r03.json: the gather IS the select stage cost)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import _grouped_candidates
+
+    rng = np.random.default_rng(23)
+    n, d, b, group, rg = 65536, 16, 4, 64, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:b] + 0.01 * rng.normal(size=(b, d)).astype(np.float32)
+    sk = jnp.asarray(
+        np.clip(np.round(x * (127.0 / np.abs(x).max())), -127, 127)
+    ).astype(jnp.int8)
+
+    base, base_s = _grouped_candidates(
+        sk, jnp.asarray(q), refine=rg * group, r_groups=rg, group=group,
+        use_pallas=False, recall_target=0.998,
+        select_mode="topk", select_sg=64,
+    )
+    got, got_s = _grouped_candidates(
+        sk, jnp.asarray(q), refine=rg * group, r_groups=rg, group=group,
+        use_pallas=False, recall_target=0.998,
+        select_mode=mode, select_sg=sg,
+    )
+    for i in range(b):
+        want = set((np.asarray(base[i]) // group).tolist())
+        have = set((np.asarray(got[i]) // group).tolist())
+        assert want == have
+    np.testing.assert_allclose(
+        np.sort(np.asarray(base_s), axis=1),
+        np.sort(np.asarray(got_s), axis=1), rtol=1e-5)
