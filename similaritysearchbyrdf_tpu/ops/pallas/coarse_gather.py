@@ -308,10 +308,25 @@ def pallas_coarse_scores_aligned(
     # ≤ 8 MB of the ~16 MB VMEM (large-B callers like the grouped flat
     # engine); the packed kernel's buffers are B-independent
     if groups == 1:
-        while grp > 1 and grp * win * b * 4 > (8 << 20):
+        while grp > 8 and grp * win * b * 4 > (8 << 20):
             grp //= 2
-    while mb_cap % grp:
-        grp //= 2
+    # Mosaic requires the second-minor block dim (grp) to be divisible by 8
+    # or equal to the whole window axis. Pad the window axis with DEAD
+    # windows rather than collapsing grp to a ragged divisor of mb_cap
+    # (e.g. a 94-window budget would force grp=2, which fails to lower).
+    if grp != mb_cap:
+        grp = max(8, grp - grp % 8)
+    pad = (-mb_cap) % grp
+    if pad:
+        padw = ((0, 0), (0, pad))
+        table_b2 = jnp.pad(table_b2, padw)
+        blk_start = jnp.pad(blk_start, padw)
+        live = jnp.pad(
+            live if live is not None else jnp.ones((b, mb_cap), bool), padw
+        )                                                  # pads are dead
+        if seg_b is not None:
+            seg_b = jnp.pad(seg_b, padw)
+    mb = mb_cap + pad
     start = jnp.clip(blk_start, 0, caprows - win) >> 3
     if live is not None:
         start = jnp.where(live, start, -1)                 # skip-DMA sentinel
@@ -319,10 +334,10 @@ def pallas_coarse_scores_aligned(
         [jnp.clip(table_b2, 0, l - 1), start], axis=-1
     ).astype(jnp.int32)                                    # [B, MB, 2]
     if groups == 1:
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_kernel_aligned, grp=grp, win=win, cd=cd),
-            out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
-            grid=(b, mb_cap // grp),
+            out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
+            grid=(b, mb // grp),
             in_specs=[
                 pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
                              memory_space=pltpu.SMEM),
@@ -337,11 +352,12 @@ def pallas_coarse_scores_aligned(
                 pltpu.SemaphoreType.DMA((_NSEM,)),
             ],
         )(idx, q_low.astype(jnp.bfloat16), coarse_by_table)
+        return out[:, :mb_cap] if pad else out
 
     # packed path: per-block query rows [B, MB, lanes]
     q_rows = jnp.take_along_axis(
         q_low.reshape(b, groups, cd),
-        jnp.broadcast_to(seg_b[:, :, None], (b, mb_cap, cd)),
+        jnp.broadcast_to(seg_b[:, :, None], (b, mb, cd)),
         axis=1,
     ).astype(jnp.bfloat16)                                 # [B, MB, lanes]
     if drain == "static":
@@ -354,12 +370,12 @@ def pallas_coarse_scores_aligned(
             ],
             axis=-1,
         ).astype(jnp.int32)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(
                 _kernel_aligned_packed_static, grp=grp, win=win, cd=cd
             ),
-            out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
-            grid=(b, mb_cap // grp),
+            out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
+            grid=(b, mb // grp),
             in_specs=[
                 pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
                              memory_space=pltpu.SMEM),
@@ -374,10 +390,11 @@ def pallas_coarse_scores_aligned(
                 pltpu.SemaphoreType.DMA(()),
             ],
         )(idx, q_rows, coarse_by_table)
-    return pl.pallas_call(
+        return out[:, :mb_cap] if pad else out
+    out = pl.pallas_call(
         functools.partial(_kernel_aligned_packed, grp=grp, win=win, cd=cd),
-        out_shape=jax.ShapeDtypeStruct((b, mb_cap, win), jnp.float32),
-        grid=(b, mb_cap // grp),
+        out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
+        grid=(b, mb // grp),
         in_specs=[
             pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
@@ -392,3 +409,4 @@ def pallas_coarse_scores_aligned(
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )(idx, q_rows, coarse_by_table)
+    return out[:, :mb_cap] if pad else out

@@ -121,6 +121,42 @@ def test_pallas_coarse_aligned_matches_reference(monkeypatch):
     np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
 
 
+def test_pallas_coarse_aligned_ragged_budget(monkeypatch):
+    """Window budgets that are NOT a multiple of the group size (e.g. the
+    IVF engine's wb=94 at nprobe=8) must pad the window axis with dead
+    windows rather than collapse grp to a ragged divisor — the collapse
+    produced a Mosaic block shape (1, 2, 2) that failed to lower on TPU.
+    Checks exactness of every live window and the output's mb_cap width."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(11)
+    l, cap, cd, b, win = 3, 256, 64, 4, 16
+    for mb_cap in (94, 11, 13):
+        cbt = rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+        q = rng.normal(size=(b, cd)).astype(np.float32)
+        tb = rng.integers(0, l, size=(b, mb_cap)).astype(np.int32)
+        bs = (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+            np.int32
+        )
+        live = rng.random(size=(b, mb_cap)) > 0.4
+        out = np.asarray(
+            cg.pallas_coarse_scores_aligned(
+                jnp.asarray(cbt), jnp.asarray(q), jnp.asarray(tb),
+                jnp.asarray(bs), win, live=jnp.asarray(live),
+            )
+        )
+        assert out.shape == (b, mb_cap, win)
+        qb = np.asarray(
+            jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        rows = cbt[
+            tb[:, :, None], bs[:, :, None] + np.arange(win)[None, None, :]
+        ]
+        ref = np.einsum("bmwc,bc->bmw", rows.astype(np.float32), qb)
+        np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
+
+
 def test_pallas_coarse_unaligned_matches_reference(monkeypatch):
     """Shift-select (unaligned block) kernel vs numpy gather+dot."""
     from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
