@@ -29,6 +29,11 @@ def main():
     import jax
 
     cd = int(os.environ.get("DEEP_COARSE_DIM", "16"))
+    # The window kernel is DMA-descriptor-bound and the descriptor floor is
+    # the probed RANGE count: a larger bucket_overflow makes buckets
+    # shallower (fewer, longer ranges — a SUPERSET candidate set per probe
+    # key), trading nearly-free scored bytes for fewer descriptors.
+    overflow = int(os.environ.get("DEEP_OVERFLOW", "500"))
 
     from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
     from similaritysearchbyrdf_tpu.index.forest import RDFForest
@@ -48,7 +53,7 @@ def main():
     conf = RDFConfig(
         vector_dim=D, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32,
-                                                bucket_overflow=500),
+                                                bucket_overflow=overflow),
         query_batch_size=64, max_candidates=65536, top_k=10,
         coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
     )
@@ -61,6 +66,7 @@ def main():
 
     out = {"corpus": "deep8m_96d", "n": N, "dim": D,
            "build_s": round(build_s, 1), "coarse_dim": cd,
+           "bucket_overflow": overflow,
            "index_bytes_per_vector":
                round(forest.index_bytes_per_vector(), 1),
            "points": []}
@@ -108,6 +114,8 @@ def main():
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
             if saf != "8":
                 point["select_approx_factor"] = int(saf)
+            if overflow != 500:
+                point["bucket_overflow"] = overflow
             out["points"].append(point)
         except Exception:
             import traceback
