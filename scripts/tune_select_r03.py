@@ -34,8 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from similaritysearchbyrdf_tpu.ops.flat import (_pad_lanes,
-                                                    build_flat_sketch)
+    from similaritysearchbyrdf_tpu.ops.flat import _pad_lanes
     from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
         pallas_flat_groupmax_qmajor,
     )
@@ -47,13 +46,19 @@ def main():
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     x = x.astype(np.float32)
 
-    corpus = jnp.asarray(x)
-    sk, _ = build_flat_sketch(corpus, "int8")
-    del corpus
+    # Quantize ON HOST (matches build_flat_sketch's global-amax law) and
+    # ship ONLY the padded int8 sketch: the f32 device corpus OOM'd when a
+    # prior client's HBM hadn't been released yet (batch3 log, 13:08).
+    amax = float(np.max(np.abs(x)))
+    scale = 127.0 / max(amax, 1e-30)
     npad = int(np.ceil(N / 8192)) * 8192
-    skp = jnp.pad(sk, ((0, npad - N), (0, 0)))
+    DP = int(np.ceil(D / 128)) * 128
+    sk_host = np.zeros((npad, DP), np.int8)
+    sk_host[:N, :D] = np.clip(np.round(x * scale), -127, 127).astype(np.int8)
+    del centers
+    skp = jnp.asarray(sk_host)
+    del sk_host
     qd = jnp.asarray(x[:NQ])
-    DP = sk.shape[1]
     ng = npad // GROUP
 
     def quant(q):
@@ -102,24 +107,26 @@ def main():
     true_sets = [set(np.argsort(-gm4[i])[:RG].tolist()) for i in range(4)]
     true_sums = [float(np.sort(gm4[i])[-RG:].sum()) for i in range(4)]
 
-    def timeit(label, fn, exact: bool):
+    def timeit(label, fn, exact: bool, verify: bool = True):
         s, g4 = fn(qd)
         jax.block_until_ready(s)
-        g4 = np.asarray(g4)
-        ok, overlap = True, 0.0
-        for i in range(4):
-            sel = set(g4[i].tolist())
-            overlap += len(sel & true_sets[i]) / RG / 4
-            # tie-tolerant exactness: the selected groups' max-sum must
-            # equal the true top-RG sum
-            if abs(float(gm4[i][g4[i]].sum()) - true_sums[i]) > 1e-3 * max(
-                    abs(true_sums[i]), 1.0):
-                ok = False
-        if exact and not ok:
-            print(f"{label}: VERIFY FAILED (overlap {overlap:.3f})",
-                  flush=True)
-            out[label + "_verify"] = "FAILED"
-            return
+        if verify:
+            g4 = np.asarray(g4)
+            ok, overlap = True, 0.0
+            for i in range(4):
+                sel = set(g4[i].tolist())
+                overlap += len(sel & true_sets[i]) / RG / 4
+                # tie-tolerant exactness: the selected groups' max-sum must
+                # equal the true top-RG sum
+                if abs(float(gm4[i][g4[i]].sum()) - true_sums[i]) > 1e-3 * max(
+                        abs(true_sums[i]), 1.0):
+                    ok = False
+            if exact and not ok:
+                print(f"{label}: VERIFY FAILED (overlap {overlap:.3f})",
+                      flush=True)
+                out[label + "_verify"] = "FAILED"
+                return
+            out[label + "_overlap"] = round(overlap, 4)
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
@@ -127,10 +134,9 @@ def main():
         jax.block_until_ready(s)
         dt = (time.perf_counter() - t0) / reps
         out[label + "_ms"] = round(dt * 1e3, 2)
-        out[label + "_overlap"] = round(overlap, 4)
-        print(f"{label}: {dt*1e3:.2f} ms  overlap {overlap:.3f}", flush=True)
+        print(f"{label}: {dt*1e3:.2f} ms", flush=True)
 
-    timeit("gmax", select_fn("gmax"), exact=True)
+    timeit("gmax", select_fn("gmax"), exact=False, verify=False)
     for sg in (8, 16, 32, 64):
         timeit(f"exact2_row_sg{sg}", select_fn("exact2_row", sg), exact=True)
     timeit("exact2_flat_sg64", select_fn("exact2_flat", 64), exact=True)
