@@ -42,7 +42,8 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.flat import (
-        _pad_lanes, build_flat_sketch, flat_topk, flat_topk_grouped,
+        _BLOCK_N, _GMAX_HALVED, _pad_lanes, build_flat_sketch, flat_topk,
+        flat_topk_grouped, stride_for_halved_gmax,
     )
 
     n, d = x.shape
@@ -59,6 +60,11 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     corpus = _pad_lanes(jnp.asarray(x))
     sketch, scale = build_flat_sketch(jnp.asarray(x), dtype)
     row_ids = jnp.arange(n, dtype=jnp.int32)
+    sketch_gmax = None
+    if _GMAX_HALVED:
+        npad = (n + _BLOCK_N - 1) // _BLOCK_N * _BLOCK_N
+        sketch_gmax = stride_for_halved_gmax(
+            jnp.pad(sketch, ((0, npad - n), (0, 0))))
     jax.block_until_ready(sketch)
     build_s = time.perf_counter() - t0
 
@@ -68,13 +74,17 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
         "corpus": name, "n": n, "dim": d, "sketch": dtype,
         "refine": refine, "block": block,
         "build_s": round(build_s, 2),
-        "sketch_bytes_per_vector": int(sketch.shape[1]),
+        "sketch_bytes_per_vector": int(sketch.shape[1])
+        * (2 if sketch_gmax is not None else 1),
+        "gmax_halved": sketch_gmax is not None,
     }
     for mode in ("grouped", "scan"):
         def go():
             if mode == "grouped":
                 return flat_topk_grouped(sketch, corpus, row_ids, qd, qids,
-                                         10, refine=refine, r_groups=24)
+                                         10, refine=refine, r_groups=24,
+                                         sketch_gmax=sketch_gmax,
+                                         gmax_halved=sketch_gmax is not None)
             return flat_topk(sketch, corpus, row_ids, qd, qids, 10,
                              refine=refine, block=block)
 

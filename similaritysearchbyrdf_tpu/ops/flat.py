@@ -63,6 +63,37 @@ _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 _SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "exact2")
 _SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
 
+# halved group-max: feed the gmax kernel a STRIDED second copy of the
+# sketch (built once at fit) so the in-kernel group reduce is log2(group)
+# contiguous half-tile maxima instead of a cross-sublane reshape-reduce —
+# see flat_groupmax._gmax_kernel. Costs one extra int8 sketch copy in HBM
+# (128 B/vector at d<=128), used only by the grouped path's gmax stage.
+_GMAX_HALVED = os.environ.get("FLAT_GMAX_HALVED", "0") == "1"
+
+_GROUP = 64          # rows per gmax group == window rows (win floor 64)
+_BLOCK_N = 8192      # gmax kernel sketch tile rows (npad rounds to this)
+
+
+def stride_for_halved_gmax(
+    sketch_padded: jax.Array,     # [Npad, D], Npad % _BLOCK_N == 0
+    block_n: int = _BLOCK_N,
+    group: int = _GROUP,
+) -> jax.Array:
+    """Block-local strided permutation for the halved gmax kernel: within
+    each `block_n`-row block, member m of group j (original row j*group+m)
+    moves to row m*J + j (J = block_n//group), so every contiguous half of
+    the block holds members of ALL J groups and the group-max reduces by
+    pairwise halving. Group numbering (and the kernel's output layout) is
+    unchanged."""
+    npad, d = sketch_padded.shape
+    assert npad % block_n == 0, (npad, block_n)
+    j = block_n // group
+    return (
+        sketch_padded.reshape(-1, j, group, d)
+        .swapaxes(1, 2)
+        .reshape(npad, d)
+    )
+
 
 def _pad_lanes(a: jax.Array) -> jax.Array:
     """Pad the minor dim to a 128-lane multiple: the TPU's tiled layout
@@ -196,16 +227,34 @@ class FlatIndex:
 
     def __init__(self, sketch_dtype: str = "int8", refine: int = 128,
                  block: int = 1 << 20, query_batch: int = 1024,
-                 mode: str = "grouped", r_groups: int = 24):
+                 mode: str = "grouped", r_groups: int = 24,
+                 gmax_halved: Optional[bool] = None):
         self.sketch_dtype = sketch_dtype
         self.refine = refine
         self.block = block
         self.query_batch = query_batch
         self.mode = mode            # "grouped" (fused kernel) | "scan"
         self.r_groups = r_groups
+        # strided second sketch copy for the halved gmax reduce (grouped
+        # mode, TPU only); env default so benches can A/B without code
+        self.gmax_halved = _GMAX_HALVED if gmax_halved is None else (
+            gmax_halved)
         self.corpus = None
         self.sketch = None
+        self.sketch_gmax = None
         self.row_ids = None
+
+    def _ensure_gmax_sketch(self):
+        """Lazily derive the strided gmax copy from the sketch (one device
+        relayout; covers fit, save/load, and direct construction)."""
+        if not (self.gmax_halved and self.mode == "grouped"):
+            return None
+        if self.sketch_gmax is None and self.sketch is not None:
+            nrows = self.sketch.shape[0]
+            npad = int(np.ceil(nrows / _BLOCK_N)) * _BLOCK_N
+            skp = jnp.pad(self.sketch, ((0, npad - nrows), (0, 0)))
+            self.sketch_gmax = stride_for_halved_gmax(skp)
+        return self.sketch_gmax
 
     def fit(self, batch) -> "FlatIndex":
         """batch: vectors.DenseBatch."""
@@ -248,10 +297,13 @@ class FlatIndex:
                 # (see flat_groupmax docs) — derive from k so a caller's
                 # larger top_k can't silently under-select
                 rg = max(self.r_groups, 3 * k)
+                sk_gmax = self._ensure_gmax_sketch()
                 ids, scores = flat_topk_grouped(
                     self.sketch, self.corpus, self.row_ids, qc, qi, k,
                     refine=self.refine, r_groups=rg,
                     exclude_self=exclude_self,
+                    sketch_gmax=sk_gmax,
+                    gmax_halved=sk_gmax is not None,
                 )
             else:
                 ids, scores = flat_topk(
@@ -279,15 +331,23 @@ def _grouped_candidates(
     recall_target: float,
     select_mode: str = _SELECT_MODE,
     select_sg: int = _SELECT_SG,
+    n_live: Optional[int] = None,
+    sketch_gmax: Optional[jax.Array] = None,
+    gmax_halved: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared grouped preselection: fused matmul+group-max → top groups →
     row-wise window re-score → (cand i32[B, refine] row positions,
     sel_s f32[B, refine] sketch scores; -inf = invalid). Engine-specific
-    exact tails (dense f32 rows / sparse merge) consume the output."""
-    n, d = sketch.shape
+    exact tails (dense f32 rows / sparse merge) consume the output.
+
+    `sketch_gmax` (with gmax_halved=True) is the fit-time strided copy fed
+    to the halved gmax kernel; `n_live` is the true row count when `sketch`
+    arrives pre-padded (masking uses it, not the padded shape)."""
+    nrows, d = sketch.shape
+    n = nrows if n_live is None else n_live
     b = queries.shape[0]
-    npad = int(np.ceil(n / 8192)) * 8192
-    sk = jnp.pad(sketch, ((0, npad - n), (0, 0)))
+    npad = int(np.ceil(nrows / 8192)) * 8192
+    sk = jnp.pad(sketch, ((0, npad - nrows), (0, 0)))
     if sketch.dtype == jnp.int8:
         qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(queries), axis=1,
                                          keepdims=True), 1e-30)
@@ -309,9 +369,16 @@ def _grouped_candidates(
             while bpad % bb:                   # both are 128-multiples
                 bb -= 128
             nsub = _GMAX_NSUB if block_n % (_GMAX_NSUB * group) == 0 else 1
+            use_halved = (gmax_halved and sketch_gmax is not None
+                          and group % nsub == 0
+                          and group & (group - 1) == 0)
+            if use_halved:
+                assert sketch_gmax.shape == (npad, d), (
+                    "sketch_gmax must be the padded strided copy",
+                    sketch_gmax.shape, npad, d)
             gmax = pallas_flat_groupmax_qmajor(
-                sk, q_in, group=group,
-                block_b=bb, block_n=block_n, nsub=nsub,
+                sketch_gmax if use_halved else sk, q_in, group=group,
+                block_b=bb, block_n=block_n, nsub=nsub, halved=use_halved,
             )[:b]                                       # [B, NG]
         else:
             from .pallas.flat_groupmax import pallas_flat_groupmax
@@ -407,7 +474,7 @@ def _grouped_candidates(
     jax.jit,
     static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
                      "use_pallas", "recall_target", "select_mode",
-                     "select_sg"),
+                     "select_sg", "gmax_halved"),
 )
 def flat_topk_grouped(
     sketch: jax.Array,            # int8/bf16 [N, D]
@@ -424,6 +491,8 @@ def flat_topk_grouped(
     recall_target: float = 0.998,
     select_mode: str = _SELECT_MODE,
     select_sg: int = _SELECT_SG,
+    sketch_gmax: Optional[jax.Array] = None,
+    gmax_halved: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped flat scan: fused matmul+group-max (never materializes the
     [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
@@ -435,7 +504,8 @@ def flat_topk_grouped(
     int8-sketch-bound, same as `flat_topk`."""
     cand, sel_s = _grouped_candidates(
         sketch, queries, refine, r_groups, group, use_pallas, recall_target,
-        select_mode, select_sg,
+        select_mode, select_sg, n_live=row_ids.shape[0],
+        sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
     )
     return _exact_refine(corpus, row_ids, queries, cand,
                          jnp.isfinite(sel_s), query_ids, k, exclude_self)

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
-                 nsub=1):
+                 nsub=1, halved=False):
     # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT]
     # (or f32[BT, NT//g] when transpose_out).
     # TRANSPOSED score tile: the group split must land on the SUBLANE dim —
@@ -60,7 +60,23 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
             preferred_element_type=jnp.float32,
         )                                               # [sub, BT] f32
 
+    # halved: the sketch tile is STRIDED (group j's member m sits at
+    # block-local row m*J + j, J = nt//g — `ops.flat.stride_for_halved_gmax`)
+    # so the group-max is log2(sub/J) full-tile pairwise maxima over
+    # CONTIGUOUS halves — pure vector maxes on whole vregs, none of the
+    # cross-sublane shuffles/relayouts the reshape-reduce pays (measured
+    # ~8.9 ms of VPU per 8M×96 B1024 pass vs ~4.2 ms of MXU,
+    # results/tune_gmax_nsub.json). Row j of the halved result ≡ j (mod J)
+    # throughout, so it is exactly group j's max — same output layout.
+    j_rows = nt // g
+
     def reduce(scores):
+        if halved:
+            s = scores
+            while s.shape[0] > j_rows:
+                h = s.shape[0] // 2
+                s = jnp.maximum(s[:h], s[h:])
+            return s
         bt = scores.shape[1]
         return jnp.max(scores.reshape(sub // g, g, bt), axis=1)
 
@@ -71,7 +87,14 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
         pieces.append(reduce(prev))  # ...then reduce the previous on VPU
         prev = cur
     pieces.append(reduce(prev))
-    gmax = pieces[0] if nsub == 1 else jnp.concatenate(pieces, axis=0)
+    if nsub == 1:
+        gmax = pieces[0]
+    elif halved:
+        # strided layout: every sub-chunk holds a member subset of ALL
+        # J groups, so chunks combine by elementwise max, not concat
+        gmax = functools.reduce(jnp.maximum, pieces)
+    else:
+        gmax = jnp.concatenate(pieces, axis=0)
     if transpose_out:
         # in-kernel transpose: emitting query-major gmax saves the XLA
         # transpose of the full [NG, B] matrix (measured at 8M x 96,
@@ -83,10 +106,18 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
         out_ref[:] = gmax.astype(jnp.float32)
 
 
+def _check_halved(halved, group, nsub):
+    if not halved:
+        return
+    assert group & (group - 1) == 0, ("halved needs a power-of-2 group",
+                                      group)
+    assert group % nsub == 0, ("halved needs nsub | group", group, nsub)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
-                     "nsub"),
+                     "nsub", "halved"),
 )
 def pallas_flat_groupmax(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -97,6 +128,7 @@ def pallas_flat_groupmax(
     int8_mxu: bool = True,
     interpret: bool = False,
     nsub: int = 1,
+    halved: bool = False,
 ) -> jax.Array:
     """Per-group score maxima, TRANSPOSED: f32[Npad/group, B] (the caller
     transposes once in XLA; inside the kernel the group split must stay on
@@ -112,9 +144,10 @@ def pallas_flat_groupmax(
         q_lp.dtype == jnp.int8
     )
     assert block_n % (nsub * group) == 0, (block_n, nsub, group)
+    _check_halved(halved, group, nsub)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=False, nsub=nsub),
+                          transpose_out=False, nsub=nsub, halved=halved),
         out_shape=jax.ShapeDtypeStruct((npad // group, b), jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[
@@ -134,7 +167,7 @@ def pallas_flat_groupmax(
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
-                     "nsub"),
+                     "nsub", "halved"),
 )
 def pallas_flat_groupmax_qmajor(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -145,6 +178,7 @@ def pallas_flat_groupmax_qmajor(
     int8_mxu: bool = True,
     interpret: bool = False,
     nsub: int = 1,
+    halved: bool = False,
 ) -> jax.Array:
     """Per-group score maxima in QUERY-MAJOR layout f32[B, Npad/group] —
     the layout `approx_max_k` consumes — via an in-kernel tile transpose.
@@ -162,9 +196,10 @@ def pallas_flat_groupmax_qmajor(
         q_lp.dtype == jnp.int8
     )
     assert block_n % (nsub * group) == 0, (block_n, nsub, group)
+    _check_halved(halved, group, nsub)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=True, nsub=nsub),
+                          transpose_out=True, nsub=nsub, halved=halved),
         out_shape=jax.ShapeDtypeStruct((b, npad // group), jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[

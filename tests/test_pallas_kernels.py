@@ -321,3 +321,62 @@ def test_pallas_groupmax_nsub_pipelined_matches(monkeypatch):
             )
         )
         np.testing.assert_array_equal(base.T, piped_q)
+
+
+def test_pallas_groupmax_halved_matches(monkeypatch):
+    """Halved reduce on the strided sketch == plain reduce on the original,
+    including a partial (zero-padded) tail block and nsub pipelining."""
+    from similaritysearchbyrdf_tpu.ops.flat import stride_for_halved_gmax
+    from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
+
+    rng = np.random.default_rng(7)
+    n, d, b, group, block_n = 1500, 128, 16, 8, 1024
+    npad = 2048
+    sk = np.zeros((npad, d), np.int8)
+    sk[:n] = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    q = rng.integers(-100, 100, size=(b, d)).astype(np.int8)
+    skj = jnp.asarray(sk)
+    strided = stride_for_halved_gmax(skj, block_n=block_n, group=group)
+    # the permutation is block-local: member m of group j moves to m*J+j
+    j_rows = block_n // group
+    st = np.asarray(strided)
+    for blk in range(npad // block_n):
+        o = blk * block_n
+        np.testing.assert_array_equal(
+            st[o:o + block_n].reshape(group, j_rows, d).swapaxes(0, 1)
+            .reshape(block_n, d),
+            sk[o:o + block_n],
+        )
+    base = np.asarray(
+        fg.pallas_flat_groupmax_qmajor(
+            skj, jnp.asarray(q), group=group,
+            block_b=b, block_n=block_n, interpret=True,
+        )
+    )
+    for nsub in (1, 2, 4):
+        halved = np.asarray(
+            fg.pallas_flat_groupmax_qmajor(
+                strided, jnp.asarray(q), group=group,
+                block_b=b, block_n=block_n, interpret=True, nsub=nsub,
+                halved=True,
+            )
+        )
+        np.testing.assert_array_equal(base, halved)
+
+
+def test_flat_index_ensure_gmax_sketch():
+    """FlatIndex lazily derives the strided copy with the padded shape and
+    leaves it absent when the mode/flag do not call for it."""
+    from similaritysearchbyrdf_tpu.ops import flat as fl
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(300, 24)).astype(np.float32)
+    batch = DenseBatch(ids=np.arange(300, dtype=np.int32), values=x)
+    idx = fl.FlatIndex(mode="grouped", gmax_halved=True).fit(batch)
+    sg = idx._ensure_gmax_sketch()
+    assert sg is not None and sg.shape[0] % fl._BLOCK_N == 0
+    assert sg.shape[1] == idx.sketch.shape[1]
+    assert idx._ensure_gmax_sketch() is sg          # cached
+    idx2 = fl.FlatIndex(mode="grouped", gmax_halved=False).fit(batch)
+    assert idx2._ensure_gmax_sketch() is None
