@@ -66,16 +66,19 @@ def main():
                                  1e-30)
         return jnp.clip(jnp.round(q * qs), -127, 127).astype(jnp.int8)
 
-    def gmax_of(q):
+    def gmax_of(sk, q):
         q_lp = _pad_lanes(quant(q))[:, :DP]
         gm = pallas_flat_groupmax_qmajor(
-            skp, q_lp, group=GROUP, block_b=BLOCK_B, block_n=8192)
+            sk, q_lp, group=GROUP, block_b=BLOCK_B, block_n=8192)
         g_live = (jnp.arange(ng, dtype=jnp.int32) * GROUP) < N
         return jnp.where(g_live[None, :], gm, -jnp.inf)
 
     def select_fn(variant, sg=64):
-        def run(q):
-            gmax = gmax_of(q)
+        # the sketch is a jit ARGUMENT: closing over it embeds a 1 GB HLO
+        # constant — the remote compile request then dies with HTTP 413
+        # (batch5 log, 14:10)
+        def run(sk, q):
+            gmax = gmax_of(sk, q)
             b = gmax.shape[0]
             if variant == "gmax":
                 return gmax.sum(), gmax[:4]
@@ -98,7 +101,8 @@ def main():
                 gidx = jnp.take_along_axis(child, ci, axis=1)
             return gidx.astype(jnp.float32).sum(), gidx[:4]
 
-        return jax.jit(run)
+        jrun = jax.jit(run)
+        return lambda q: jrun(skp, q)
 
     out = {}
     # ground truth for the verify: the device's own gmax rows, argsorted

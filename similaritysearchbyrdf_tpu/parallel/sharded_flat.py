@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.flat import flat_topk, flat_topk_sparse, _densify_quantize
+from ..ops.flat import (flat_topk, flat_topk_grouped, flat_topk_sparse,
+                        _densify_quantize)
 from .mesh import SHARD_AXIS, make_forest_mesh
 
 
@@ -166,11 +167,21 @@ def _gather_merge_topk(ids, scores, k):
 
 
 def _local_flat_query(sketch, corpus, row_ids, queries, query_ids,
-                      *, k, refine, block, exclude_self):
-    ids, scores = flat_topk(
-        sketch, corpus, row_ids, queries, query_ids, k,
-        refine=refine, block=block, exclude_self=exclude_self,
-    )
+                      *, k, refine, block, exclude_self, mode="scan",
+                      r_groups=24):
+    if mode == "grouped":
+        # shard-local grouped pipeline (fused gmax kernel + window
+        # rescore, ops/flat.flat_topk_grouped) — the per-chip fast path
+        ids, scores = flat_topk_grouped(
+            sketch, corpus, row_ids, queries, query_ids, k,
+            refine=refine, r_groups=max(r_groups, 3 * k),
+            exclude_self=exclude_self,
+        )
+    else:
+        ids, scores = flat_topk(
+            sketch, corpus, row_ids, queries, query_ids, k,
+            refine=refine, block=block, exclude_self=exclude_self,
+        )
     return _gather_merge_topk(ids, scores, k)
 
 
@@ -180,12 +191,14 @@ def make_flat_query_fn(
     refine: int = 128,
     block: int = 1 << 15,
     exclude_self: bool = True,
+    mode: str = "scan",
+    r_groups: int = 24,
 ):
     """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores)."""
     fn = jax.shard_map(
         functools.partial(
             _local_flat_query, k=k, refine=refine, block=block,
-            exclude_self=exclude_self,
+            exclude_self=exclude_self, mode=mode, r_groups=r_groups,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
@@ -388,11 +401,14 @@ class ShardedFlatIndex:
 
     def __init__(self, mesh: Optional[Mesh] = None,
                  sketch_dtype: str = "int8", refine: int = 128,
-                 block: int = 1 << 15):
+                 block: int = 1 << 15, mode: str = "grouped",
+                 r_groups: int = 24):
         self.mesh = mesh
         self.sketch_dtype = sketch_dtype
         self.refine = refine
         self.block = block
+        self.mode = mode            # "grouped" (per-chip fast path) | "scan"
+        self.r_groups = r_groups
         self.state = None
         self._qfn = {}
 
@@ -416,7 +432,8 @@ class ShardedFlatIndex:
         if key not in self._qfn:
             self._qfn[key] = make_flat_query_fn(
                 self.mesh, k=k, refine=self.refine, block=self.block,
-                exclude_self=exclude_self,
+                exclude_self=exclude_self, mode=self.mode,
+                r_groups=self.r_groups,
             )
         q = jnp.asarray(np.asarray(queries, np.float32))
         qids = (jnp.asarray(np.asarray(query_ids, np.int32))

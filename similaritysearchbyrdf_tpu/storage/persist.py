@@ -613,6 +613,7 @@ def save_sharded_flat(index, path: str) -> None:
         json.dump(
             dict(engine="sharded_flat", sketch_dtype=index.sketch_dtype,
                  refine=index.refine, block=index.block, ndev=ndev,
+                 mode=index.mode, r_groups=index.r_groups,
                  version=1),
             f,
         )
@@ -641,7 +642,9 @@ def load_sharded_flat(path: str, mesh=None):
         raise ValueError(
             f"stored rows ({rows}) not divisible by mesh devices ({ndev})")
     idx = ShardedFlatIndex(mesh=mesh, sketch_dtype=meta["sketch_dtype"],
-                           refine=meta["refine"], block=meta["block"])
+                           refine=meta["refine"], block=meta["block"],
+                           mode=meta.get("mode", "grouped"),
+                           r_groups=meta.get("r_groups", 24))
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     sketch = z["sketch"]
     if meta["sketch_dtype"] == "bfloat16":

@@ -123,3 +123,19 @@ def test_sharded_flat_save_load_roundtrip(tmp_path):
     i2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_sharded_flat_grouped_matches_scan():
+    """Grouped mode (per-chip fused gmax + window rescore) returns the same
+    ids/scores as scan mode across the 8-device mesh."""
+    x = _data(n=3011, seed=5)
+    uids = np.arange(3011, dtype=np.int32)
+    batch = DenseBatch(uids, x)
+    scan = ShardedFlatIndex(refine=64, block=128, mode="scan").fit(batch)
+    grp = ShardedFlatIndex(refine=64, mode="grouped").fit(batch)
+    q = x[:48]
+    qi = uids[:48]
+    a_ids, a_sc = scan.query(q, k=10, query_ids=qi)
+    b_ids, b_sc = grp.query(q, k=10, query_ids=qi)
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-5)
+    assert (a_ids == b_ids).mean() > 0.95   # ties may reorder equal scores
