@@ -47,8 +47,10 @@ from .exact import _top_k
 # scripts/tune_gmax_nsub.py / attrib_flat_r03.py): block_b sets the MXU
 # tile's query width (wider = fewer sketch re-reads from HBM: the sketch
 # streams B/block_b times); nsub software-pipelines each tile so the MXU
-# matmul and VPU group-max reduce overlap instead of adding.
-_GMAX_BLOCK_B = int(os.environ.get("FLAT_GMAX_BLOCK_B", "128"))
+# matmul and VPU group-max reduce overlap instead of adding. Default 512:
+# measured 11.0 ms vs 14.6 at bb=128 / 16.6 at bb=256 at 8M x 96 B1024
+# (results/attrib_flat_r03.json gmax_bb* rows).
+_GMAX_BLOCK_B = int(os.environ.get("FLAT_GMAX_BLOCK_B", "512"))
 _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 
 # group-select stage knobs. The select is the grouped pipeline's most
