@@ -61,10 +61,16 @@ def main():
     # recall was flat at 0.9861 across nprobe at refine=128 -> the int8
     # sketch ordering, not cluster coverage, caps recall; the refine sweep
     # below measures that ceiling (refine rows get exact f32 re-rank)
-    for nprobe, win, refine in (
-            (2, 64, 128), (4, 64, 128), (8, 64, 128), (16, 64, 128),
-            (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),
-            (8, 64, 2048)):
+    sweep = (
+        (2, 64, 128), (4, 64, 128), (8, 64, 128), (16, 64, 128),
+        (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),
+        (8, 64, 2048))
+    if os.environ.get("IVF_POINTS"):
+        # "nprobe,win,refine;..." override for ad-hoc sweeps (e.g. larger
+        # windows to cut DMA descriptor count per probed cluster)
+        sweep = tuple(tuple(int(v) for v in grp.split(","))
+                      for grp in os.environ["IVF_POINTS"].split(";"))
+    for nprobe, win, refine in sweep:
         wb = ivf_window_budget(state.starts, state.ends, nprobe, win)
         try:
             args = (state.sketch, state.corpus, state.row_ids,
@@ -93,6 +99,14 @@ def main():
             print(f"nprobe{nprobe}: FAILED", flush=True)
     out["note"] = ("IVF clustered-flat (ops/ivf.py); synthetic clustered "
                    "corpus seed 11; exact GT; pipelined timing; v5e")
+    try:   # keep prior sweep points when running an IVF_POINTS subset
+        with open("results/ivf_deep8m.json") as f:
+            prior = json.load(f).get("points", [])
+        seen = {(p["nprobe"], p["win"], p["refine"]) for p in out["points"]}
+        out["points"] += [p for p in prior
+                          if (p["nprobe"], p["win"], p["refine"]) not in seen]
+    except (OSError, ValueError, KeyError):
+        pass
     with open("results/ivf_deep8m.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
