@@ -58,9 +58,11 @@ def main():
     q_host = np.clip(np.round(q * qs), -127, 127).astype(np.int8)
     qd = jnp.asarray(_pad_lanes(jnp.asarray(q_host))[:, :DP])
 
-    # numpy reference gmax for the first 2 queries over the first 4096 groups
-    ref = (sk_host[: 4096 * GROUP].astype(np.int32)
-           @ q_host[:2, :D].astype(np.int32).T)
+    # numpy reference gmax for the first 2 queries over the first 4096
+    # groups (slice the sketch to the live :D columns — its lane padding is
+    # zeros and q_host is unpadded [., D])
+    ref = (sk_host[: 4096 * GROUP, :D].astype(np.int32)
+           @ q_host[:2].astype(np.int32).T)
     ref = ref.reshape(4096, GROUP, 2).max(axis=1).T.astype(np.float32)
     del sk_host, x
 
