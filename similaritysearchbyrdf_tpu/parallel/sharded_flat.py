@@ -31,6 +31,28 @@ class ShardedFlatState(NamedTuple):
     sketch: jax.Array     # int8/bf16 [ndev*Nloc, D], row-sharded
     corpus: jax.Array     # f32     [ndev*Nloc, D], row-sharded
     row_ids: jax.Array    # i32     [ndev*Nloc], row-sharded (-1 = pad)
+    # optional strided second sketch copy for the halved gmax reduce
+    # (grouped mode; see ops/flat.stride_for_halved_gmax). Per shard it is
+    # the LOCAL sketch padded to an 8192-row multiple then block-strided —
+    # [ndev*NpadLoc, D], row-sharded.
+    sketch_gmax: Optional[jax.Array] = None
+
+
+def _host_gmax_strided(sk: np.ndarray, ndev: int, nloc: int) -> np.ndarray:
+    """Per-shard strided copies of a row-sharded host sketch [ndev*nloc, D]:
+    each shard's rows pad to an 8192 multiple and block-stride
+    (ops/flat.stride_for_halved_gmax — pure reshape/swapaxes, works on
+    numpy). Returns [ndev*npad_loc, D]."""
+    from ..ops.flat import _BLOCK_N, stride_for_halved_gmax
+
+    d = sk.shape[1]
+    npad_loc = int(np.ceil(nloc / _BLOCK_N)) * _BLOCK_N
+    out = np.zeros((ndev, npad_loc, d), dtype=sk.dtype)
+    out[:, :nloc] = sk.reshape(ndev, nloc, d)
+    return np.ascontiguousarray(
+        stride_for_halved_gmax(out.reshape(ndev * npad_loc, d),
+                               block_n=_BLOCK_N)
+    )
 
 
 def fit_flat_sharded(
@@ -38,6 +60,7 @@ def fit_flat_sharded(
     ids: np.ndarray,               # i32[N] user ids
     mesh: Optional[Mesh] = None,
     sketch_dtype: str = "int8",
+    gmax_halved: bool = False,
 ) -> Tuple[ShardedFlatState, Mesh]:
     mesh = mesh or make_forest_mesh()
     ndev = mesh.shape[SHARD_AXIS]
@@ -50,9 +73,12 @@ def fit_flat_sharded(
     rid[:n] = ids
     dp = int(np.ceil(d / 128.0) * 128)       # 128-lane rows (fast gathers,
     x = np.pad(x, ((0, 0), (0, dp - d)))      # DMA-sliceable windows)
+    sk_gm = None
     if sketch_dtype == "int8":
         scale = 127.0 / max(float(np.max(np.abs(values))), 1e-30)
         sk = np.clip(np.round(x * scale), -127, 127).astype(np.int8)
+        if gmax_halved:
+            sk_gm = _host_gmax_strided(sk, ndev, nloc)
     elif sketch_dtype == "bfloat16":
         sk = jnp.asarray(x).astype(jnp.bfloat16)
     else:
@@ -62,6 +88,8 @@ def fit_flat_sharded(
         sketch=jax.device_put(sk, shard),
         corpus=jax.device_put(x, shard),
         row_ids=jax.device_put(rid, shard),
+        sketch_gmax=(jax.device_put(sk_gm, shard)
+                     if sk_gm is not None else None),
     )
     return state, mesh
 
@@ -114,6 +142,7 @@ def fit_flat_sharded_distributed(
     local_ids: np.ndarray,           # i32[n_local]
     mesh: Optional[Mesh] = None,
     sketch_dtype: str = "int8",
+    gmax_halved: bool = False,
 ) -> Tuple[ShardedFlatState, Mesh]:
     """Multi-process flat-engine fit: every process supplies only its
     host-local rows; sketch/corpus/row_ids are assembled as distributed
@@ -149,7 +178,15 @@ def fit_flat_sharded_distributed(
             out_shardings=NamedSharding(mesh, P(SHARD_AXIS)),
         )
         sk_d = cast(sk_d)
-    return ShardedFlatState(sketch=sk_d, corpus=x_d, row_ids=rid_d), mesh
+    skg_d = None
+    if gmax_halved and sketch_dtype == "int8":
+        skg = _host_gmax_strided(
+            sk.reshape(ndev_local * nloc, dp), ndev_local, nloc)
+        npad_loc = skg.shape[0] // ndev_local
+        (skg_d,) = _distributed_rows(
+            mesh, [skg.reshape(ndev_local, npad_loc, dp)], npad_loc)
+    return ShardedFlatState(sketch=sk_d, corpus=x_d, row_ids=rid_d,
+                            sketch_gmax=skg_d), mesh
 
 
 def _gather_merge_topk(ids, scores, k):
@@ -168,14 +205,16 @@ def _gather_merge_topk(ids, scores, k):
 
 def _local_flat_query(sketch, corpus, row_ids, queries, query_ids,
                       *, k, refine, block, exclude_self, mode="scan",
-                      r_groups=24):
+                      r_groups=24, sketch_gmax=None):
     if mode == "grouped":
         # shard-local grouped pipeline (fused gmax kernel + window
-        # rescore, ops/flat.flat_topk_grouped) — the per-chip fast path
+        # rescore, ops/flat.flat_topk_grouped) — the per-chip fast path;
+        # sketch_gmax (when fit built it) enables the halved reduce
         ids, scores = flat_topk_grouped(
             sketch, corpus, row_ids, queries, query_ids, k,
             refine=refine, r_groups=max(r_groups, 3 * k),
             exclude_self=exclude_self,
+            sketch_gmax=sketch_gmax, gmax_halved=sketch_gmax is not None,
         )
     else:
         ids, scores = flat_topk(
@@ -193,13 +232,32 @@ def make_flat_query_fn(
     exclude_self: bool = True,
     mode: str = "scan",
     r_groups: int = 24,
+    has_gmax: bool = False,
 ):
-    """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores)."""
+    """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores).
+    has_gmax: the state carries the strided gmax copy (fit with
+    gmax_halved=True) and mode is grouped — the local step then runs the
+    halved reduce."""
+    kw = dict(k=k, refine=refine, block=block, exclude_self=exclude_self,
+              mode=mode, r_groups=r_groups)
+    if mode == "grouped" and has_gmax:
+        def local(sk, skg, corpus, rid, q, qi):
+            return _local_flat_query(sk, corpus, rid, q, qi,
+                                     sketch_gmax=skg, **kw)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(SHARD_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(
+            lambda state, q, qi: fn(state.sketch, state.sketch_gmax,
+                                    state.corpus, state.row_ids, q, qi)
+        )
     fn = jax.shard_map(
-        functools.partial(
-            _local_flat_query, k=k, refine=refine, block=block,
-            exclude_self=exclude_self, mode=mode, r_groups=r_groups,
-        ),
+        functools.partial(_local_flat_query, **kw),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
         out_specs=(P(), P()),
@@ -402,13 +460,17 @@ class ShardedFlatIndex:
     def __init__(self, mesh: Optional[Mesh] = None,
                  sketch_dtype: str = "int8", refine: int = 128,
                  block: int = 1 << 15, mode: str = "grouped",
-                 r_groups: int = 24):
+                 r_groups: int = 24, gmax_halved: Optional[bool] = None):
+        from ..ops.flat import _GMAX_HALVED
+
         self.mesh = mesh
         self.sketch_dtype = sketch_dtype
         self.refine = refine
         self.block = block
         self.mode = mode            # "grouped" (per-chip fast path) | "scan"
         self.r_groups = r_groups
+        self.gmax_halved = (_GMAX_HALVED if gmax_halved is None
+                            else gmax_halved)
         self.state = None
         self._qfn = {}
 
@@ -417,6 +479,7 @@ class ShardedFlatIndex:
             np.asarray(batch.values, np.float32),
             np.asarray(batch.ids, np.int32),
             self.mesh, self.sketch_dtype,
+            gmax_halved=self.gmax_halved and self.mode == "grouped",
         )
         return self
 
@@ -434,6 +497,7 @@ class ShardedFlatIndex:
                 self.mesh, k=k, refine=self.refine, block=self.block,
                 exclude_self=exclude_self, mode=self.mode,
                 r_groups=self.r_groups,
+                has_gmax=self.state.sketch_gmax is not None,
             )
         q = jnp.asarray(np.asarray(queries, np.float32))
         qids = (jnp.asarray(np.asarray(query_ids, np.int32))

@@ -614,6 +614,7 @@ def save_sharded_flat(index, path: str) -> None:
             dict(engine="sharded_flat", sketch_dtype=index.sketch_dtype,
                  refine=index.refine, block=index.block, ndev=ndev,
                  mode=index.mode, r_groups=index.r_groups,
+                 gmax_halved=st.sketch_gmax is not None,
                  version=1),
             f,
         )
@@ -641,18 +642,29 @@ def load_sharded_flat(path: str, mesh=None):
     if rows % ndev:
         raise ValueError(
             f"stored rows ({rows}) not divisible by mesh devices ({ndev})")
+    halved = meta.get("gmax_halved", False)
     idx = ShardedFlatIndex(mesh=mesh, sketch_dtype=meta["sketch_dtype"],
                            refine=meta["refine"], block=meta["block"],
                            mode=meta.get("mode", "grouped"),
-                           r_groups=meta.get("r_groups", 24))
+                           r_groups=meta.get("r_groups", 24),
+                           gmax_halved=halved)
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     sketch = z["sketch"]
     if meta["sketch_dtype"] == "bfloat16":
         sketch = jnp.asarray(sketch).astype(jnp.bfloat16)
+    sk_gm = None
+    if halved and sketch.dtype == np.int8:
+        # derived artifact: rebuild the per-shard strided copy for the
+        # (possibly different) target device count
+        from ..parallel.sharded_flat import _host_gmax_strided
+
+        sk_gm = jax.device_put(
+            _host_gmax_strided(sketch, ndev, rows // ndev), shard)
     idx.state = ShardedFlatState(
         sketch=jax.device_put(sketch, shard),
         corpus=jax.device_put(z["corpus"], shard),
         row_ids=jax.device_put(z["row_ids"], shard),
+        sketch_gmax=sk_gm,
     )
     return idx
 

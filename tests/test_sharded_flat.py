@@ -139,3 +139,37 @@ def test_sharded_flat_grouped_matches_scan():
     b_ids, b_sc = grp.query(q, k=10, query_ids=qi)
     np.testing.assert_allclose(a_sc, b_sc, rtol=1e-5)
     assert (a_ids == b_ids).mean() > 0.95   # ties may reorder equal scores
+
+
+def test_sharded_flat_halved_gmax_matches():
+    """gmax_halved fit (per-shard strided sketch copy) returns the same
+    results as the plain grouped mode, and the strided copy has the padded
+    per-shard shape; save/load round-trips the flag."""
+    import tempfile
+
+    from similaritysearchbyrdf_tpu.ops.flat import _BLOCK_N
+    from similaritysearchbyrdf_tpu.storage.persist import (
+        load_sharded_flat, save_sharded_flat)
+
+    x = _data(n=2500, seed=7)
+    uids = np.arange(2500, dtype=np.int32)
+    batch = DenseBatch(uids, x)
+    plain = ShardedFlatIndex(refine=64, mode="grouped",
+                             gmax_halved=False).fit(batch)
+    halved = ShardedFlatIndex(refine=64, mode="grouped",
+                              gmax_halved=True).fit(batch)
+    ndev = halved.mesh.shape["shard"]
+    skg = halved.state.sketch_gmax
+    assert skg is not None
+    assert skg.shape[0] % (ndev * _BLOCK_N) == 0
+    q = x[:32]
+    a_ids, a_sc = plain.query(q, k=10, query_ids=uids[:32])
+    b_ids, b_sc = halved.query(q, k=10, query_ids=uids[:32])
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-5)
+    assert (a_ids == b_ids).mean() > 0.95
+    with tempfile.TemporaryDirectory() as td:
+        save_sharded_flat(halved, td + "/sf")
+        back = load_sharded_flat(td + "/sf")
+        assert back.state.sketch_gmax is not None
+        c_ids, c_sc = back.query(q, k=10, query_ids=uids[:32])
+        np.testing.assert_allclose(b_sc, c_sc, rtol=1e-5)
