@@ -1,0 +1,65 @@
+"""Bisect the smoke-bench forest regression: time the exact bench.py forest
+query program at coarse_dim=100 (round-1 default, 14,987 qps in BENCH_r01)
+vs coarse_dim=32 (lane-packed G=4, current default) in ONE process.
+
+Run: timeout 1800 python scripts/check_smoke_regress.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench as B  # noqa: E402
+
+
+def run_point(coarse_dim):
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import (
+        RDFForest, query_dense_many)
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=B.DIM, table_num=10, permutation_num=3, family_size=100,
+        partition_bits=3,
+        lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
+        query_batch_size=256, max_candidates=4096, top_k=B.TOP_K, seed=31258,
+        coarse_dim=coarse_dim, coarse_dtype="int8", coarse_refine=512,
+    )
+    x = B.make_data()
+    ids = np.arange(B.N_CORPUS, dtype=np.int32)
+    queries = x[:B.N_QUERY]
+    qids = ids[:B.N_QUERY]
+    forest = RDFForest(conf)
+    forest.fit(DenseBatch(ids, x))
+
+    bs = conf.query_batch_size
+    pad = (-B.N_QUERY) % bs
+    qd = jnp.asarray(np.pad(queries, ((0, pad), (0, 0))))
+    qid_d = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
+    kw = dict(layout=forest.layout, steps=0, m_cap=conf.max_candidates,
+              k=B.TOP_K, multiprobe=True, exclude_self=True,
+              chunk=conf.query_batch_size, coarse_refine=conf.coarse_refine,
+              coarse_window=conf.coarse_window)
+    got, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
+    jax.block_until_ready(got)
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        got, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
+    jax.block_until_ready(got)
+    dt = (time.perf_counter() - t0) / reps
+    qps = B.N_QUERY / (dt * B.N_QUERY / qd.shape[0])
+    return {"coarse_dim": coarse_dim, "qps": round(qps, 1),
+            "window": conf.coarse_window}
+
+
+if __name__ == "__main__":
+    B.wait_for_backend()
+    out = [run_point(100), run_point(32), run_point(None)]
+    print(json.dumps(out))
