@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as B  # noqa: E402
 
 
-def run_point(coarse_dim):
+def run_point(coarse_dim, with_recall=False):
     import jax
     import jax.numpy as jnp
 
@@ -55,11 +55,34 @@ def run_point(coarse_dim):
     jax.block_until_ready(got)
     dt = (time.perf_counter() - t0) / reps
     qps = B.N_QUERY / (dt * B.N_QUERY / qd.shape[0])
-    return {"coarse_dim": coarse_dim, "qps": round(qps, 1),
-            "window": conf.coarse_window}
+    res = {"coarse_dim": coarse_dim, "qps": round(qps, 1),
+           "window": conf.coarse_window}
+    if with_recall:
+        xd = jnp.asarray(x)
+        sims = jnp.asarray(queries) @ xd.T
+        sims = sims.at[jnp.arange(B.N_QUERY),
+                       jnp.arange(B.N_QUERY)].set(-jnp.inf)
+        _, gt = jax.lax.top_k(sims, B.TOP_K)
+        gt = np.asarray(gt)
+        got = np.asarray(got)[:B.N_QUERY]
+        rec = np.mean([
+            len(set(got[i]) & set(gt[i])) / B.TOP_K
+            for i in range(B.N_QUERY)
+        ])
+        res["recall@10"] = round(float(rec), 4)
+        if forest.state.coarse_by_table is not None:
+            cbt = forest.state.coarse_by_table
+            res["coarse_bytes_per_vector"] = round(
+                cbt.size * cbt.dtype.itemsize / B.N_CORPUS, 1)
+    return res
 
 
 if __name__ == "__main__":
     B.wait_for_backend()
-    out = [run_point(100), run_point(32), run_point(None)]
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "cd16":
+        out = [run_point(16, with_recall=True),
+               run_point(32, with_recall=True)]
+    else:
+        out = [run_point(100), run_point(32), run_point(None)]
     print(json.dumps(out))
