@@ -264,6 +264,10 @@ class FlatIndex:
         self.sketch, self.scale = build_flat_sketch(
             corpus, self.sketch_dtype
         )
+        # drop any cached strided gmax copy: it was derived from the OLD
+        # sketch and, when the new corpus pads to the same npad, would
+        # silently score against stale rows (ADVICE r2)
+        self.sketch_gmax = None
         # lane-pad the exact tier too: 128-multiple f32 rows gather ~2x
         # faster in the refine's latency-bound regime (bench_rowgather.py)
         self.corpus = _pad_lanes(corpus)

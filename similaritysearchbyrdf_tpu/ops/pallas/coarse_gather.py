@@ -310,6 +310,18 @@ def pallas_coarse_scores_aligned(
     if groups == 1:
         while grp > 8 and grp * win * b * 4 > (8 << 20):
             grp //= 2
+        # grp can't drop below 8 (Mosaic second-minor constraint). If the
+        # floor still blows the budget, fail loudly here rather than deep
+        # inside Mosaic with a VMEM-exhaustion error (ADVICE r2): the
+        # caller must lower win or the query batch.
+        if grp * win * b * 4 > (12 << 20):
+            raise ValueError(
+                f"pallas_coarse_scores_aligned: score buffer "
+                f"grp({grp})*win({win})*B({b})*4 = "
+                f"{grp * win * b * 4 >> 20} MB exceeds the VMEM budget "
+                f"even at the minimum group size; reduce win or the "
+                f"query batch"
+            )
     # Mosaic requires the second-minor block dim (grp) to be divisible by 8
     # or equal to the whole window axis. Pad the window axis with DEAD
     # windows rather than collapsing grp to a ragged divisor of mb_cap

@@ -481,6 +481,9 @@ class ShardedFlatIndex:
             self.mesh, self.sketch_dtype,
             gmax_halved=self.gmax_halved and self.mode == "grouped",
         )
+        # cached query fns bake in has_gmax/mode; a re-fit with different
+        # gmax_halved must not reuse them (ADVICE r2)
+        self._qfn = {}
         return self
 
     def query(self, queries: np.ndarray, k: int = 10,
@@ -491,7 +494,8 @@ class ShardedFlatIndex:
             kk = max(k, 1)
             return (np.full((len(queries), kk), -1, np.int32),
                     np.full((len(queries), kk), -np.inf, np.float32))
-        key = (k, exclude_self)
+        key = (k, exclude_self, self.mode,
+               self.state.sketch_gmax is not None)
         if key not in self._qfn:
             self._qfn[key] = make_flat_query_fn(
                 self.mesh, k=k, refine=self.refine, block=self.block,

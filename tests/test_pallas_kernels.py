@@ -157,6 +157,47 @@ def test_pallas_coarse_aligned_ragged_budget(monkeypatch):
         np.testing.assert_allclose(out[live], ref[live], atol=1e-3)
 
 
+def test_pallas_coarse_aligned_ragged_budget_lowers_for_tpu():
+    """Interpret mode (above) validates values but never exercises the
+    Mosaic lowering constraint the ragged-budget fix targets (second-minor
+    block dim divisible by 8 or spanning the whole axis). Cross-platform
+    lowering via jax.export runs the real TPU pallas lowering on the CPU
+    CI host, so the grp==mb_cap (11, 13) and padded (94) shapes are
+    checked against Mosaic before any bench run (ADVICE r2)."""
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    rng = np.random.default_rng(11)
+    # b=5 (not 4): the interpret-mode test above traces the SAME jitted
+    # wrapper at b=4 with pallas_call monkeypatched to interpret mode, and
+    # jax.jit would replay that cached interpret jaxpr here — a different
+    # batch size forces a fresh, real-TPU trace
+    l, cap, cd, b, win = 3, 256, 64, 5, 16
+    for mb_cap in (94, 11, 13):
+        cbt = jnp.asarray(
+            rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+        )
+        q = jnp.asarray(rng.normal(size=(b, cd)).astype(np.float32))
+        tb = jnp.asarray(rng.integers(0, l, size=(b, mb_cap), dtype=np.int32))
+        bs = jnp.asarray(
+            (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+                np.int32
+            )
+        )
+        live = jnp.asarray(rng.random(size=(b, mb_cap)) > 0.4)
+
+        def fn(cbt, q, tb, bs, live):
+            return cg.pallas_coarse_scores_aligned(
+                cbt, q, tb, bs, win, live=live
+            )
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            cbt, q, tb, bs, live
+        )
+        assert "tpu_custom_call" in exp.mlir_module()
+
+
 def test_pallas_coarse_unaligned_matches_reference(monkeypatch):
     """Shift-select (unaligned block) kernel vs numpy gather+dot."""
     from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
