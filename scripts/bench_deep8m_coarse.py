@@ -40,14 +40,25 @@ def main():
     from similaritysearchbyrdf_tpu.vectors import DenseBatch
 
     N, D, NQ = 8_000_000, 96, 1024
-    rng = np.random.default_rng(11)
-    centers = rng.normal(size=(50_000, D))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    x = x.astype(np.float32)
-    queries = x[:NQ]
-    gt_ids = np.load("/tmp/deep8m_gt.npz")["gt"]
+    hard = os.environ.get("DEEP_CORPUS", "easy") == "hard"
+    if hard:
+        # the binding-recall corpus (VERDICT r2 item 1): fresh queries,
+        # GT cache shared with scripts/bench_hard8m.py
+        from similaritysearchbyrdf_tpu.utils.datasets import hard_clustered
+        x, queries = hard_clustered(N, D, n_queries=NQ, seed=7)
+        gt_ids = np.load("/tmp/hard8m_gt.npz")["gt"]
+        query_ids = np.full(NQ, -1, np.int32)
+    else:
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(50_000, D))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(
+            size=(N, D))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        x = x.astype(np.float32)
+        queries = x[:NQ]
+        gt_ids = np.load("/tmp/deep8m_gt.npz")["gt"]
+        query_ids = np.arange(NQ)
     gt_sets = [set(map(int, gt_ids[i])) for i in range(NQ)]
 
     conf = RDFConfig(
@@ -64,7 +75,8 @@ def main():
     print(f"build: {build_s:.1f} s, {forest.index_bytes_per_vector():.1f} "
           f"B/vec index", flush=True)
 
-    out = {"corpus": "deep8m_96d", "n": N, "dim": D,
+    out = {"corpus": ("hard8m_96d" if hard else "deep8m_96d"),
+           "n": N, "dim": D,
            "build_s": round(build_s, 1), "coarse_dim": cd,
            "bucket_overflow": overflow,
            "index_bytes_per_vector":
@@ -91,7 +103,7 @@ def main():
             for grp in os.environ["DEEP_POINTS"].split(";")
         )
     for steps, budget, refine, cw, mc in points:
-        kw = dict(steps=steps, query_ids=np.arange(NQ), probe_mode="margin",
+        kw = dict(steps=steps, query_ids=query_ids, probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
                   coarse_window=cw, m_cap=mc)
         try:
@@ -123,8 +135,9 @@ def main():
             print(f"steps{steps}_rf{refine}_w{cw}_m{mc}: FAILED", flush=True)
     out["note"] = (f"lane-packed cd={cd} coarse tier; synthetic clustered "
                    "corpus; exact GT; per-chip slice of the Deep-100M plan")
-    path = ("results/deep8m_coarse.json" if cd == 16
-            else f"results/deep8m_coarse_cd{cd}.json")
+    stem = "hard8m_coarse" if hard else "deep8m_coarse"
+    path = (f"results/{stem}.json" if cd == 16
+            else f"results/{stem}_cd{cd}.json")
     try:  # keep prior sweep points (e.g. the window-scaling evidence)
         with open(path) as f:
             prior = json.load(f).get("points", [])
