@@ -1,0 +1,89 @@
+"""A/B the argpack select against the round-2 exact2 pipeline on TPU at
+8M×96 (VERDICT r2 item 3: the post-gmax tail was 56% of the 24.79 ms wall).
+
+argpack packs the within-group argmax into the gmax kernel's int32 output
+(score*64 + member), so the top-`refine` groups ARE the candidate set —
+the select→windows→select2 tail collapses to one two-level exact select.
+
+Same corpus/GT as scripts/bench_flat.py deep8m (easy recipe, seed 11) so
+qps/recall compare directly with results/flat.json round 2.
+
+Run: timeout 5400 python scripts/tune_argpack.py > /tmp/tune_argpack.log 2>&1
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        _pad_lanes, build_flat_sketch, flat_topk_grouped)
+
+    N, D, NQ = 8_000_000, 96, 1024
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(50_000, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    queries = x[:NQ]
+    gt = np.load("/tmp/deep8m_gt.npz")["gt"]
+    gt_sets = [set(map(int, gt[i])) for i in range(NQ)]
+
+    corpus = _pad_lanes(jnp.asarray(x))
+    sketch, _ = build_flat_sketch(jnp.asarray(x), "int8")
+    row_ids = jnp.arange(N, dtype=jnp.int32)
+    jax.block_until_ready(sketch)
+    qd = jnp.asarray(queries)
+    qids = jnp.arange(NQ, dtype=jnp.int32)
+
+    out = {"n": N, "dim": D, "b": NQ, "points": []}
+    cases = (
+        ("exact2", 128, 24), ("argpack", 128, 24), ("argpack", 256, 24),
+        ("argpack", 512, 24), ("argpack", 1024, 24),
+    )
+    for mode, refine, rg in cases:
+        try:
+            def go():
+                return flat_topk_grouped(
+                    sketch, corpus, row_ids, qd, qids, 10, refine=refine,
+                    r_groups=rg, select_mode=mode, exclude_self=True)
+
+            ids, _ = go()
+            jax.block_until_ready(ids)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                ids, _ = go()
+            jax.block_until_ready(ids)
+            dt = (time.perf_counter() - t0) / 5
+            ids_np = np.asarray(ids)
+            hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
+                                            if v >= 0)) for i in range(NQ))
+            rec, qps = hits / (NQ * 10), NQ / dt
+            print(f"{mode}_rf{refine}: {qps:.0f} qps recall {rec:.4f}",
+                  flush=True)
+            out["points"].append({"mode": mode, "refine": refine,
+                                  "qps": round(qps),
+                                  "recall@10": round(rec, 4)})
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(f"{mode}_rf{refine}: FAILED", flush=True)
+    out["note"] = ("argpack vs exact2 select at 8Mx96/B1024, easy corpus "
+                   "(compare results/flat.json r2: grouped 32471 qps "
+                   "@ 0.9861); pipelined timing; v5e")
+    with open("results/tune_argpack.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

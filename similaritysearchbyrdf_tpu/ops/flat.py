@@ -61,9 +61,26 @@ _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 # (supergroup max -> top-rg supergroups -> row-gather children -> top-rg;
 # FLAT_SELECT_SG sets the supergroup width = the gather size/level-1
 # top_k tradeoff), "approx" flat approx_max_k over [B, NG], "topk" flat
-# exact lax.top_k.
-_SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "exact2")
+# exact lax.top_k, "argpack" argmax-packed kernel output (int8 only: the
+# top-refine groups' best rows are the candidates — no window rescore),
+# "auto" = argpack at large N (where the per-group collision loss is
+# negligible), exact2 otherwise.
+_SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "auto")
 _SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
+
+# argpack trades non-argmax rows of multiply-hit groups for more groups;
+# the per-query chance that two true top-10 rows share a 64-row group is
+# ~C(10,2)/NG, so gate "auto" on NG >= 16384 (N >= 1M): loss < 0.03%/10,
+# far below int8 sketch ordering noise.
+_ARGPACK_MIN_ROWS = 1 << 20
+
+
+def _resolve_select_mode(mode: str, sketch_dtype, nrows: int) -> str:
+    if mode != "auto":
+        return mode
+    if sketch_dtype == jnp.int8 and nrows >= _ARGPACK_MIN_ROWS:
+        return "argpack"
+    return "exact2"
 
 # halved group-max: feed the gmax kernel a STRIDED second copy of the
 # sketch (built once at fit) so the in-kernel group reduce is log2(group)
@@ -327,6 +344,114 @@ class FlatIndex:
                 np.concatenate([np.asarray(a) for a in out_s]))
 
 
+_I32_DEAD = -(2**31 - 1)     # dead-group sentinel; negation-safe (not MIN)
+
+
+def _argpack_candidates(
+    sketch: jax.Array,            # int8 [N, D]
+    queries: jax.Array,           # f32[B, D]
+    refine: int,
+    group: int,
+    use_pallas: bool,
+    select_sg: int = _SELECT_SG,
+    n_live: Optional[int] = None,
+    sketch_gmax: Optional[jax.Array] = None,
+    gmax_halved: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Argmax-packed grouped preselection: the gmax kernel emits
+    int32 `score*group + member` per group, so the top-`refine` GROUPS by
+    packed key directly name their best rows — no window re-score, no
+    second select (the round-2 tail: select 4.6 + windows 5.8 + select2
+    1.8 ms of a 24.8 ms wall, results/attrib_flat_r04.json).
+
+    Candidate-set quality: any global sketch-top-`refine` row that is its
+    group's argmax IS captured (its group's gmax ≥ its score, and at most
+    refine-1 groups can rank above it, each needing a strictly better row).
+    Only non-argmax rows of multiply-hit groups are traded for the next
+    best groups' argmaxes — at corpus-random row order the chance that two
+    true top-10 rows share one 64-row group is ~refine/NG per pair
+    (≈0.03% at 8M), far below the int8 sketch's own ordering noise.
+
+    Returns (cand i32[B, refine] row positions, sel_s f32[B, refine];
+    -inf = invalid)."""
+    assert sketch.dtype == jnp.int8, "argpack needs the int8 sketch"
+    assert group & (group - 1) == 0, group
+    nrows, d = sketch.shape
+    n = nrows if n_live is None else n_live
+    b = queries.shape[0]
+    npad = int(np.ceil(nrows / 8192)) * 8192
+    sk = jnp.pad(sketch, ((0, npad - nrows), (0, 0)))
+    qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(queries), axis=1,
+                                     keepdims=True), 1e-30)
+    q_lp = jnp.clip(jnp.round(queries * qs), -127, 127).astype(jnp.int8)
+    q_lp = _pad_lanes(q_lp)[:, :d]
+    ng = npad // group
+    shift = group.bit_length() - 1
+
+    bpad = int(np.ceil(b / 128)) * 128
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
+
+        q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
+        block_n = 8192
+        bb = min(_GMAX_BLOCK_B, bpad)
+        while bpad % bb:
+            bb -= 128
+        nsub = _GMAX_NSUB if block_n % (_GMAX_NSUB * group) == 0 else 1
+        use_halved = (gmax_halved and sketch_gmax is not None
+                      and group % nsub == 0)
+        if use_halved:
+            assert sketch_gmax.shape == (npad, d), (
+                sketch_gmax.shape, npad, d)
+        packed = pallas_flat_groupmax_qmajor(
+            sketch_gmax if use_halved else sk, q_in, group=group,
+            block_b=bb, block_n=block_n, nsub=nsub, halved=use_halved,
+            pack_arg=True,
+        )[:b]                                           # i32 [B, NG]
+    else:
+        # XLA fallback (CPU/tests): identical packed-key math
+        scores = jnp.einsum(
+            "bd,nd->bn", q_lp.astype(jnp.int32), sk.astype(jnp.int32)
+        )
+        member = jnp.arange(npad, dtype=jnp.int32) % group
+        pk = (scores << shift) | member[None, :]
+        packed = pk.reshape(b, ng, group).max(axis=-1)
+    g_live = (jnp.arange(ng, dtype=jnp.int32) * group) < n
+    packed = jnp.where(g_live[None, :], packed, _I32_DEAD)
+
+    rg = min(refine, ng)
+    sg = select_sg
+    if ng % sg == 0 and ng // sg >= 2 * rg:
+        # two-level EXACT select (same containment proof as exact2: every
+        # top-rg group's supergroup max beats the rg-th best group, and at
+        # most rg supergroups can)
+        nsg = ng // sg
+        p3 = packed.reshape(b, nsg, sg)
+        sgmax = p3.max(axis=-1)                          # [B, NSG]
+        _, sgi = jax.lax.sort((-sgmax, jnp.broadcast_to(
+            jnp.arange(nsg, dtype=jnp.int32), (b, nsg))), num_keys=1)
+        sgi = sgi[:, :rg]                                # [B, RG]
+        cg = jnp.take_along_axis(p3, sgi[:, :, None], axis=1).reshape(
+            b, rg * sg)
+        child = (sgi[:, :, None] * sg
+                 + jnp.arange(sg, dtype=jnp.int32)).reshape(b, rg * sg)
+        negv, gidx = jax.lax.sort((-cg, child), num_keys=1)
+        gidx, gpk = gidx[:, :rg], -negv[:, :rg]
+    else:
+        negv, gidx = jax.lax.sort((-packed, jnp.broadcast_to(
+            jnp.arange(ng, dtype=jnp.int32), (b, ng))), num_keys=1)
+        gidx, gpk = gidx[:, :rg], -negv[:, :rg]
+
+    cand = gidx * group + (gpk & (group - 1))
+    sel_s = (gpk >> shift).astype(jnp.float32)
+    sel_s = jnp.where((gpk > _I32_DEAD) & (cand < n), sel_s, -jnp.inf)
+    if rg < refine:
+        cand = jnp.pad(cand, ((0, 0), (0, refine - rg)))
+        sel_s = jnp.pad(sel_s, ((0, 0), (0, refine - rg)),
+                        constant_values=-np.inf)
+    return cand, sel_s
+
+
 def _grouped_candidates(
     sketch: jax.Array,            # int8/bf16 [N, D]
     queries: jax.Array,           # f32[B, D] (dense or densified)
@@ -349,6 +474,8 @@ def _grouped_candidates(
     `sketch_gmax` (with gmax_halved=True) is the fit-time strided copy fed
     to the halved gmax kernel; `n_live` is the true row count when `sketch`
     arrives pre-padded (masking uses it, not the padded shape)."""
+    if select_mode in ("auto", "argpack"):     # callers resolve; be safe
+        select_mode = "exact2"
     nrows, d = sketch.shape
     n = nrows if n_live is None else n_live
     b = queries.shape[0]
@@ -507,12 +634,27 @@ def flat_topk_grouped(
     `refine` rows get the exact f32 re-score. Group-max preselection with
     r_groups ≥ 3k cannot drop a true top-k row (see flat_groupmax docs)
     PROVIDED the group select runs at a high recall target; recall is
-    int8-sketch-bound, same as `flat_topk`."""
-    cand, sel_s = _grouped_candidates(
-        sketch, queries, refine, r_groups, group, use_pallas, recall_target,
-        select_mode, select_sg, n_live=row_ids.shape[0],
-        sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
-    )
+    int8-sketch-bound, same as `flat_topk`.
+
+    select_mode="argpack" (int8 sketches only) replaces the select →
+    window-rescore → select2 tail with the argmax-packed kernel output
+    (`_argpack_candidates`): top-`refine` groups each contribute their
+    best row directly."""
+    select_mode = _resolve_select_mode(select_mode, sketch.dtype,
+                                       sketch.shape[0])
+    if select_mode == "argpack" and sketch.dtype == jnp.int8:
+        cand, sel_s = _argpack_candidates(
+            sketch, queries, refine, group, use_pallas,
+            select_sg=select_sg, n_live=row_ids.shape[0],
+            sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
+        )
+    else:
+        cand, sel_s = _grouped_candidates(
+            sketch, queries, refine, r_groups, group, use_pallas,
+            recall_target, select_mode, select_sg,
+            n_live=row_ids.shape[0],
+            sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
+        )
     return _exact_refine(corpus, row_ids, queries, cand,
                          jnp.isfinite(sel_s), query_ids, k, exclude_self)
 
@@ -603,9 +745,17 @@ def flat_topk_sparse(
     from .rerank import sparse_merge_scores
 
     qd = _densify_queries(q_indices, q_values, sketch.shape[1])
-    cand, sel_s = _grouped_candidates(
-        sketch, qd, refine, r_groups, group, use_pallas, recall_target
-    )
+    mode = _resolve_select_mode(_SELECT_MODE, sketch.dtype, sketch.shape[0])
+    if mode == "argpack" and sketch.dtype == jnp.int8:
+        cand, sel_s = _argpack_candidates(
+            sketch, qd, refine, group, use_pallas,
+            n_live=row_ids.shape[0],
+        )
+    else:
+        cand, sel_s = _grouped_candidates(
+            sketch, qd, refine, r_groups, group, use_pallas, recall_target,
+            select_mode=mode,
+        )
     exact = sparse_merge_scores(
         corpus_indices, corpus_values,
         jnp.where(jnp.isfinite(sel_s), cand, -1), q_indices, q_values,

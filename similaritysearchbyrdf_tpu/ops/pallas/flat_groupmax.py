@@ -29,9 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
-                 nsub=1, halved=False):
+                 nsub=1, halved=False, pack_arg=False):
     # q_ref [BT, D] int8/bf16; sk_ref [NT, D]; out_ref f32[NT//g, BT]
     # (or f32[BT, NT//g] when transpose_out).
+    #
+    # pack_arg (int8 path only): emit int32 `score*g + member` instead of
+    # f32 score — the group-ARGMAX rides along for free. score is the exact
+    # i32 MXU output (|s| <= D*127^2, guarded by the wrapper), member is
+    # the row's index within its group; shifting left by log2(g) keeps the
+    # packed key monotone in score (low bits are zero in two's complement
+    # regardless of sign), so the same max-reduce tree selects the max
+    # score and carries WHICH row achieved it. The caller unpacks
+    # row = group_idx*g + (packed & (g-1)) and skips the window-rescore +
+    # second-select stages entirely (ops/flat._argpack_candidates).
     # TRANSPOSED score tile: the group split must land on the SUBLANE dim —
     # splitting the minor (lane) dim is an unsupported Mosaic shape cast.
     #
@@ -69,6 +79,17 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
     # results/tune_gmax_nsub.json). Row j of the halved result ≡ j (mod J)
     # throughout, so it is exactly group j's max — same output layout.
     j_rows = nt // g
+    shift = max(g.bit_length() - 1, 0)          # log2(g); g is a pow2
+
+    def pack(scores, s):
+        # scores i32[sub, BT] (int8 MXU path). member index of block-local
+        # row r: halved strided layout puts group j's member m at row
+        # m*J + j (J = nt//g) -> m = row // J; natural layout -> row % g.
+        row = s * sub + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 0
+        )
+        member = (row // j_rows) if halved else (row % g)
+        return (scores << shift) | member
 
     def reduce(scores):
         if halved:
@@ -82,8 +103,12 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
 
     pieces = []
     prev = mm(0)
+    if pack_arg:
+        prev = pack(prev, 0)
     for s in range(1, nsub):
         cur = mm(s)              # issue next chunk's MXU work first...
+        if pack_arg:
+            cur = pack(cur, s)
         pieces.append(reduce(prev))  # ...then reduce the previous on VPU
         prev = cur
     pieces.append(reduce(prev))
@@ -95,15 +120,17 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
         gmax = functools.reduce(jnp.maximum, pieces)
     else:
         gmax = jnp.concatenate(pieces, axis=0)
+    if not pack_arg:
+        gmax = gmax.astype(jnp.float32)
     if transpose_out:
         # in-kernel transpose: emitting query-major gmax saves the XLA
         # transpose of the full [NG, B] matrix (measured at 8M x 96,
         # B=1024: the select stage dropped from +12.2 ms to ~+1 ms). One
         # whole-tile store at the end — per-chunk stores would be narrow
         # (sub/g < 128) lane slices.
-        out_ref[:] = gmax.astype(jnp.float32).T
+        out_ref[:] = gmax.T
     else:
-        out_ref[:] = gmax.astype(jnp.float32)
+        out_ref[:] = gmax
 
 
 def _check_halved(halved, group, nsub):
@@ -114,10 +141,21 @@ def _check_halved(halved, group, nsub):
     assert group % nsub == 0, ("halved needs nsub | group", group, nsub)
 
 
+def _check_pack(pack_arg, group, d, use_int8):
+    if not pack_arg:
+        return
+    assert use_int8, "pack_arg needs the int8 MXU path (i32 scores)"
+    assert group & (group - 1) == 0, ("pack_arg needs a power-of-2 group",
+                                      group)
+    # packed = score*group + member must fit int32: |score| <= d*127^2
+    assert d * 127 * 127 * group < 2**31, (
+        "pack_arg int32 overflow", d, group)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
-                     "nsub", "halved"),
+                     "nsub", "halved", "pack_arg"),
 )
 def pallas_flat_groupmax(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -129,6 +167,7 @@ def pallas_flat_groupmax(
     interpret: bool = False,
     nsub: int = 1,
     halved: bool = False,
+    pack_arg: bool = False,
 ) -> jax.Array:
     """Per-group score maxima, TRANSPOSED: f32[Npad/group, B] (the caller
     transposes once in XLA; inside the kernel the group split must stay on
@@ -145,10 +184,13 @@ def pallas_flat_groupmax(
     )
     assert block_n % (nsub * group) == 0, (block_n, nsub, group)
     _check_halved(halved, group, nsub)
+    _check_pack(pack_arg, group, d, use_int8)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=False, nsub=nsub, halved=halved),
-        out_shape=jax.ShapeDtypeStruct((npad // group, b), jnp.float32),
+                          transpose_out=False, nsub=nsub, halved=halved,
+                          pack_arg=pack_arg),
+        out_shape=jax.ShapeDtypeStruct(
+            (npad // group, b), jnp.int32 if pack_arg else jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[
             pl.BlockSpec((block_b, d), lambda i, j: (j, 0),
@@ -167,7 +209,7 @@ def pallas_flat_groupmax(
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_b", "block_n", "int8_mxu", "interpret",
-                     "nsub", "halved"),
+                     "nsub", "halved", "pack_arg"),
 )
 def pallas_flat_groupmax_qmajor(
     sketch: jax.Array,      # int8/bf16 [Npad, D]; Npad % block_n == 0
@@ -179,6 +221,7 @@ def pallas_flat_groupmax_qmajor(
     interpret: bool = False,
     nsub: int = 1,
     halved: bool = False,
+    pack_arg: bool = False,
 ) -> jax.Array:
     """Per-group score maxima in QUERY-MAJOR layout f32[B, Npad/group] —
     the layout `approx_max_k` consumes — via an in-kernel tile transpose.
@@ -197,10 +240,13 @@ def pallas_flat_groupmax_qmajor(
     )
     assert block_n % (nsub * group) == 0, (block_n, nsub, group)
     _check_halved(halved, group, nsub)
+    _check_pack(pack_arg, group, d, use_int8)
     return pl.pallas_call(
         functools.partial(_gmax_kernel, g=group, int8_mxu=use_int8,
-                          transpose_out=True, nsub=nsub, halved=halved),
-        out_shape=jax.ShapeDtypeStruct((b, npad // group), jnp.float32),
+                          transpose_out=True, nsub=nsub, halved=halved,
+                          pack_arg=pack_arg),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, npad // group), jnp.int32 if pack_arg else jnp.float32),
         grid=(npad // block_n, b // block_b),
         in_specs=[
             pl.BlockSpec((block_b, d), lambda i, j: (j, 0),

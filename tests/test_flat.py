@@ -131,6 +131,66 @@ def test_groupmax_kernel_interpret():
     np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1.0)
 
 
+def test_groupmax_kernel_pack_arg_interpret():
+    """pack_arg emits int32 score*g + member; the same max tree must carry
+    the group-ARGMAX bit-exactly in both layouts (natural and halved
+    strided) and under nsub pipelining."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import stride_for_halved_gmax
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax_qmajor,
+    )
+
+    rng = np.random.default_rng(0)
+    npad, d, b, g = 16384, 128, 128, 64
+    sk = rng.integers(-127, 128, size=(npad, d)).astype(np.int8)
+    q = rng.integers(-127, 128, size=(b, d)).astype(np.int8)
+    scores = q.astype(np.int64) @ sk.astype(np.int64).T
+    member = np.arange(npad) % g
+    ref = (scores * g + member[None, :]).reshape(b, npad // g, g).max(-1)
+    for halved in (False, True):
+        skin = (np.asarray(stride_for_halved_gmax(jnp.asarray(sk)))
+                if halved else sk)
+        out = np.asarray(pallas_flat_groupmax_qmajor(
+            jnp.asarray(skin), jnp.asarray(q), group=g, block_b=128,
+            block_n=8192, interpret=True, pack_arg=True, halved=halved,
+            nsub=2))
+        assert out.dtype == np.int32
+        np.testing.assert_array_equal(out.astype(np.int64), ref)
+
+
+def test_argpack_candidates_top1_guarantee():
+    """argpack's candidate set always contains the global sketch argmax
+    (the top-1 row IS its group's argmax, and its group ranks first), and
+    recall@10 with fresh queries stays near exact2's at moderate scale."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (build_flat_sketch,
+                                                    flat_topk_grouped)
+
+    rng = np.random.default_rng(4)
+    n, d, b, k = 40000, 64, 64, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    c = jnp.asarray(x)
+    sk, _ = build_flat_sketch(c)
+    rid = jnp.arange(n, dtype=jnp.int32)
+    qd = jnp.asarray(q)
+    qi = jnp.full((b,), -1, jnp.int32)
+    ids_a, _ = flat_topk_grouped(sk, c, rid, qd, qi, k, refine=128,
+                                 select_mode="argpack", use_pallas=False,
+                                 exclude_self=False)
+    gt = np.argsort(-(q @ x.T), axis=1)
+    ia = np.asarray(ids_a)
+    assert (ia[:, 0] == gt[:, 0]).all()
+    rec = np.mean([len(set(map(int, ia[i])) & set(map(int, gt[i, :k])))
+                   for i in range(b)]) / k
+    assert rec >= 0.95, rec
+
+
 def test_flat_engine_through_front_end(tmp_path):
     """conf.engine='flat' routes the reference front-end surface through
     the quantized-flat engine (steps accepted and ignored)."""
