@@ -253,6 +253,124 @@ def build_ivf(
     )
 
 
+def _cluster_perm(
+    assign: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cluster-ordered permutation with per-cluster 8-row alignment padding.
+    Returns (perm i64[npad_total] source rows (-1 = pad), starts i64[K+1],
+    counts i64[K])."""
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=k)
+    padded = ((counts + 7) // 8) * 8
+    starts = np.zeros(k + 1, np.int64)
+    starts[1:] = np.cumsum(padded)
+    perm = np.full(int(starts[-1]), -1, np.int64)
+    src_off = np.zeros(k + 1, np.int64)
+    src_off[1:] = np.cumsum(counts)
+    for c in range(k):
+        perm[starts[c] : starts[c] + counts[c]] = order[
+            src_off[c] : src_off[c + 1]
+        ]
+    return perm, starts, counts
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _assemble_chunk(sketch, corpus, rids, rows, ids_chunk, scale, off):
+    """Write one cluster-ordered chunk into the preallocated tiers (donated:
+    updates happen in place, never two whole-corpus copies on device)."""
+    q = jnp.clip(jnp.round(rows * scale), -127, 127).astype(jnp.int8)
+    sketch = jax.lax.dynamic_update_slice(sketch, q, (off, 0))
+    corpus = jax.lax.dynamic_update_slice(
+        corpus, rows.astype(corpus.dtype), (off, 0))
+    rids = jax.lax.dynamic_update_slice(rids, ids_chunk, (off,))
+    return sketch, corpus, rids
+
+
+def build_ivf_streamed(
+    corpus_np: np.ndarray,    # f32[N, D] HOST corpus (never fully on device)
+    row_ids: np.ndarray,      # i32[N]
+    target_cluster: int = 256,
+    iters: int = 6,
+    seed: int = 0,
+    train_sample: int = 2_000_000,
+    corpus_dtype: str = "bfloat16",
+    chunk_rows: int = 1 << 20,
+    k: Optional[int] = None,
+    kmeans_chunk: int = 8192,
+) -> IVFState:
+    """Big-N IVF build with LOW-PRECISION corpus residency (VERDICT r2
+    item 2 / the Deep-100M plan's memory model): the f32 corpus stays on
+    host; the device holds only the int8 window-scoring sketch plus a
+    `corpus_dtype` (bf16 by default) refine tier — 30M×96d fits a single
+    v5e's 16 GB HBM at 3.9 + 7.9 GB where `build_ivf`'s f32 tier alone
+    would need 15.7 GB.
+
+    Lloyd trains on `train_sample` uniformly-sampled rows; assignment and
+    the cluster-ordered relayout stream host→device in `chunk_rows` chunks
+    into donated, preallocated tiers. Refine re-scores candidates from the
+    bf16 tier with f32 accumulation (the int8 sketch still gates)."""
+    n, d = corpus_np.shape
+    dp = int(np.ceil(d / 128.0) * 128)
+    if k is None:
+        k = int(np.clip(n // target_cluster, 16, 65536))
+    rng = np.random.default_rng(seed ^ 0x5A)
+    s = min(train_sample, n)
+    sel = np.sort(rng.choice(n, size=s, replace=False))
+    xs = np.zeros((s, dp), np.float32)
+    xs[:, :d] = corpus_np[sel]
+    centroids, _ = kmeans(jnp.asarray(xs), jnp.ones((s,), bool), k,
+                          iters=iters, seed=seed, chunk=kmeans_chunk)
+    del xs
+
+    # full assignment pass, streamed from host
+    assign = np.empty(n, np.int32)
+    for s0 in range(0, n, chunk_rows):
+        s1 = min(s0 + chunk_rows, n)
+        cr = ((s1 - s0 + kmeans_chunk - 1) // kmeans_chunk) * kmeans_chunk
+        xc = np.zeros((cr, dp), np.float32)
+        xc[: s1 - s0, :d] = corpus_np[s0:s1]
+        a = _kmeans_assign(jnp.asarray(xc), centroids, kmeans_chunk)
+        assign[s0:s1] = np.asarray(a)[: s1 - s0]
+
+    perm, starts, counts = _cluster_perm(assign, k)
+    npad_total = int(starts[-1])
+    amax = 0.0
+    for s0 in range(0, n, chunk_rows):     # host amax pass (no big temp)
+        amax = max(amax, float(np.abs(corpus_np[s0:min(s0 + chunk_rows, n)]).max()))
+    scale = jnp.float32(127.0 / max(amax, 1e-30))
+
+    cdt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
+    # allocate a whole number of fixed-size chunks: dynamic_update_slice
+    # CLAMPS out-of-bounds starts, so a final overhanging chunk would
+    # otherwise silently overwrite earlier rows; the overhang rows stay
+    # dead (row_id -1, zero scores, positions >= ends are masked)
+    npad_alloc = int(np.ceil(npad_total / chunk_rows)) * chunk_rows
+    sketch = jnp.zeros((npad_alloc, dp), jnp.int8)
+    corpus_o = jnp.zeros((npad_alloc, dp), cdt)
+    rids_o = jnp.full((npad_alloc,), -1, jnp.int32)
+    rid = np.asarray(row_ids, np.int32)
+    for s0 in range(0, npad_total, chunk_rows):
+        s1 = min(s0 + chunk_rows, npad_total)
+        cr = chunk_rows                      # fixed shape: one program
+        pc = perm[s0:s1]
+        rows_h = np.zeros((cr, dp), np.float32)
+        ids_h = np.full((cr,), -1, np.int32)
+        live = pc >= 0
+        rows_h[: s1 - s0][live, :d] = corpus_np[pc[live]]
+        ids_h[: s1 - s0][live] = rid[pc[live]]
+        sketch, corpus_o, rids_o = _assemble_chunk(
+            sketch, corpus_o, rids_o, jnp.asarray(rows_h),
+            jnp.asarray(ids_h), scale, jnp.int32(s0))
+    return IVFState(
+        sketch=sketch,
+        corpus=corpus_o,
+        row_ids=rids_o,
+        centroids=centroids,
+        starts=jnp.asarray(starts.astype(np.int32)),
+        ends=jnp.asarray((starts[:-1] + counts).astype(np.int32)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # query
 # ---------------------------------------------------------------------------

@@ -167,3 +167,49 @@ def test_tune_nprobe_hits_target_and_monotone():
     hits = sum(len(ref_sets[i] & set(map(int, got[i][got[i] >= 0])))
                for i in range(32))
     assert hits / max(sum(len(s) for s in ref_sets), 1) >= 0.98
+
+
+def test_streamed_build_matches_regular():
+    """build_ivf_streamed (host-resident f32, bf16 device tier, chunked
+    relayout via donated dynamic_update_slice) must produce the same
+    layout invariants and near-identical recall as build_ivf — the 30M
+    single-chip path (VERDICT r2 item 2)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.ivf import (build_ivf_streamed,
+                                                   ivf_topk,
+                                                   ivf_window_budget)
+
+    x = _data(n=3000, d=32, seed=4)
+    st = build_ivf_streamed(x, np.arange(3000, dtype=np.int32),
+                            target_cluster=64, iters=3, seed=0,
+                            train_sample=3000, chunk_rows=1024,
+                            kmeans_chunk=1024)
+    assert st.corpus.dtype == jnp.bfloat16
+    starts = np.asarray(st.starts)
+    rid = np.asarray(st.row_ids)
+    assert (starts % 8 == 0).all()
+    live = rid >= 0
+    assert live.sum() == 3000
+    assert len(set(rid[live].tolist())) == 3000
+    # allocation may overhang the last cluster end by < chunk_rows; all
+    # overhang rows are dead
+    assert rid.shape[0] >= starts[-1]
+    assert (rid[starts[-1]:] == -1).all()
+    # rows in the bf16 tier match the source corpus at bf16 precision
+    corpus = np.asarray(st.corpus.astype(jnp.float32))[:, :32]
+    np.testing.assert_allclose(corpus[live], x[rid[live]], atol=4e-3)
+
+    # full-probe query over the bf16 tier finds the exact neighbors
+    q = x[:32]
+    gt, _ = exact_search(x, q, k=5, exclude_self=True)
+    kc = int(st.centroids.shape[0])
+    wb = ivf_window_budget(st.starts, st.ends, kc, 64)
+    ids, _ = ivf_topk(st.sketch, st.corpus, st.row_ids, st.centroids,
+                      st.starts, st.ends, jnp.asarray(q),
+                      jnp.arange(32, dtype=jnp.int32), 5, nprobe=kc,
+                      win=64, wb=wb, refine=256, use_pallas=False)
+    ids = np.asarray(ids)
+    hits = sum(len(set(map(int, ids[i])) & set(map(int, gt[i])))
+               for i in range(32))
+    assert hits / (32 * 5) >= 0.95
