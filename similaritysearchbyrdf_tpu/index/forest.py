@@ -57,6 +57,10 @@ _FORCE_UNPACKED_RANGES = False
 # used when m2 * FACTOR <= slab width, the packed sort otherwise.
 import os as _os
 
+# run-coalesced DMA for the aligned-window coarse kernel: multi-window
+# ranges fetch as ceil-pow2 runs (up to 8 windows per descriptor) — the
+# descriptor-count attack on the ~1.2 us/descriptor DMA floor.
+_COARSE_COALESCE = _os.environ.get("FOREST_COALESCE", "1") == "1"
 _SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
                                             "8"))
 
@@ -841,7 +845,7 @@ def _coarse_block_scores(
             coarse_by_table,
             q_seg.reshape(b * g, lanes) if g > 1 else q_low,
             lg_b, blk_start, bs_block, live=live,
-            groups=g, seg_b=seg_b,
+            groups=g, seg_b=seg_b, coalesce=_COARSE_COALESCE,
         )                                                      # [B, MB, bs]
     else:
         idx = jnp.stack(

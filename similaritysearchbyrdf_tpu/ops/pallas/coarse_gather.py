@@ -276,8 +276,131 @@ def _kernel_aligned_packed_static(idx_ref, qrow_ref, cbt_ref, out_ref,
     out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
 
 
+def _run_classes(
+    table_b2: jax.Array,   # i32[B, MB]
+    blk_start: jax.Array,  # i32[B, MB] window start rows
+    live: jax.Array,       # bool[B, MB]
+    win: int,
+    grp: int,
+) -> jax.Array:
+    """DMA run-coalescing classes (the descriptor-count attack the static-
+    drain probe concluded was the only remaining coarse win — see
+    `_kernel_aligned_packed_static`). Consecutive window SLOTS of one range
+    are consecutive SOURCE rows (the window flatten allocates ranges as
+    whole windows), so a run of R adjacent live windows can be fetched by
+    ceil-pow2 pieces: cls[g] ∈ {8,4,2,1} marks g as the head of a copy of
+    cls windows; 0 = no copy (dead, or covered by an earlier head).
+
+    Decomposition per run: the largest c ∈ {8,4,2,1} with pos % c == 0 and
+    pos + c <= run_len heads a segment at run-relative pos; dyadic nesting
+    makes the segments an exact partition (tests/test_pallas_kernels.py
+    brute-forces this). Runs never cross the kernel's grp-block boundary
+    (forced head at g % grp == 0) so scratch stays block-local."""
+    b, mb = table_b2.shape
+    g = jnp.broadcast_to(jnp.arange(mb, dtype=jnp.int32)[None, :], (b, mb))
+    prev_t = jnp.concatenate([table_b2[:, :1], table_b2[:, :-1]], axis=1)
+    prev_s = jnp.concatenate([blk_start[:, :1] - win, blk_start[:, :-1]],
+                             axis=1)
+    prev_live = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), live[:, :-1]], axis=1)
+    cont = ((g % grp) != 0) & live & prev_live & (table_b2 == prev_t) & (
+        blk_start == prev_s + win)
+    head = ~cont
+    r0 = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(head, g, -1), axis=1)       # run start index
+    pos = g - r0
+    nh = jnp.concatenate(
+        [jnp.where(head, g, mb)[:, 1:],
+         jnp.full((b, 1), mb, jnp.int32)], axis=1)
+    run_end = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(nh, 1), axis=1), 1)
+    length = run_end - r0
+
+    def cfor(p):
+        c = jnp.where((p % 2 == 0) & (p + 2 <= length), 2, 1)
+        c = jnp.where((p % 4 == 0) & (p + 4 <= length), 4, c)
+        c = jnp.where((p % 8 == 0) & (p + 8 <= length), 8, c)
+        return c
+
+    cls = cfor(pos)
+    covered = jnp.zeros((b, mb), bool)
+    for a in (2, 4, 8):
+        h = pos - (pos % a)
+        covered |= (h < pos) & (cfor(h) > pos - h)
+    return jnp.where(live & ~covered, cls, 0).astype(jnp.int32)
+
+
+def _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win):
+    """Shared issue/drain for the run-coalescing kernels: one copy per run
+    head, statically sized by its class; per-copy waits with matching
+    descriptors. scratch is FLAT [grp*win, lanes] so a c-window copy lands
+    in c consecutive window slots."""
+    def issue(g, _):
+        t = idx_ref[0, g, 0]
+        s8 = idx_ref[0, g, 1]
+        c = idx_ref[0, g, 2]
+        for cw in (1, 2, 4, 8):
+            @pl.when(c == cw)
+            def _(cw=cw):
+                pltpu.make_async_copy(
+                    cbt_ref.at[t, pl.ds(s8 * 8, cw * win), :],
+                    scratch.at[pl.ds(g * win, cw * win), :],
+                    sems.at[g % _NSEM],
+                ).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, issue, 0)
+
+    def drain(g, _):
+        c = idx_ref[0, g, 2]
+        for cw in (1, 2, 4, 8):
+            @pl.when(c == cw)
+            def _(cw=cw):
+                pltpu.make_async_copy(
+                    cbt_ref.at[0, pl.ds(0, cw * win), :],
+                    scratch.at[pl.ds(g * win, cw * win), :],
+                    sems.at[g % _NSEM],
+                ).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, drain, 0)
+
+
+def _kernel_aligned_runs(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *,
+                         grp, win, cd):
+    """Run-coalescing variant of `_kernel_aligned` (same scoring tail)."""
+    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win)
+    rows = scratch[:].astype(jnp.bfloat16)                # [grp*win, cd]
+    b_all = q_ref.shape[0]
+    scores_all = jax.lax.dot_general(
+        rows, q_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (b_all, 1), 0) == pl.program_id(0)
+    ).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        scores_all, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = scores[:, 0].reshape(grp, win)
+
+
+def _kernel_aligned_packed_runs(idx_ref, qrow_ref, cbt_ref, out_ref, scratch,
+                                sems, *, grp, win, cd):
+    """Run-coalescing variant of `_kernel_aligned_packed`."""
+    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win)
+    rows = scratch[:].reshape(grp, win, cd).astype(jnp.float32)
+    q = qrow_ref[0].astype(jnp.float32)                   # [grp, lanes]
+    out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("win", "grp", "groups", "drain")
+    jax.jit, static_argnames=("win", "grp", "groups", "drain", "coalesce")
 )
 def pallas_coarse_scores_aligned(
     coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, lanes]
@@ -290,6 +413,7 @@ def pallas_coarse_scores_aligned(
     groups: int = 1,                   # lane-packed tables per row (G)
     seg_b: "jax.Array | None" = None,  # i32[B, MB] lane segment per block
     drain: str = "per_copy",           # "per_copy" | "counted" (packed only)
+    coalesce: bool = False,            # run-coalesced DMA (fewer descriptors)
 ) -> jax.Array:
     """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
     Windows marked dead in `live` are neither copied nor scored validly —
@@ -299,7 +423,12 @@ def pallas_coarse_scores_aligned(
     `forest._build_coarse_tier`); q_low carries B*G segment-placed query
     rows and seg_b names each block's segment. The per-block query row is
     pre-selected in XLA and the kernel scores by VPU multiply+lane-reduce
-    (`_kernel_aligned_packed`)."""
+    (`_kernel_aligned_packed`).
+
+    coalesce=True fetches runs of adjacent windows (same table, source rows
+    consecutive — every multi-window range produces one) with ceil-pow2
+    copies of up to 8 windows (`_run_classes`), attacking the ~1.2 us
+    PER-DESCRIPTOR DMA-engine floor the static-drain probe identified."""
     l, caprows, cd = coarse_by_table.shape
     b, mb_cap = table_b2.shape
     grp = min(grp, mb_cap)
@@ -339,12 +468,70 @@ def pallas_coarse_scores_aligned(
         if seg_b is not None:
             seg_b = jnp.pad(seg_b, padw)
     mb = mb_cap + pad
-    start = jnp.clip(blk_start, 0, caprows - win) >> 3
+    start_clip = jnp.clip(blk_start, 0, caprows - win)
+    start = start_clip >> 3
     if live is not None:
         start = jnp.where(live, start, -1)                 # skip-DMA sentinel
     idx = jnp.stack(
         [jnp.clip(table_b2, 0, l - 1), start], axis=-1
     ).astype(jnp.int32)                                    # [B, MB, 2]
+    if coalesce:
+        live_eff = live if live is not None else jnp.ones((b, mb), bool)
+        # runs of up to 8 windows must stay in-bounds: the head's copy
+        # spans [start, start + c*win) — member windows are individually
+        # clipped, and consecutive clipped windows remain consecutive rows
+        cls = _run_classes(jnp.clip(table_b2, 0, l - 1), start_clip,
+                           live_eff, win, grp)
+        idx3 = jnp.concatenate(
+            [jnp.clip(table_b2, 0, l - 1)[..., None].astype(jnp.int32),
+             (start_clip >> 3)[..., None].astype(jnp.int32),
+             cls[..., None]], axis=-1)                     # [B, MB, 3]
+        if groups == 1:
+            out = pl.pallas_call(
+                functools.partial(_kernel_aligned_runs, grp=grp, win=win,
+                                  cd=cd),
+                out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
+                grid=(b, mb // grp),
+                in_specs=[
+                    pl.BlockSpec((1, grp, 3), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((b, cd), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((grp * win, cd), coarse_by_table.dtype),
+                    pltpu.SemaphoreType.DMA((_NSEM,)),
+                ],
+            )(idx3, q_low.astype(jnp.bfloat16), coarse_by_table)
+            return out[:, :mb_cap] if pad else out
+        q_rows = jnp.take_along_axis(
+            q_low.reshape(b, groups, cd),
+            jnp.broadcast_to(seg_b[:, :, None], (b, mb, cd)),
+            axis=1,
+        ).astype(jnp.bfloat16)                             # [B, MB, lanes]
+        out = pl.pallas_call(
+            functools.partial(_kernel_aligned_packed_runs, grp=grp,
+                              win=win, cd=cd),
+            out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
+            grid=(b, mb // grp),
+            in_specs=[
+                pl.BlockSpec((1, grp, 3), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((grp * win, cd), coarse_by_table.dtype),
+                pltpu.SemaphoreType.DMA((_NSEM,)),
+            ],
+        )(idx3, q_rows, coarse_by_table)
+        return out[:, :mb_cap] if pad else out
     if groups == 1:
         out = pl.pallas_call(
             functools.partial(_kernel_aligned, grp=grp, win=win, cd=cd),

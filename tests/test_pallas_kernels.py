@@ -421,3 +421,94 @@ def test_flat_index_ensure_gmax_sketch():
     assert idx._ensure_gmax_sketch() is sg          # cached
     idx2 = fl.FlatIndex(mode="grouped", gmax_halved=False).fit(batch)
     assert idx2._ensure_gmax_sketch() is None
+
+
+def test_run_classes_partition_exact():
+    """_run_classes must place every LIVE window in exactly one copy span
+    (brute-force cover check over random adjacency patterns)."""
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_gather import (
+        _run_classes)
+
+    rng = np.random.default_rng(0)
+    win, grp, mb, b = 16, 32, 96, 6
+    for trial in range(4):
+        tb = rng.integers(0, 3, size=(b, mb)).astype(np.int32)
+        # construct runs: random starts, with stretches of +win adjacency
+        bs = np.zeros((b, mb), np.int32)
+        for i in range(b):
+            s = 0
+            for gx in range(mb):
+                if rng.random() < 0.4:
+                    s = int(rng.integers(0, 64)) * 8
+                    tb[i, gx:] = rng.integers(0, 3)
+                else:
+                    s = bs[i, gx - 1] + win if gx else 0
+                    tb[i, gx] = tb[i, gx - 1] if gx else tb[i, gx]
+                bs[i, gx] = s
+        live = rng.random((b, mb)) > 0.25
+        cls = np.asarray(_run_classes(jnp.asarray(tb), jnp.asarray(bs),
+                                      jnp.asarray(live), win, grp))
+        # brute-force cover: each live g covered exactly once
+        cover = np.zeros((b, mb), np.int32)
+        for i in range(b):
+            for gx in range(mb):
+                c = cls[i, gx]
+                if c:
+                    cover[i, gx:gx + c] += 1
+                    # a span must stay inside one grp block and be a real
+                    # adjacency run
+                    assert gx // grp == (gx + c - 1) // grp
+                    for m in range(1, c):
+                        assert tb[i, gx + m] == tb[i, gx]
+                        assert bs[i, gx + m] == bs[i, gx] + m * win
+                        assert live[i, gx + m]
+        assert (cover[live] == 1).all(), trial
+        assert (cover[~live] == 0).all(), trial
+
+
+def test_pallas_coarse_aligned_coalesced_matches_percopy(monkeypatch):
+    """coalesce=True must produce scores identical to the per-copy kernel
+    for every live window (unpacked and lane-packed variants)."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(5)
+    l, cap, cd, b, mb_cap, win = 3, 512, 64, 4, 24, 16
+    cbt = rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+    q = rng.normal(size=(b, cd)).astype(np.float32)
+    # half the windows form +win-adjacent runs
+    tb = rng.integers(0, l, size=(b, mb_cap)).astype(np.int32)
+    bs = np.zeros((b, mb_cap), np.int32)
+    for i in range(b):
+        for g in range(mb_cap):
+            if g and rng.random() < 0.6:
+                tb[i, g] = tb[i, g - 1]
+                bs[i, g] = bs[i, g - 1] + win
+            else:
+                bs[i, g] = int(rng.integers(0, (cap - 8 * win) // 8)) * 8
+    live = rng.random((b, mb_cap)) > 0.3
+    args = (jnp.asarray(cbt), jnp.asarray(q), jnp.asarray(tb),
+            jnp.asarray(bs))
+    base = np.asarray(cg.pallas_coarse_scores_aligned(
+        *args, win, live=jnp.asarray(live)))
+    runs = np.asarray(cg.pallas_coarse_scores_aligned(
+        *args, win, live=jnp.asarray(live), coalesce=True))
+    np.testing.assert_allclose(runs[live], base[live], atol=1e-3)
+
+    # lane-packed variant
+    g_pack, lanes = 4, 64
+    cs = lanes // g_pack
+    lg = 2
+    cbt_p = rng.integers(-100, 100, size=(lg, cap, lanes)).astype(np.int8)
+    qp = rng.normal(size=(b * g_pack, lanes)).astype(np.float32)
+    lg_b = rng.integers(0, lg, size=(b, mb_cap)).astype(np.int32)
+    seg_b = rng.integers(0, g_pack, size=(b, mb_cap)).astype(np.int32)
+    argsp = (jnp.asarray(cbt_p), jnp.asarray(qp), jnp.asarray(lg_b),
+             jnp.asarray(bs))
+    base_p = np.asarray(cg.pallas_coarse_scores_aligned(
+        *argsp, win, live=jnp.asarray(live), groups=g_pack,
+        seg_b=jnp.asarray(seg_b)))
+    runs_p = np.asarray(cg.pallas_coarse_scores_aligned(
+        *argsp, win, live=jnp.asarray(live), groups=g_pack,
+        seg_b=jnp.asarray(seg_b), coalesce=True))
+    np.testing.assert_allclose(runs_p[live], base_p[live], atol=1e-3)
