@@ -84,9 +84,24 @@ def panel(ax, title, series):
     ax.tick_params(colors=INK2, labelsize=8)
 
 
+def flat_rows_points(row):
+    """Operating points from a bench_hard8m-style flat row (mode_rfX keys)."""
+    pts = []
+    for key, qps in row.items():
+        if key.endswith("_qps"):
+            tag = key[: -len("_qps")]
+            rec = row.get(f"{tag}_recall@10")
+            if rec is not None and qps:
+                pts.append((1000.0 / qps, rec))
+    return sorted(pts)
+
+
 def main():
     os.chdir(os.path.join(os.path.dirname(__file__), ".."))
-    fig, axes = plt.subplots(1, 3, figsize=(12, 3.8), facecolor=SURFACE)
+    has_hard = os.path.exists("results/ivf_hard8m.json")
+    ncols = 4 if has_hard else 3
+    fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 3.8),
+                             facecolor=SURFACE)
 
     # --- GloVe-1.2M panel ---
     glove_forest = []
@@ -120,6 +135,22 @@ def main():
     panel(axes[2], "Deep-shaped 8M x 96d (per-chip slice)",
           [("forest", C_FOREST, deep_forest), ("flat", C_FLAT, deep_flat),
            ("IVF", C_IVF, deep_ivf)])
+
+    # --- HARD 8M panel (binding recall: overlapping clusters + heavy
+    # tail, recall governed by coverage knobs — VERDICT r2 item 1) ---
+    if has_hard:
+        hard_ivf = [(1000.0 / p["qps"], p["recall@10"])
+                    for p in load("results/ivf_hard8m.json")["points"]]
+        hard_forest = []
+        if os.path.exists("results/hard8m_coarse.json"):
+            hard_forest = forest_points(load("results/hard8m_coarse.json"))
+        hard_flat = []
+        if os.path.exists("results/flat_hard8m.json"):
+            for row in load("results/flat_hard8m.json")["points"]:
+                hard_flat += flat_rows_points(row)
+        panel(axes[3], "HARD 8M x 96d (recall knobs bind)",
+              [("forest", C_FOREST, hard_forest),
+               ("flat", C_FLAT, hard_flat), ("IVF", C_IVF, hard_ivf)])
 
     axes[0].set_ylabel("recall@10 (exact GT)", color=INK2, fontsize=9)
     for ax in axes:
