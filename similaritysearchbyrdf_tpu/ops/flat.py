@@ -75,10 +75,17 @@ _SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
 _ARGPACK_MIN_ROWS = 1 << 20
 
 
-def _resolve_select_mode(mode: str, sketch_dtype, nrows: int) -> str:
+def _resolve_select_mode(mode: str, sketch_dtype, nrows: int,
+                         d: int = 0) -> str:
+    # packed = score*64 + member must fit int32: |score| <= d*127^2, so
+    # argpack is only sound for d <= ~2081 lanes (the sparse flat engine's
+    # densified 4096d sketches stay on exact2)
+    pack_ok = sketch_dtype == jnp.int8 and d * 127 * 127 * _GROUP < 2**31
     if mode != "auto":
+        if mode == "argpack" and not pack_ok:
+            return "exact2"
         return mode
-    if sketch_dtype == jnp.int8 and nrows >= _ARGPACK_MIN_ROWS:
+    if pack_ok and nrows >= _ARGPACK_MIN_ROWS:
         return "argpack"
     return "exact2"
 
@@ -641,7 +648,7 @@ def flat_topk_grouped(
     (`_argpack_candidates`): top-`refine` groups each contribute their
     best row directly."""
     select_mode = _resolve_select_mode(select_mode, sketch.dtype,
-                                       sketch.shape[0])
+                                       sketch.shape[0], sketch.shape[1])
     if select_mode == "argpack" and sketch.dtype == jnp.int8:
         cand, sel_s = _argpack_candidates(
             sketch, queries, refine, group, use_pallas,
@@ -745,7 +752,8 @@ def flat_topk_sparse(
     from .rerank import sparse_merge_scores
 
     qd = _densify_queries(q_indices, q_values, sketch.shape[1])
-    mode = _resolve_select_mode(_SELECT_MODE, sketch.dtype, sketch.shape[0])
+    mode = _resolve_select_mode(_SELECT_MODE, sketch.dtype,
+                                sketch.shape[0], sketch.shape[1])
     if mode == "argpack" and sketch.dtype == jnp.int8:
         cand, sel_s = _argpack_candidates(
             sketch, qd, refine, group, use_pallas,
