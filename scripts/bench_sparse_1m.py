@@ -73,11 +73,20 @@ def main():
     t0 = time.perf_counter()
     forest.fit(batch)
     jax.block_until_ready(forest.state.tables.sorted_keys)
+    build_cold_s = time.perf_counter() - t0
+    # the round-2 "3,381 v/s" was COLD build = mostly remote jit compiles
+    # (~1-4 min/program through the tunnel); the warm rate is the engine's
+    # real throughput (attrib_sparse: device stages are ~1.7 s total)
+    t0 = time.perf_counter()
+    forest.fit(batch)
+    jax.block_until_ready(forest.state.tables.sorted_keys)
     build_s = time.perf_counter() - t0
-    print(f"build: {build_s:.1f}s ({n/build_s:.0f} v/s)", flush=True)
+    print(f"build: cold {build_cold_s:.1f}s, warm {build_s:.1f}s "
+          f"({n/build_s:.0f} v/s)", flush=True)
 
     qb = batch.slice(0, nq)
     out = {"corpus": "sparse_1m_4096d_nnz64", "n": n,
+           "build_cold_s": round(build_cold_s, 1),
            "build_s": round(build_s, 1),
            "build_vectors_per_sec": round(n / build_s, 1),
            "points": []}
