@@ -63,6 +63,7 @@ def main():
            "build_spill_s": round(build_s, 1)}
 
     def gate_ms(queries):
+        tiered._probe_keys_host(queries, 1)       # compile (tunnel: ~min)
         t0 = time.perf_counter()
         probe_keys, table_of = tiered._probe_keys_host(queries, 1)
         jax.block_until_ready(jax.numpy.zeros(()))
