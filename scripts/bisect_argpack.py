@@ -81,8 +81,10 @@ def main():
                 return cg.sum()
             child = (sgi[:, :, None] * sg
                      + jnp.arange(sg, dtype=jnp.int32)).reshape(B, rg * sg)
-            negv, gidx = jax.lax.sort((-cg, child), num_keys=1)
-            gidx, gpk = gidx[:, :rg], -negv[:, :rg]
+            sc_f = (cg >> shift).astype(jnp.float32)
+            _, li = jax.lax.approx_max_k(sc_f, rg, recall_target=0.998)
+            gidx = jnp.take_along_axis(child, li, axis=1)
+            gpk = jnp.take_along_axis(cg, li, axis=1)
             if stage == "sort2":
                 return gidx.sum() + gpk.sum()
             cand = gidx * group + (gpk & (group - 1))

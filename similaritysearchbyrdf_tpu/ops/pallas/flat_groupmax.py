@@ -85,8 +85,11 @@ def _gmax_kernel(q_ref, sk_ref, out_ref, *, g, int8_mxu, transpose_out,
         # scores i32[sub, BT] (int8 MXU path). member index of block-local
         # row r: halved strided layout puts group j's member m at row
         # m*J + j (J = nt//g) -> m = row // J; natural layout -> row % g.
+        # member depends on the ROW only: compute it on a [sub, 1] column
+        # (div/mod on sub elements, not sub*BT) and let the OR broadcast —
+        # the per-element cost of packing is then one shift + one or.
         row = s * sub + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 0
+            jnp.int32, (scores.shape[0], 1), 0
         )
         member = (row // j_rows) if halved else (row % g)
         return (scores << shift) | member
