@@ -29,6 +29,10 @@ def main():
     import jax
 
     cd = int(os.environ.get("DEEP_COARSE_DIM", "16"))
+    # two-phase window pruning: pooled-head tier (rows per head row); a
+    # point's optional 6th field is window_keep (top windows surviving
+    # phase 1 — the descriptor-count attack measured in _prune_windows)
+    head_pool = int(os.environ.get("DEEP_HEAD_POOL", "0"))
     # The window kernel is DMA-descriptor-bound and the descriptor floor is
     # the probed RANGE count: a larger bucket_overflow makes buckets
     # shallower (fewer, longer ranges — a SUPERSET candidate set per probe
@@ -67,6 +71,7 @@ def main():
                                                 bucket_overflow=overflow),
         query_batch_size=64, max_candidates=65536, top_k=10,
         coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
+        coarse_head_pool=head_pool,
     )
     t0 = time.perf_counter()
     forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
@@ -97,15 +102,18 @@ def main():
         (1, 20, 16384, 512, 262144),
     )
     if os.environ.get("DEEP_POINTS"):
-        # "steps,budget,refine,window,m_cap;..." override for ad-hoc sweeps
+        # "steps,budget,refine,window,m_cap[,keep];..." override for
+        # ad-hoc sweeps (keep = two-phase window_keep; needs DEEP_HEAD_POOL)
         points = tuple(
             tuple(int(v) for v in grp.split(","))
             for grp in os.environ["DEEP_POINTS"].split(";")
         )
-    for steps, budget, refine, cw, mc in points:
+    for pt in points:
+        steps, budget, refine, cw, mc = pt[:5]
+        keep = pt[5] if len(pt) > 5 else 0
         kw = dict(steps=steps, query_ids=query_ids, probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
-                  coarse_window=cw, m_cap=mc)
+                  coarse_window=cw, m_cap=mc, window_keep=keep)
         try:
             forest.query(queries, **kw)                  # compile + warm
             t0 = time.perf_counter()
@@ -123,6 +131,9 @@ def main():
                      "coarse_refine": refine, "coarse_window": cw,
                      "m_cap": mc, "qps": round(NQ / dt),
                      "recall@10": round(rec, 4)}
+            if keep:
+                point["window_keep"] = keep
+                point["head_pool"] = head_pool
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
             if saf != "8":
                 point["select_approx_factor"] = int(saf)

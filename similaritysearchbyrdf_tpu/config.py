@@ -162,6 +162,16 @@ class RDFConfig:
     # DMA gather's bandwidth win beats the per-range window round-up),
     # 0 force block mode, >0 explicit window size in slots
     coarse_window: int = -1
+    # two-phase window pruning (TPU extension, round 3): a mean-pooled
+    # "head" tier (one bf16 row per `coarse_head_pool` consecutive
+    # table-ordered coarse rows) is scored with fast row gathers FIRST,
+    # and only the top `coarse_keep` windows per query pay the window DMA
+    # + wide select. Attacks the ~1.2 us/descriptor DMA floor (the
+    # Deep-8M coarse stage is descriptor-bound: 57 of a 123 ms chunk).
+    # coarse_head_pool=0 disables the tier; coarse_keep=0 disables pruning
+    # (tier may still be built for per-call opt-in via `window_keep`).
+    coarse_head_pool: int = 0             # rows pooled per head row (e.g. 64)
+    coarse_keep: int = 0                  # windows kept per query (0 = all)
     # engine selector (TPU extension): "forest" = the reference-semantics
     # DPF index; "flat" = the quantized-flat MXU scan (ops/flat.py) behind
     # the same front-end surface — fastest for HBM-resident dense corpora,

@@ -88,6 +88,9 @@ class ForestState:
     # low-dim projections so coarse scoring gathers CONTIGUOUS blocks
     coarse_proj: Optional[jax.Array] = None      # f32[D, Cd]
     coarse_by_table: Optional[jax.Array] = None  # int8/bf16[Lg, Npad+ID_PAD, G*cs] lane-packed
+    # mean-pooled head tier for two-phase window pruning (coarse_head_pool):
+    # row r = masked mean of coarse rows [r*hp, (r+1)*hp) per lane segment
+    coarse_head: Optional[jax.Array] = None      # bf16[Lg, ceil(caprows/hp), G*cs]
 
     @property
     def capacity(self) -> int:
@@ -185,12 +188,17 @@ def fit_dense(
     # the coarse tier (itself bytes-per-vector scale) builds FROM the padded
     # scoring copy — with a row-padded projection — so it never coexists
     # with both corpus copies (the 8M x 96 Deep bench OOMed otherwise)
-    coarse_proj = coarse_by_table = None
+    coarse_proj = coarse_by_table = coarse_head = None
     if conf.coarse_dim:
         coarse_proj, coarse_by_table = _build_coarse_tier(
             corpus_store, tables.sorted_ids, conf.coarse_dim,
             conf.coarse_dtype, conf.seed, dim=batch.dim,
         )
+        if conf.coarse_head_pool:
+            coarse_head = build_head_tier(
+                coarse_by_table, tables.sorted_ids, conf.coarse_head_pool,
+                groups=max(1, 128 // coarse_proj.shape[1]),
+            )
     corpus_lp = (
         corpus_store.astype(jnp.bfloat16)
         if conf.rerank_dtype == "bfloat16" else None
@@ -204,6 +212,7 @@ def fit_dense(
         corpus_lp=corpus_lp,
         coarse_proj=coarse_proj,
         coarse_by_table=coarse_by_table,
+        coarse_head=coarse_head,
     )
 
 
@@ -340,6 +349,63 @@ def _coarse_tier_build(cp, c, si, store_int8):
             jnp.int32(lg),
         )
     return out                                   # [Lg, Npad+P, G*cs]
+
+
+@functools.partial(jax.jit, static_argnames=("hp",))
+def _head_pool_group(tier_g, cnt_g, hp):
+    """Masked mean-pool ONE lane-packed group: [caprows, lanes] →
+    [ceil(caprows/hp), lanes] bf16. cnt_g i32[hr, G] = live rows per pool
+    group per lane segment (padding rows are zero in the tier, so the sum
+    only needs dividing by the LIVE count to be the mean of live rows)."""
+    caprows, lanes = tier_g.shape
+    hr = (caprows + hp - 1) // hp
+    pad = hr * hp - caprows
+    if pad:
+        tier_g = jnp.pad(tier_g, ((0, pad), (0, 0)))
+    s = jnp.sum(
+        tier_g.reshape(hr, hp, lanes).astype(jnp.float32), axis=1
+    )                                                   # [hr, lanes]
+    g = cnt_g.shape[1]
+    cnt_l = jnp.repeat(cnt_g, lanes // g, axis=1)       # [hr, lanes]
+    return (s / jnp.maximum(cnt_l, 1).astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+
+
+def build_head_tier(
+    coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, G*cs]
+    sorted_ids: jax.Array,        # i32[L, caprows]
+    hp: int,
+    groups: Optional[int] = None,  # G (tables per 128-lane row); default
+    #                                ceil(L / Lg) — exact whenever Lg was
+    #                                derived as ceil(L/G) with G | 128
+) -> jax.Array:
+    """Head tier for two-phase window pruning: one bf16 row per `hp`
+    consecutive table-ordered coarse rows (masked mean over live rows, per
+    lane segment). 1/(hp·sizeof) of the coarse tier's bytes; scored with
+    fast row gathers, it ranks candidate windows per query so only the top
+    `coarse_keep` pay the window-DMA + wide-select cost (the Deep-8M wall:
+    ~1.2 us per DMA descriptor, results/check_coarse_drain_static.json)."""
+    lg_n, caprows, lanes = coarse_by_table.shape
+    l = sorted_ids.shape[0]
+    g = groups if groups else max(1, int(np.ceil(l / lg_n)))
+    # live-count per (group, pool row, segment); fully-padded segments of a
+    # ragged last group have zero rows in the tier, so any divisor works
+    hr = (caprows + hp - 1) // hp
+    valid = (np.asarray(sorted_ids) >= 0).astype(np.int32)     # [L, caprows]
+    if hr * hp != caprows:
+        valid = np.pad(valid, ((0, 0), (0, hr * hp - caprows)))
+    cnt = valid.reshape(l, hr, hp).sum(axis=2)                 # [L, hr]
+    if lg_n * g != l:
+        cnt = np.concatenate(
+            [cnt, np.zeros((lg_n * g - l, hr), np.int32)], axis=0
+        )
+    cnt = cnt.reshape(lg_n, g, hr).transpose(0, 2, 1)          # [Lg, hr, G]
+    cnt_d = jnp.asarray(cnt)
+    return jnp.stack([
+        _head_pool_group(coarse_by_table[lg], cnt_d[lg], hp)
+        for lg in range(lg_n)
+    ])                                            # [Lg, hr, lanes]
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +857,8 @@ def _coarse_block_scores(
     end_b: jax.Array,            # i32[B, MB]
     bs_block: int,
     start_b: Optional[jax.Array] = None,   # i32[B, MB] (window mode)
+    abs_starts: bool = False,  # base_b already holds ABSOLUTE window starts
+    #                            (post-pruning subset; skip the +mb*bs)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse inner-product scores for every candidate slot, gathered as
     CONTIGUOUS (1, bs, lanes) slices from the table-ordered coarse tier —
@@ -812,7 +880,7 @@ def _coarse_block_scores(
     g = lanes // cs
     b, mb_cap = base_b.shape
     mb = jnp.arange(mb_cap, dtype=jnp.int32)
-    blk_start = base_b + mb[None, :] * bs_block               # [B, MB]
+    blk_start = base_b if abs_starts else base_b + mb[None, :] * bs_block
     q_low = (queries @ coarse_proj).astype(jnp.bfloat16)      # [B, cs]
     if g > 1:
         lg_b = table_b2 // g
@@ -896,6 +964,93 @@ def _coarse_block_scores(
 NEG_INF_F32 = float("-inf")
 
 
+def _prune_windows(
+    coarse_head: jax.Array,      # bf16[Lg, hr, lanes]
+    head_pool: int,              # hp (pool rows per head row)
+    q_low: jax.Array,            # bf16[B, cs]
+    q_seg: Optional[jax.Array],  # bf16[B, G, lanes] (None when G == 1)
+    base_b: jax.Array,           # i32[B, MB]
+    table_b2: jax.Array,         # i32[B, MB]
+    start_b: jax.Array,          # i32[B, MB]
+    end_b: jax.Array,            # i32[B, MB]
+    win: int,
+    keep: int,
+    groups: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Phase 1 of the two-phase coarse gather: score each candidate window
+    by its pooled-head proxy (max over the masked mean rows it covers) via
+    FAST row gathers — element/full-row gathers run on the vectorized path
+    (~16 ns/row) where the per-window DMA costs ~1.2 us per descriptor —
+    and keep only the top `keep` windows per query. Returns the pruned
+    (blk_start, table, start, end), each i32[B, keep], with blk_start
+    ABSOLUTE (feed `_coarse_block_scores(..., abs_starts=True)`).
+
+    The head score is a proxy (mean of hp hash-sorted rows), not a bound:
+    windows whose best member hides in a poor pool group can be dropped, so
+    `keep` trades recall for descriptors — measured, keep = MB/4 at Deep-8M
+    shapes keeps the frontier (TPU extension; COVERAGE divergence #12)."""
+    lg_n, hr, lanes = coarse_head.shape
+    b, mb_cap = base_b.shape
+    hp = head_pool
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
+    blk_start = base_b + mb[None, :] * win                    # [B, MB]
+    live = (blk_start < end_b) & (blk_start + win > start_b)
+    g = groups
+    lg_b = table_b2 // g if g > 1 else table_b2
+    # head rows overlapping [blk_start, blk_start+win): starts are 8-aligned
+    # (not hp-aligned), so one extra row covers the straddle
+    r_head = win // hp + 1
+    g0 = blk_start // hp                                      # [B, MB]
+    j = jnp.arange(r_head, dtype=jnp.int32)
+    gidx = g0[:, :, None] + j[None, None, :]                  # [B, MB, R]
+    flat = (
+        jnp.clip(lg_b, 0, lg_n - 1)[:, :, None] * hr
+        + jnp.clip(gidx, 0, hr - 1)
+    )
+    rows = jnp.take(
+        coarse_head.reshape(lg_n * hr, lanes), flat, axis=0
+    )                                                         # [B, MB, R, lanes]
+    if g > 1:
+        # shared-rhs contraction against ALL G segment placements, then
+        # one-hot segment select (the per-block-rhs einsum lowers to tiny
+        # batched matvecs — 12.8x slower end-to-end; see _coarse_block_scores)
+        sc_g = jnp.einsum(
+            "bmrc,bsc->bmrs", rows, q_seg,
+            preferred_element_type=jnp.float32,
+        )                                                     # [B, MB, R, G]
+        seg_b = table_b2 % g
+        onehot = jax.nn.one_hot(seg_b, g, dtype=sc_g.dtype)
+        sc = (sc_g * onehot[:, :, None, :]).sum(axis=-1)      # [B, MB, R]
+    else:
+        sc = jnp.einsum(
+            "bmrc,bc->bmr", rows, q_low,
+            preferred_element_type=jnp.float32,
+        )
+    # head row g0+j covers tier rows [(g0+j)*hp, (g0+j+1)*hp); mask rows
+    # wholly outside the window's live range
+    row_lo = gidx * hp
+    lo = jnp.maximum(blk_start, start_b)[:, :, None]
+    hi = jnp.minimum(blk_start + win, end_b)[:, :, None]
+    hvalid = (row_lo + hp > lo) & (row_lo < hi)
+    wscore = jnp.max(
+        jnp.where(hvalid, sc, NEG_INF_F32), axis=2
+    )                                                         # [B, MB]
+    wscore = jnp.where(live, wscore, NEG_INF_F32)
+    # exact top-keep by window score: a 2-operand descending sort (top_k is
+    # O(n*k) — at keep ~ MB/4 the sort wins; MB is narrow, sorts are cheap)
+    _, wi = jax.lax.sort(
+        (-wscore, jnp.broadcast_to(mb[None, :], (b, mb_cap))),
+        dimension=1, num_keys=1,
+    )
+    wi = wi[:, :keep]
+    return (
+        jnp.take_along_axis(blk_start, wi, axis=1),
+        jnp.take_along_axis(table_b2, wi, axis=1),
+        jnp.take_along_axis(start_b, wi, axis=1),
+        jnp.take_along_axis(end_b, wi, axis=1),
+    )
+
+
 def _query_dense_coarse(
     state: ForestState,
     queries: jax.Array,
@@ -911,11 +1066,19 @@ def _query_dense_coarse(
     probe_valid: Optional[jax.Array] = None,
     h: Optional[jax.Array] = None,
     window: int = -1,
+    window_keep: int = 0,
+    head_pool: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query via the table-ordered coarse tier: block-contiguous coarse
     scoring of ALL candidates, then exact full-precision re-scoring of the
     top `refine` slice only. With refine >= m_cap this is exhaustive and
-    matches `_query_dense` bit-for-bit on the surviving candidate set."""
+    matches `_query_dense` bit-for-bit on the surviving candidate set.
+
+    window_keep > 0 (with a head tier, `conf.coarse_head_pool`) enables
+    TWO-PHASE window pruning: pooled-head proxy scores rank the windows
+    and only the top `window_keep` pay the DMA + wide select
+    (`_prune_windows`). window_keep >= m_cap//win degenerates to a reorder
+    (same candidate set)."""
     if h is None:
         h = hash_dense(state.model, queries)
     home = partition_of_hash(h, state.part_proj)
@@ -934,14 +1097,43 @@ def _query_dense_coarse(
         state.tables, h, home, layout, steps, m_cap, multiprobe,
         probes=probes, probe_valid=probe_valid, window=win,
     )
+    m_slab = m_cap
+    abs_starts = False
+    prune = (
+        window_keep > 0 and win > 0 and state.coarse_head is not None
+        and head_pool > 0 and win % head_pool == 0
+        and window_keep < m_cap // win
+    )
+    if prune:
+        lanes = state.coarse_by_table.shape[2]
+        cs = state.coarse_proj.shape[1]
+        g = lanes // cs
+        q_low = (queries @ state.coarse_proj).astype(jnp.bfloat16)
+        q_seg = (
+            jnp.stack(
+                [
+                    jnp.pad(q_low, ((0, 0), (s * cs, (g - 1 - s) * cs)))
+                    for s in range(g)
+                ],
+                axis=1,
+            )
+            if g > 1 else None
+        )
+        base_b, table_b2, start_b, end_b = _prune_windows(
+            state.coarse_head, head_pool, q_low, q_seg,
+            base_b, table_b2, start_b, end_b, win, window_keep, g,
+        )
+        m_slab = window_keep * win
+        abs_starts = True
     scores, pos, table_slot = _coarse_block_scores(
         state.coarse_by_table, state.coarse_proj, queries,
         base_b, table_b2, end_b, bs_block, start_b=start_b,
+        abs_starts=abs_starts,
     )
     b = queries.shape[0]
     l = state.tables.num_tables
     cap = state.tables.capacity
-    m2 = min(max(refine, (k + 1) * l), m_cap)
+    m2 = min(max(refine, (k + 1) * l), m_slab)
 
     # window-mode prefilter: STRIDED 4-WAY MAX TOURNAMENT. Each window's
     # slots regroup into win/4 groups of 4 members spaced win/4 apart
@@ -958,9 +1150,9 @@ def _query_dense_coarse(
     # per-window lax.top_k(r≈win/16) (O(n*r), ~15 ms of a 111 ms Deep-8M
     # chunk). Skipped when m2 is within 2x of m_cap/4 (incl. the
     # exhaustive refine >= m_cap parity case — bit-equal there).
-    if win and win % 4 == 0 and m2 * 8 <= m_cap:
+    if win and win % 4 == 0 and m2 * 8 <= m_slab:
         gs = 4
-        mb_n = m_cap // win
+        mb_n = m_slab // win
         wq = win // gs
         ng = mb_n * wq
         s4 = scores.reshape(b, mb_n, gs, wq)
@@ -1052,6 +1244,8 @@ def _query_dense(
     probe_budget: int = 8,
     coarse_refine: int = 2048,
     coarse_window: int = -1,
+    window_keep: int = 0,
+    head_pool: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
@@ -1076,7 +1270,8 @@ def _query_dense(
             state, queries, query_ids, layout, steps, m_cap, k,
             multiprobe, exclude_self, refine=coarse_refine,
             probes=probes, probe_valid=probe_valid, h=h,
-            window=coarse_window,
+            window=coarse_window, window_keep=window_keep,
+            head_pool=head_pool,
         )
     home = partition_of_hash(h, state.part_proj)                # [B, L] i32
     cand, total = gather_candidates(
@@ -1106,6 +1301,7 @@ query_dense = jax.jit(
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
+        "window_keep", "head_pool",
     ),
 )
 
@@ -1115,6 +1311,7 @@ query_dense = jax.jit(
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
+        "window_keep", "head_pool",
     ),
 )
 def query_dense_many(
@@ -1132,6 +1329,8 @@ def query_dense_many(
     probe_budget: int = 8,
     coarse_refine: int = 2048,
     coarse_window: int = -1,
+    window_keep: int = 0,
+    head_pool: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -1147,6 +1346,7 @@ def query_dense_many(
             multiprobe=multiprobe, exclude_self=exclude_self,
             probe_mode=probe_mode, probe_budget=probe_budget,
             coarse_refine=coarse_refine, coarse_window=coarse_window,
+            window_keep=window_keep, head_pool=head_pool,
         )
 
     ids, scores, total = jax.lax.map(
@@ -1219,16 +1419,19 @@ class RDFForest:
         coarse_refine: Optional[int] = None,
         m_cap: Optional[int] = None,
         coarse_window: Optional[int] = None,
+        window_keep: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
         Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap /
-        coarse_window default to the config's values (per-call overrides
-        let operating-point sweeps reuse one fitted forest)."""
+        coarse_window / window_keep default to the config's values
+        (per-call overrides let operating-point sweeps reuse one fitted
+        forest)."""
         ids, scores = self.query_device(
             queries, steps=steps, query_ids=query_ids, k=k,
             multiprobe=multiprobe, probe_mode=probe_mode,
             probe_budget=probe_budget, coarse_refine=coarse_refine,
             m_cap=m_cap, coarse_window=coarse_window,
+            window_keep=window_keep,
         )
         return np.asarray(ids), np.asarray(scores)
 
@@ -1244,6 +1447,7 @@ class RDFForest:
         coarse_refine: Optional[int] = None,
         m_cap: Optional[int] = None,
         coarse_window: Optional[int] = None,
+        window_keep: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """`query` without the final host transfer: returns device arrays so
         multi-tier callers (`storage.persist.TieredForest`) can merge many
@@ -1271,6 +1475,9 @@ class RDFForest:
             coarse_refine=coarse_refine or self.conf.coarse_refine,
             coarse_window=(coarse_window if coarse_window is not None
                            else self.conf.coarse_window),
+            window_keep=(window_keep if window_keep is not None
+                         else self.conf.coarse_keep),
+            head_pool=self.conf.coarse_head_pool,
         )
         thr = self.conf.similarity_threshold
         if thr > 0.0:

@@ -294,6 +294,122 @@ def test_coarse_window_tournament_prefilter_recall():
     assert hits / max(total, 1) > 0.9, hits / max(total, 1)
 
 
+def test_head_tier_masked_mean():
+    """`build_head_tier` = masked mean of each `hp` consecutive coarse rows
+    per lane segment (padding rows excluded from the divisor)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(10, 24))
+    x = centers[rng.integers(0, 10, 500)] + 0.1 * rng.normal(size=(500, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    hp = 16
+    conf = RDFConfig(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=4096, top_k=8, seed=19,
+        coarse_dim=8, coarse_refine=4096, coarse_window=64,
+        coarse_head_pool=hp,
+    )
+    f = RDFForest(conf).fit(DenseBatch(np.arange(500, dtype=np.int32), x))
+    st = f.state
+    assert st.coarse_head is not None
+    cbt = np.asarray(st.coarse_by_table, dtype=np.float32)
+    si = np.asarray(st.tables.sorted_ids)
+    lg_n, caprows, lanes = cbt.shape
+    cs = st.coarse_proj.shape[1]
+    g = lanes // cs
+    l = si.shape[0]
+    hr = (caprows + hp - 1) // hp
+    pad = hr * hp - caprows
+    sums = np.pad(cbt, ((0, 0), (0, pad), (0, 0))).reshape(
+        lg_n, hr, hp, lanes).sum(axis=2)
+    cnt = np.pad((si >= 0).astype(np.int32), ((0, 0), (0, pad))).reshape(
+        l, hr, hp).sum(axis=2)
+    if lg_n * g != l:
+        cnt = np.concatenate(
+            [cnt, np.zeros((lg_n * g - l, hr), np.int32)], axis=0)
+    cnt = cnt.reshape(lg_n, g, hr).transpose(0, 2, 1)
+    ref = sums / np.maximum(np.repeat(cnt, cs, axis=2), 1)
+    got = np.asarray(st.coarse_head, dtype=np.float32)
+    assert got.shape == (lg_n, hr, lanes)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(ref - got).max() / scale < 0.01  # bf16 rounding only
+
+
+def test_window_prune_keeps_all_is_parity():
+    """Two-phase pruning with `window_keep` large enough to cover every
+    live window must return the same top-k as the unpruned window path
+    when refine is exhaustive for both slab widths (the pruned slab is a
+    reordered subset containing all live windows)."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=4096, top_k=8, seed=19,
+    )
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 700)] + 0.1 * rng.normal(size=(700, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(700, dtype=np.int32), x)
+
+    f = RDFForest(RDFConfig(**base, coarse_dim=24, coarse_refine=4096,
+                            coarse_window=64, coarse_head_pool=8)).fit(batch)
+    # keep = MB-1 engages the prune machinery (< m_cap//win) while still
+    # covering every live window: 700 rows / 64-slot windows across 6
+    # tables * few probes << 63 windows
+    keep = base["max_candidates"] // 64 - 1
+    ids_a, sc_a = f.query(x[:16], steps=1, query_ids=np.arange(16),
+                          window_keep=0)
+    ids_b, sc_b = f.query(x[:16], steps=1, query_ids=np.arange(16),
+                          window_keep=keep)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
+
+
+def test_window_prune_recall_sane():
+    """Aggressive pruning (keep = a quarter of the windows) on clustered
+    data should preserve most of the unpruned answers — the head proxy
+    ranks the home/near buckets far above the tail."""
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    base = dict(
+        vector_dim=24, table_num=3, permutation_num=2, family_size=30,
+        partition_bits=2, lsh_table=TableConfig(chain_length=12,
+                                                bucket_overflow=16),
+        query_batch_size=16, max_candidates=4096, top_k=8, seed=19,
+    )
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(12, 24))
+    x = centers[rng.integers(0, 12, 900)] + 0.1 * rng.normal(size=(900, 24))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    batch = DenseBatch(np.arange(900, dtype=np.int32), x)
+
+    f = RDFForest(RDFConfig(**base, coarse_dim=24, coarse_refine=4096,
+                            coarse_window=64, coarse_head_pool=8,
+                            coarse_keep=16)).fit(batch)
+    ids_a, _ = f.query(x[:16], steps=1, query_ids=np.arange(16),
+                       window_keep=0)
+    ids_b, _ = f.query(x[:16], steps=1, query_ids=np.arange(16))  # conf keep
+    hits = total = 0
+    for i in range(16):
+        ga = set(ids_a[i][ids_a[i] >= 0].tolist())
+        gb = set(ids_b[i][ids_b[i] >= 0].tolist())
+        hits += len(ga & gb)
+        total += len(ga)
+    assert hits / max(total, 1) > 0.85, hits / max(total, 1)
+
+
 def test_dense_similarity_threshold_filter():
     """similarity_threshold > 0 post-filters results by exact score — the
     live equivalent of the reference's dead hash-distance filter
