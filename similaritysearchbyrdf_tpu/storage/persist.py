@@ -110,6 +110,24 @@ def load_forest(path: str) -> RDFForest:
     dpad = int(np.ceil(corpus.shape[1] / 128.0) * 128)
     if dpad != corpus.shape[1]:       # legacy unpadded save: pad on load
         corpus = jnp.pad(corpus, ((0, 0), (0, dpad - corpus.shape[1])))
+    # the coarse tier (and its pooled-head tier) is DERIVED data — seeded
+    # projection over the saved corpus in the saved sort order — so it is
+    # rebuilt rather than serialized (like `records`), keeping checkpoints
+    # at corpus + CSR size while loads land on the same query path that a
+    # fresh fit would take
+    coarse_proj = coarse_by_table = coarse_head = None
+    if conf.coarse_dim:
+        from ..index.forest import _build_coarse_tier, build_head_tier
+
+        coarse_proj, coarse_by_table = _build_coarse_tier(
+            corpus, tables.sorted_ids, conf.coarse_dim,
+            conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
+        )
+        if conf.coarse_head_pool:
+            coarse_head = build_head_tier(
+                coarse_by_table, tables.sorted_ids, conf.coarse_head_pool,
+                groups=max(1, 128 // coarse_proj.shape[1]),
+            )
     state = ForestState(
         model=model,
         part_proj=jnp.asarray(z["part_proj"]),
@@ -121,6 +139,9 @@ def load_forest(path: str) -> RDFForest:
             if conf.rerank_dtype == "bfloat16"
             else None
         ),
+        coarse_proj=coarse_proj,
+        coarse_by_table=coarse_by_table,
+        coarse_head=coarse_head,
     )
     forest = RDFForest(conf, model=model)
     forest.part_proj = state.part_proj

@@ -65,6 +65,33 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
 
 
+def test_save_load_rebuilds_coarse_tier(tmp_path):
+    """A forest fitted with a coarse tier (+ head tier) must load back onto
+    the SAME query path: the tiers are derived data (seeded projection over
+    the saved corpus in the saved sort order), rebuilt bit-identically on
+    load rather than serialized."""
+    rng = np.random.default_rng(4)
+    x = _data(rng, n=600)
+    conf = _conf(coarse_dim=8, coarse_refine=2048, coarse_window=64,
+                 coarse_head_pool=8, coarse_keep=16)
+    forest = RDFForest(conf).fit(
+        DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    ids0, sc0 = forest.query(x[:8], steps=1, query_ids=np.arange(8))
+
+    save_forest(forest, str(tmp_path / "idxc"))
+    loaded = load_forest(str(tmp_path / "idxc"))
+    st = loaded.state
+    assert st.coarse_by_table is not None and st.coarse_head is not None
+    np.testing.assert_array_equal(
+        np.asarray(st.coarse_by_table),
+        np.asarray(forest.state.coarse_by_table))
+    np.testing.assert_array_equal(
+        np.asarray(st.coarse_head), np.asarray(forest.state.coarse_head))
+    ids1, sc1 = loaded.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+
 def test_tiered_spill_and_merge(tmp_path):
     """Spill an old generation, fit fresh data, query must merge both —
     the read path the reference implements at
