@@ -372,6 +372,38 @@ def _head_pool_group(tier_g, cnt_g, hp):
     )
 
 
+def head_tier_traced(
+    cbt: jax.Array,      # int8/bf16[Lg, caprows, G*cs] (traced ok)
+    si: jax.Array,       # i32[L, caprows]
+    hp: int,
+    groups: int,
+) -> jax.Array:
+    """Pure-jnp head-tier build (shard_map-safe: no host numpy, no
+    collectives) — same masked-mean semantics as :func:`build_head_tier`."""
+    lg_n, caprows, lanes = cbt.shape
+    l = si.shape[0]
+    g = groups
+    hr = -(-caprows // hp)
+    pad = hr * hp - caprows
+    t = jnp.pad(cbt, ((0, 0), (0, pad), (0, 0))) if pad else cbt
+    sums = jnp.sum(
+        t.reshape(lg_n, hr, hp, lanes).astype(jnp.float32), axis=2
+    )                                                  # [Lg, hr, lanes]
+    valid = (si >= 0).astype(jnp.int32)
+    if pad:
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    cnt = valid.reshape(l, hr, hp).sum(axis=2)         # [L, hr]
+    if lg_n * g != l:
+        cnt = jnp.concatenate(
+            [cnt, jnp.zeros((lg_n * g - l, hr), jnp.int32)], axis=0
+        )
+    cnt = cnt.reshape(lg_n, g, hr).transpose(0, 2, 1)  # [Lg, hr, G]
+    cnt_l = jnp.repeat(cnt, lanes // g, axis=2)
+    return (sums / jnp.maximum(cnt_l, 1).astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+
+
 def build_head_tier(
     coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, G*cs]
     sorted_ids: jax.Array,        # i32[L, caprows]

@@ -66,6 +66,7 @@ class ShardedForestState:
     corpus_lp: Optional[jax.Array] = None  # bf16[ndev, Nloc, D] coarse copy
     coarse_proj: Optional[jax.Array] = None      # replicated f32[D, cs]
     coarse_by_table: Optional[jax.Array] = None  # [ndev, Lg, Nloc+ID_PAD, G*cs] lane-packed
+    coarse_head: Optional[jax.Array] = None      # bf16[ndev, Lg, ceil/hp, G*cs]
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -97,6 +98,9 @@ class ShardedForestState:
                 None if self.coarse_by_table is None
                 else self.coarse_by_table[0]
             ),
+            coarse_head=(
+                None if self.coarse_head is None else self.coarse_head[0]
+            ),
         )
 
 
@@ -115,6 +119,7 @@ def _local_fit(
     overflow: int,
     nb_pad: int,
     coarse_int8: bool,
+    head_pool: int = 0,
 ):
     v = values[0]
     rid = row_ids[0]
@@ -149,6 +154,11 @@ def _local_fit(
 
         cbt = _pack_tables_by_lane(low, si)          # [Lg, Nloc+P, G*cs]
         out = out + (cbt[None],)
+        if head_pool:
+            from ..index.forest import head_tier_traced
+
+            g = max(1, 128 // low.shape[1])
+            out = out + (head_tier_traced(cbt, si, head_pool, g)[None],)
     return out
 
 
@@ -188,7 +198,8 @@ def _fit_from_device_arrays(
         if cs != proj.shape[1]:
             proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
         coarse_proj = jnp.asarray(proj)
-    n_out = 7 if coarse_proj is not None else 6
+    head_pool = conf.coarse_head_pool if coarse_proj is not None else 0
+    n_out = 6 + (coarse_proj is not None) + (head_pool > 0)
 
     body = functools.partial(
         _local_fit,
@@ -196,6 +207,7 @@ def _fit_from_device_arrays(
         overflow=conf.lsh_table.bucket_overflow,
         nb_pad=nb_pad,
         coarse_int8=conf.coarse_dtype == "int8",
+        head_pool=head_pool,
     )
     if coarse_proj is None:
         fit_fn = jax.jit(
@@ -219,6 +231,7 @@ def _fit_from_device_arrays(
         out = fit_fn(values_d, row_ids_d, model, part_proj, coarse_proj)
     sk, si, bk, bs, bsh, rec = out[:6]
     cbt = out[6] if coarse_proj is not None else None
+    chd = out[7] if head_pool else None
     # store LANE-PADDED scoring copies (hashing above used the true-D
     # values): 128-multiple rows gather faster; rerank pads queries to match
     d = values_d.shape[2]
@@ -246,6 +259,7 @@ def _fit_from_device_arrays(
         ),
         coarse_proj=coarse_proj,
         coarse_by_table=cbt,
+        coarse_head=chd,
     )
 
 
@@ -352,9 +366,13 @@ def _local_query(
     probe_mode: str = "reference",
     probe_budget: int = 8,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
+    window_keep: int = 0,
+    head_pool: int = 0,
 ):
     # the shard-local search IS the single-chip pipeline (classic, margin
-    # probes, or the table-ordered coarse tier — whatever the state carries)
+    # probes, the table-ordered coarse tier, or the two-phase pruned
+    # window path — whatever the state carries)
     from ..index.forest import _query_dense
 
     ids, scores, total = _query_dense(
@@ -362,6 +380,8 @@ def _local_query(
         steps=steps, m_cap=m_cap, k=k, multiprobe=multiprobe,
         exclude_self=exclude_self, probe_mode=probe_mode,
         probe_budget=probe_budget, coarse_refine=coarse_refine,
+        coarse_window=coarse_window, window_keep=window_keep,
+        head_pool=head_pool,
     )
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
@@ -393,6 +413,10 @@ def make_query_fn(
     probe_mode: str = "reference",
     probe_budget: int = 8,
     coarse_refine: int = 2048,
+    coarse_window: int = -1,
+    window_keep: int = 0,
+    head_pool: int = 0,
+    has_head: bool = False,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
@@ -412,6 +436,7 @@ def make_query_fn(
         corpus_lp=P(SHARD_AXIS) if has_lp else None,
         coarse_proj=P() if has_coarse else None,
         coarse_by_table=P(SHARD_AXIS) if has_coarse else None,
+        coarse_head=P(SHARD_AXIS) if has_head else None,
     )
     fn = jax.shard_map(
         functools.partial(
@@ -425,6 +450,9 @@ def make_query_fn(
             probe_mode=probe_mode,
             probe_budget=probe_budget,
             coarse_refine=coarse_refine,
+            coarse_window=coarse_window,
+            window_keep=window_keep,
+            head_pool=head_pool,
         ),
         mesh=mesh,
         in_specs=(state_specs, P(), P()),
@@ -475,6 +503,7 @@ class ShardedRDFForest:
         multiprobe: bool = True,
         probe_mode: str = "reference",
         probe_budget: int = 8,
+        window_keep: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         assert self.state is not None, "need to fit the data first"
         k = k or self.conf.top_k
@@ -487,7 +516,8 @@ class ShardedRDFForest:
             else np.full((q,), -1, dtype=np.int32)
         )
         bs = self.conf.query_batch_size
-        key = (steps, k, multiprobe, exclude, probe_mode, probe_budget)
+        keep = window_keep if window_keep is not None else self.conf.coarse_keep
+        key = (steps, k, multiprobe, exclude, probe_mode, probe_budget, keep)
         if key not in self._query_fns:
             self._query_fns[key] = make_query_fn(
                 self.mesh, self.layout, steps=steps,
@@ -497,6 +527,9 @@ class ShardedRDFForest:
                 has_coarse=self.state.coarse_by_table is not None,
                 coarse_refine=self.conf.coarse_refine,
                 probe_mode=probe_mode, probe_budget=probe_budget,
+                coarse_window=self.conf.coarse_window,
+                window_keep=keep, head_pool=self.conf.coarse_head_pool,
+                has_head=self.state.coarse_head is not None,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs

@@ -181,6 +181,40 @@ def test_sharded_coarse_tier_matches_classic():
     np.testing.assert_allclose(sa, sb, rtol=1e-5)
 
 
+def test_sharded_window_prune_parity_and_overlap():
+    """Two-phase window pruning under SPMD: with window_keep covering every
+    live window and exhaustive refine, the pruned sharded query equals the
+    unpruned one; with aggressive keep it still recovers most answers."""
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        ShardedRDFForest)
+
+    rng = np.random.default_rng(41)
+    x = _data(rng, 1200)
+    batch = DenseBatch(np.arange(1200, dtype=np.int32), x)
+
+    f = ShardedRDFForest(
+        _conf(coarse_dim=24, coarse_refine=8192, coarse_window=64,
+              coarse_head_pool=8),
+        mesh=make_forest_mesh(8), seed=3)
+    f.fit(batch)
+    assert f.state.coarse_head is not None
+    a, sa = f.query(x[:16], steps=1, query_ids=np.arange(16), window_keep=0)
+    keep_all = f.conf.max_candidates // 64 - 1
+    b, sb = f.query(x[:16], steps=1, query_ids=np.arange(16),
+                    window_keep=keep_all)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+    c, _ = f.query(x[:16], steps=1, query_ids=np.arange(16), window_keep=16)
+    hits = total = 0
+    for i in range(16):
+        ga = set(a[i][a[i] >= 0].tolist())
+        gc = set(c[i][c[i] >= 0].tolist())
+        hits += len(ga & gc)
+        total += len(ga)
+    assert hits / max(total, 1) > 0.85, hits / max(total, 1)
+
+
 def test_sharded_margin_probes():
     """Margin-guided probing works through the sharded path."""
     from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
