@@ -1074,7 +1074,10 @@ def _prune_windows(
         (-wscore, jnp.broadcast_to(mb[None, :], (b, mb_cap))),
         dimension=1, num_keys=1,
     )
-    wi = wi[:, :keep]
+    # restore SLOT order among survivors: the window flatten lays ranges out
+    # as adjacent slots = adjacent source rows, which the DMA run-coalescer
+    # (`_run_classes`) keys on — score order would break every run
+    wi = jnp.sort(wi[:, :keep], axis=1)
     return (
         jnp.take_along_axis(blk_start, wi, axis=1),
         jnp.take_along_axis(table_b2, wi, axis=1),
