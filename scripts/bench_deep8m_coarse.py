@@ -69,7 +69,8 @@ def main():
         vector_dim=D, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3, lsh_table=TableConfig(chain_length=32,
                                                 bucket_overflow=overflow),
-        query_batch_size=64, max_candidates=65536, top_k=10,
+        query_batch_size=int(os.environ.get("DEEP_QB", "64")),
+        max_candidates=65536, top_k=10,
         coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
         coarse_head_pool=head_pool,
     )
@@ -134,6 +135,8 @@ def main():
             if keep:
                 point["window_keep"] = keep
                 point["head_pool"] = head_pool
+            if conf.query_batch_size != 64:
+                point["query_batch"] = conf.query_batch_size
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
             if saf != "8":
                 point["select_approx_factor"] = int(saf)
