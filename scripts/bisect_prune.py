@@ -111,20 +111,15 @@ def main():
             cap = tables.capacity
             m_slab = KEEP * WIN
             m2 = min(max(REFINE, (K + 1) * l), m_slab)
-            use_approx = m2 * 8 <= m_slab
-            if use_approx:
-                vals, idxs = jax.lax.approx_max_k(
-                    scores, m2, recall_target=0.98)
-                t2 = jnp.take_along_axis(table_slot, idxs, axis=1)
-                p2 = jnp.take_along_axis(pos, idxs, axis=1)
-                sel_valid = jnp.isfinite(vals)
-            else:
-                payload = table_slot * jnp.int32(cap + 1) + pos
-                neg_s, payload_s = jax.lax.sort(
-                    (-scores, payload), dimension=1, num_keys=1)
-                t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
-                p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
-                sel_valid = jnp.isfinite(-neg_s[:, :m2])
+            # the PRODUCTION tournament + select (shared helpers — the old
+            # bisect re-implemented select without the tournament and hit
+            # the degenerate approx_max_k shape production avoids)
+            scores, pos, table_slot = F._strided_tournament(
+                scores, pos, table_slot, WIN, m_slab, m2, M_CAP, l, cap)
+            if stage == "tourn":
+                return scores.sum() + pos.sum() + table_slot.sum()
+            t2, p2, sel_valid = F._select_m2(scores, pos, table_slot,
+                                             m2, l, cap)
             if stage == "select":
                 return t2.sum() + p2.sum()
             cand2 = tables.sorted_ids[jnp.clip(t2, 0, l - 1),
@@ -143,8 +138,8 @@ def main():
 
     prev = 0.0
     outd = {}
-    for stage in ("hash+probes", "flatten", "phase1", "coarse", "select",
-                  "idgather", "exact", "full"):
+    for stage in ("hash+probes", "flatten", "phase1", "coarse", "tourn",
+                  "select", "idgather", "exact", "full"):
         fn = upto(stage)
         t = timeit(fn, state.tables, state.coarse_by_table,
                    state.coarse_head, state.coarse_proj,

@@ -1086,6 +1086,107 @@ def _prune_windows(
     )
 
 
+def _strided_tournament(
+    scores: jax.Array,      # f32[B, m_slab]
+    pos: jax.Array,         # i32[B, m_slab]
+    table_slot: jax.Array,  # i32[B, m_slab]
+    win: int,
+    m_slab: int,
+    m2: int,
+    m_cap: int,
+    l: int,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Window-mode prefilter: STRIDED 4-WAY MAX TOURNAMENT. Each window's
+    slots regroup into win/4 groups of 4 members spaced win/4 apart
+    ([B, MB, 4, win/4], reduce axis 2 — max + one-hot payload select,
+    all O(n) elementwise/reduce passes), so the wide select below runs
+    over a 4x narrower slab. The STRIDE matters: a bucket's rows are
+    CONSECUTIVE slots and a query's true neighbors cluster in its home
+    bucket, so consecutive grouping makes them eliminate each other
+    (measured 0.46 top-k overlap on a clustered corpus); strided
+    members are bucket rows ~win/4 apart, so the bucket's coarse-top-j
+    row survives with p ≈ (1 - 3(j-1)/win) — ~0.95 for j=10 at win
+    512 — per APPEARANCE, and close neighbors appear in most of the L
+    tables' probed buckets with ~independent groupings. Replaces a
+    per-window lax.top_k(r≈win/16) (O(n*r), ~15 ms of a 111 ms Deep-8M
+    chunk). Skipped (identity) when m2 is within 2x of m_slab/4 (incl.
+    the exhaustive refine >= m_cap parity case — bit-equal there)."""
+    if not (win and win % 4 == 0 and m2 * 8 <= m_slab):
+        return scores, pos, table_slot
+    b = scores.shape[0]
+    gs = 4
+    mb_n = m_slab // win
+    wq = win // gs
+    ng = mb_n * wq
+    s4 = scores.reshape(b, mb_n, gs, wq)
+    am = jnp.argmax(s4, axis=2)                        # [B, MB, WQ]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, mb_n, gs, wq), 2)
+        == am[:, :, None, :]
+    )
+    scores = jnp.max(s4, axis=2).reshape(b, ng)
+    # pos on dead tail windows can exceed cap by up to m_cap before
+    # the downstream clip — include that margin in the overflow guard
+    if l * (cap + 1) + m_cap < 2**31:
+        packed = table_slot * jnp.int32(cap + 1) + pos
+        packed = jnp.sum(
+            jnp.where(onehot, packed.reshape(b, mb_n, gs, wq), 0),
+            axis=2,
+        ).reshape(b, ng)
+        pos = packed % jnp.int32(cap + 1)
+        table_slot = packed // jnp.int32(cap + 1)
+    else:
+        pos = jnp.sum(
+            jnp.where(onehot, pos.reshape(b, mb_n, gs, wq), 0), axis=2
+        ).reshape(b, ng)
+        table_slot = jnp.sum(
+            jnp.where(onehot, table_slot.reshape(b, mb_n, gs, wq), 0),
+            axis=2,
+        ).reshape(b, ng)
+    return scores, pos, table_slot
+
+
+def _select_m2(
+    scores: jax.Array,      # f32[B, W]
+    pos: jax.Array,         # i32[B, W]
+    table_slot: jax.Array,  # i32[B, W]
+    m2: int,
+    l: int,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-m2 by coarse score → (t2, p2, sel_valid). For narrow slices the
+    TPU's hardware approximate top-k (PartialReduce) replaces the full-width
+    sort — the refine slice is itself a coarse pre-selection, so a >=98%
+    per-element retrieval target costs no measurable end recall (verified on
+    the 1.2M bench) and saves a [B, W]-wide 2-operand sort.
+    FOREST_SELECT_APPROX_FACTOR env knob for on-hardware A/B: at m2 == W/8
+    approx_max_k's PartialReduce is near-degenerate (the Deep-8M bisect
+    charges 30 ms to this select at [64, 65536] -> 8192) and the packed
+    2-operand sort may win; raise the factor to push such shapes onto the
+    sort path."""
+    use_approx = m2 * _SELECT_APPROX_FACTOR <= scores.shape[1]
+    can_pack = l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES
+    if use_approx:
+        vals, idxs = jax.lax.approx_max_k(scores, m2, recall_target=0.98)
+        t2 = jnp.take_along_axis(table_slot, idxs, axis=1)
+        p2 = jnp.take_along_axis(pos, idxs, axis=1)
+        sel_valid = jnp.isfinite(vals)
+    elif can_pack:
+        payload = table_slot * jnp.int32(cap + 1) + pos
+        neg_s, payload_s = jax.lax.sort((-scores, payload), dimension=1,
+                                        num_keys=1)
+        t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
+        p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
+        sel_valid = jnp.isfinite(-neg_s[:, :m2])
+    else:
+        neg_s, t_s, p_s = jax.lax.sort((-scores, table_slot, pos),
+                                       dimension=1, num_keys=1)
+        t2, p2 = t_s[:, :m2], p_s[:, :m2]
+        sel_valid = jnp.isfinite(-neg_s[:, :m2])
+    return t2, p2, sel_valid
+
+
 def _query_dense_coarse(
     state: ForestState,
     queries: jax.Array,
@@ -1170,80 +1271,10 @@ def _query_dense_coarse(
     cap = state.tables.capacity
     m2 = min(max(refine, (k + 1) * l), m_slab)
 
-    # window-mode prefilter: STRIDED 4-WAY MAX TOURNAMENT. Each window's
-    # slots regroup into win/4 groups of 4 members spaced win/4 apart
-    # ([B, MB, 4, win/4], reduce axis 2 — max + one-hot payload select,
-    # all O(n) elementwise/reduce passes), so the wide select below runs
-    # over a 4x narrower slab. The STRIDE matters: a bucket's rows are
-    # CONSECUTIVE slots and a query's true neighbors cluster in its home
-    # bucket, so consecutive grouping makes them eliminate each other
-    # (measured 0.46 top-k overlap on a clustered corpus); strided
-    # members are bucket rows ~win/4 apart, so the bucket's coarse-top-j
-    # row survives with p ≈ (1 - 3(j-1)/win) — ~0.95 for j=10 at win
-    # 512 — per APPEARANCE, and close neighbors appear in most of the L
-    # tables' probed buckets with ~independent groupings. Replaces a
-    # per-window lax.top_k(r≈win/16) (O(n*r), ~15 ms of a 111 ms Deep-8M
-    # chunk). Skipped when m2 is within 2x of m_cap/4 (incl. the
-    # exhaustive refine >= m_cap parity case — bit-equal there).
-    if win and win % 4 == 0 and m2 * 8 <= m_slab:
-        gs = 4
-        mb_n = m_slab // win
-        wq = win // gs
-        ng = mb_n * wq
-        s4 = scores.reshape(b, mb_n, gs, wq)
-        am = jnp.argmax(s4, axis=2)                        # [B, MB, WQ]
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (b, mb_n, gs, wq), 2)
-            == am[:, :, None, :]
-        )
-        scores = jnp.max(s4, axis=2).reshape(b, ng)
-        # pos on dead tail windows can exceed cap by up to m_cap before
-        # the downstream clip — include that margin in the overflow guard
-        if l * (cap + 1) + m_cap < 2**31:
-            packed = table_slot * jnp.int32(cap + 1) + pos
-            packed = jnp.sum(
-                jnp.where(onehot, packed.reshape(b, mb_n, gs, wq), 0),
-                axis=2,
-            ).reshape(b, ng)
-            pos = packed % jnp.int32(cap + 1)
-            table_slot = packed // jnp.int32(cap + 1)
-        else:
-            pos = jnp.sum(
-                jnp.where(onehot, pos.reshape(b, mb_n, gs, wq), 0), axis=2
-            ).reshape(b, ng)
-            table_slot = jnp.sum(
-                jnp.where(onehot, table_slot.reshape(b, mb_n, gs, wq), 0),
-                axis=2,
-            ).reshape(b, ng)
-
-    # top-m2 by coarse score. For narrow slices the TPU's hardware
-    # approximate top-k (PartialReduce) replaces the full-width sort — the
-    # refine slice is itself a coarse pre-selection, so a >=98% per-element
-    # retrieval target costs no measurable end recall (verified on the 1.2M
-    # bench) and saves a [B, m_cap]-wide 2-operand sort.
-    # env knob for on-hardware A/B: at m2 == width/8 approx_max_k's
-    # PartialReduce is near-degenerate (the Deep-8M bisect charges 30 ms to
-    # this select at [64, 65536] -> 8192) and the packed 2-operand sort may
-    # win; raise the factor to push such shapes onto the sort path
-    use_approx = m2 * _SELECT_APPROX_FACTOR <= scores.shape[1]
-    can_pack = l * (cap + 1) < 2**31 and not _FORCE_UNPACKED_RANGES
-    if use_approx:
-        vals, idxs = jax.lax.approx_max_k(scores, m2, recall_target=0.98)
-        t2 = jnp.take_along_axis(table_slot, idxs, axis=1)
-        p2 = jnp.take_along_axis(pos, idxs, axis=1)
-        sel_valid = jnp.isfinite(vals)
-    elif can_pack:
-        payload = table_slot * jnp.int32(cap + 1) + pos
-        neg_s, payload_s = jax.lax.sort((-scores, payload), dimension=1,
-                                        num_keys=1)
-        t2 = payload_s[:, :m2] // jnp.int32(cap + 1)
-        p2 = payload_s[:, :m2] % jnp.int32(cap + 1)
-        sel_valid = jnp.isfinite(-neg_s[:, :m2])
-    else:
-        neg_s, t_s, p_s = jax.lax.sort((-scores, table_slot, pos),
-                                       dimension=1, num_keys=1)
-        t2, p2 = t_s[:, :m2], p_s[:, :m2]
-        sel_valid = jnp.isfinite(-neg_s[:, :m2])
+    scores, pos, table_slot = _strided_tournament(
+        scores, pos, table_slot, win, m_slab, m2, m_cap, l, cap
+    )
+    t2, p2, sel_valid = _select_m2(scores, pos, table_slot, m2, l, cap)
 
     cand2 = state.tables.sorted_ids[
         jnp.clip(t2, 0, l - 1), jnp.clip(p2, 0, cap - 1)
