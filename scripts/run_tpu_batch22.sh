@@ -26,8 +26,10 @@ probe
 echo "[batch22] deep8m coarse prune sweep at B=256 $(date -u +%H:%M:%S)"
 export DEEP_OVERFLOW=2000 DEEP_HEAD_POOL=64 DEEP_QB=256
 # phase-1 is 4.4 ms of a 66.7 ms chunk (results/bisect_prune.json) — keep
-# can afford to drop: sweep keep 64..192 at the 512-window point
-export DEEP_POINTS="1,16,12288,512,262144,64;1,16,12288,512,262144,96;1,16,12288,512,262144,128;1,16,12288,512,262144,192;1,16,12288,512,524288,192"
+# can afford to drop: sweep keep 64..192 at the 512-window point.
+# refine=8192 points ride the strided-tournament select (m2*8 <= keep*win
+# fires at keep >= 128) and halve the idgather/exact tail vs refine 12288.
+export DEEP_POINTS="1,16,8192,512,262144,64;1,16,8192,512,262144,96;1,16,8192,512,262144,128;1,16,12288,512,262144,128;1,16,12288,512,262144,192;1,16,8192,512,524288,192"
 timeout 10800 python scripts/bench_deep8m_coarse.py 2>&1 | tail -10
 unset DEEP_POINTS DEEP_OVERFLOW DEEP_HEAD_POOL DEEP_QB
 echo "[batch22] done $(date -u +%H:%M:%S)"
