@@ -375,6 +375,37 @@ def test_window_prune_keeps_all_is_parity():
     np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
 
 
+def test_prune_windows_slot_order():
+    """Survivors of `_prune_windows` must come out in ascending slot
+    (address) order — the DMA run-coalescer (`_run_classes`) forms runs
+    only from windows that are adjacent in BOTH slot and source-row
+    order, so a score-ordered prune would break every run."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.index.forest import _prune_windows
+
+    rng = np.random.default_rng(0)
+    b, mb, win, hp, keep = 4, 32, 16, 8, 8
+    lg_n, hr, lanes = 3, 64, 16
+    head = jnp.asarray(rng.normal(size=(lg_n, hr, lanes)),
+                       dtype=jnp.bfloat16)
+    q_low = jnp.asarray(rng.normal(size=(b, lanes)), dtype=jnp.bfloat16)
+    # a few live ranges per query, each spanning 2-4 windows
+    start = rng.integers(0, hr * hp - 4 * win, size=(b, mb)).astype(np.int32)
+    start = np.sort(start, axis=1)
+    base = (start // win) * win
+    end = start + rng.integers(win, 4 * win, size=(b, mb)).astype(np.int32)
+    table = rng.integers(0, lg_n, size=(b, mb)).astype(np.int32)
+    bb, tb, sb, eb = _prune_windows(
+        head, hp, q_low, None, jnp.asarray(base), jnp.asarray(table),
+        jnp.asarray(start), jnp.asarray(end), win, keep, 1,
+    )
+    bb = np.asarray(bb)
+    # blk_start[slot] = base[slot] + slot*win is strictly increasing per
+    # query (base is sorted), so slot-ordered survivors must be too
+    assert (np.diff(bb, axis=1) > 0).all(), bb
+
+
 def test_window_prune_recall_sane():
     """Aggressive pruning (keep = a quarter of the windows) on clustered
     data should preserve most of the unpruned answers — the head proxy
