@@ -80,15 +80,30 @@ def bench_ivf(x, q, gt_sets):
         (8, 64, 512), (16, 64, 512), (32, 64, 512), (16, 64, 2048),
     )
     if os.environ.get("IVF_POINTS"):
+        # "nprobe,win,refine[,head_pool,keep];..." — optional 4th/5th fields
+        # enable two-phase window pruning (_ivf_prune_windows)
         sweep = tuple(tuple(int(v) for v in grp.split(","))
                       for grp in os.environ["IVF_POINTS"].split(";"))
-    for nprobe, win, refine in sweep:
+    heads_cache = {}
+    for pt in sweep:
+        nprobe, win, refine = pt[:3]
+        hp = pt[3] if len(pt) > 3 else 0
+        keep = pt[4] if len(pt) > 4 else 0
         wb = ivf_window_budget(state.starts, state.ends, nprobe, win)
         try:
+            heads = None
+            if hp and keep:
+                if hp not in heads_cache:
+                    from similaritysearchbyrdf_tpu.ops.ivf import (
+                        build_ivf_heads)
+                    heads_cache[hp] = build_ivf_heads(
+                        state.sketch, state.row_ids, hp)
+                heads = heads_cache[hp]
             args = (state.sketch, state.corpus, state.row_ids,
                     state.centroids, state.starts, state.ends, qd, qids, 10)
             kw = dict(nprobe=nprobe, win=win, wb=wb, refine=refine,
-                      exclude_self=False)
+                      exclude_self=False, heads=heads, head_pool=hp,
+                      keep=keep)
             ids, _ = ivf_topk(*args, **kw)
             jax.block_until_ready(ids)
             t0 = time.perf_counter()
@@ -100,11 +115,14 @@ def bench_ivf(x, q, gt_sets):
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
             rec, qps = hits / (NQ * 10), NQ / dt
-            print(f"nprobe{nprobe}_win{win}_wb{wb}_rf{refine}: {qps:.0f} qps "
+            print(f"nprobe{nprobe}_win{win}_wb{wb}_rf{refine}"
+                  f"_hp{hp}_keep{keep}: {qps:.0f} qps "
                   f"recall {rec:.4f}", flush=True)
             out["points"].append({"nprobe": nprobe, "win": win, "wb": wb,
                                   "refine": refine, "qps": round(qps),
-                                  "recall@10": round(rec, 4)})
+                                  "recall@10": round(rec, 4),
+                                  **({"head_pool": hp, "keep": keep}
+                                     if hp and keep else {})})
         except Exception:
             import traceback
             traceback.print_exc()
@@ -123,6 +141,18 @@ def bench_ivf(x, q, gt_sets):
     out["note"] = ("IVF on the HARD corpus (utils.datasets.hard_clustered "
                    "seed 7): overlapping clusters + heavy tail; exact GT; "
                    "fresh (non-corpus) queries; pipelined timing; v5e")
+
+    def _key(p):
+        return (p["nprobe"], p["win"], p["refine"],
+                p.get("head_pool", 0), p.get("keep", 0))
+
+    try:   # keep prior sweep points when running an IVF_POINTS subset
+        with open("results/ivf_hard8m.json") as f:
+            prior = json.load(f).get("points", [])
+        seen = {_key(p) for p in out["points"]}
+        out["points"] += [p for p in prior if _key(p) not in seen]
+    except (OSError, ValueError, KeyError):
+        pass
     with open("results/ivf_hard8m.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)

@@ -66,16 +66,29 @@ def main():
         (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),
         (8, 64, 2048))
     if os.environ.get("IVF_POINTS"):
-        # "nprobe,win,refine;..." override for ad-hoc sweeps (e.g. larger
-        # windows to cut DMA descriptor count per probed cluster)
+        # "nprobe,win,refine[,head_pool,keep];..." override for ad-hoc
+        # sweeps; 4th/5th fields enable two-phase window pruning
         sweep = tuple(tuple(int(v) for v in grp.split(","))
                       for grp in os.environ["IVF_POINTS"].split(";"))
-    for nprobe, win, refine in sweep:
+    heads_cache = {}
+    for pt in sweep:
+        nprobe, win, refine = pt[:3]
+        hp = pt[3] if len(pt) > 3 else 0
+        keep = pt[4] if len(pt) > 4 else 0
         wb = ivf_window_budget(state.starts, state.ends, nprobe, win)
         try:
+            heads = None
+            if hp and keep:
+                if hp not in heads_cache:
+                    from similaritysearchbyrdf_tpu.ops.ivf import (
+                        build_ivf_heads)
+                    heads_cache[hp] = build_ivf_heads(
+                        state.sketch, state.row_ids, hp)
+                heads = heads_cache[hp]
             args = (state.sketch, state.corpus, state.row_ids,
                     state.centroids, state.starts, state.ends, qd, qids, 10)
-            kw = dict(nprobe=nprobe, win=win, wb=wb, refine=refine)
+            kw = dict(nprobe=nprobe, win=win, wb=wb, refine=refine,
+                      heads=heads, head_pool=hp, keep=keep)
             ids, _ = ivf_topk(*args, **kw)
             jax.block_until_ready(ids)
             t0 = time.perf_counter()
@@ -88,23 +101,30 @@ def main():
                                             if v >= 0)) for i in range(NQ))
             rec = hits / (NQ * 10)
             qps = NQ / dt
-            print(f"nprobe{nprobe}_win{win}_wb{wb}_rf{refine}: {qps:.0f} qps "
+            print(f"nprobe{nprobe}_win{win}_wb{wb}_rf{refine}"
+                  f"_hp{hp}_keep{keep}: {qps:.0f} qps "
                   f"recall {rec:.4f}", flush=True)
             out["points"].append({"nprobe": nprobe, "win": win, "wb": wb,
                                   "refine": refine, "qps": round(qps),
-                                  "recall@10": round(rec, 4)})
+                                  "recall@10": round(rec, 4),
+                                  **({"head_pool": hp, "keep": keep}
+                                     if hp and keep else {})})
         except Exception:
             import traceback
             traceback.print_exc()
             print(f"nprobe{nprobe}: FAILED", flush=True)
     out["note"] = ("IVF clustered-flat (ops/ivf.py); synthetic clustered "
                    "corpus seed 11; exact GT; pipelined timing; v5e")
+
+    def _key(p):
+        return (p["nprobe"], p["win"], p["refine"],
+                p.get("head_pool", 0), p.get("keep", 0))
+
     try:   # keep prior sweep points when running an IVF_POINTS subset
         with open("results/ivf_deep8m.json") as f:
             prior = json.load(f).get("points", [])
-        seen = {(p["nprobe"], p["win"], p["refine"]) for p in out["points"]}
-        out["points"] += [p for p in prior
-                          if (p["nprobe"], p["win"], p["refine"]) not in seen]
+        seen = {_key(p) for p in out["points"]}
+        out["points"] += [p for p in prior if _key(p) not in seen]
     except (OSError, ValueError, KeyError):
         pass
     with open("results/ivf_deep8m.json", "w") as f:

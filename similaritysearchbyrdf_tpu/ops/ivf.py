@@ -190,6 +190,38 @@ class IVFState(NamedTuple):
     #                        alignment pad rows are all-zero and score 0,
     #                        which would otherwise beat real negative-
     #                        scoring candidates into the refine set
+    heads: Optional[jax.Array] = None
+    #                        bf16 [H, Dp] mean-pooled head tier for two-phase
+    #                        window pruning (head_pool rows per head row);
+    #                        DERIVED from sketch — rebuilt on load, never
+    #                        persisted (see build_ivf_heads)
+
+
+@functools.partial(jax.jit, static_argnames=("hp",))
+def build_ivf_heads(sketch: jax.Array, row_ids: jax.Array,
+                    hp: int) -> jax.Array:
+    """Mean-pooled head tier over the cluster-ordered int8 sketch: one bf16
+    row per `hp` consecutive sketch rows (masked mean over LIVE rows — the
+    8-alignment pad rows are zero and would dilute boundary pools). Same
+    design as the forest's `build_head_tier` (index/forest.py), applied to
+    the IVF layout: the head score is a PROXY for "does this window hold a
+    strong candidate" — phase 1 of the query ranks every candidate window
+    by cheap full-row gathers from this tier and only the survivors pay the
+    per-descriptor window DMA (CLAUDE.md: ~1.2 us/descriptor vs ~bandwidth
+    for batched row gathers). Pool groups that straddle a cluster boundary
+    mix rows of both clusters — acceptable for a proxy, masked per-window
+    at query time by head-row/window overlap. Returns bf16[ceil(Npad/hp),
+    Dp]."""
+    n, dp = sketch.shape
+    h = (n + hp - 1) // hp
+    npad = h * hp
+    s = jnp.pad(sketch, ((0, npad - n), (0, 0))) if npad != n else sketch
+    lv = (row_ids >= 0)
+    lv = jnp.pad(lv, (0, npad - n)) if npad != n else lv
+    s3 = s.reshape(h, hp, dp).astype(jnp.float32)
+    m = lv.reshape(h, hp, 1).astype(jnp.float32)
+    return ((s3 * m).sum(axis=1)
+            / jnp.maximum(m.sum(axis=1), 1.0)).astype(jnp.bfloat16)
 
 
 def build_ivf(
@@ -423,10 +455,56 @@ def _flatten_windows(
     return blk, e, live & (blk < e)
 
 
+def _ivf_prune_windows(
+    heads: jax.Array,    # bf16[H, Dp] pooled head tier
+    hp: int,
+    qb: jax.Array,       # bf16[B, Dp]
+    blk: jax.Array,      # i32[B, WB] window starts (8-aligned)
+    end_b: jax.Array,    # i32[B, WB] owning cluster's true end
+    live: jax.Array,     # bool[B, WB]
+    win: int,
+    keep: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Phase 1 of the two-phase IVF window gather (the forest's
+    `_prune_windows` recast for the flat cluster layout): score every
+    candidate window by its pooled-head proxy (max over the head rows it
+    overlaps) via batched full-row gathers — vectorized-path cost where the
+    window DMA pays ~1.2 us per descriptor — and keep only the top `keep`
+    windows per query, RE-SORTED to slot order so adjacent windows still
+    coalesce into multi-window DMA runs (CLAUDE.md coalescing rule). The
+    head score is a proxy, not a bound: recall governed by `keep`
+    (COVERAGE.md divergence #12 applies to IVF the same way)."""
+    h = heads.shape[0]
+    b, wbf = blk.shape
+    r_head = win // hp + 1   # starts are 8-aligned, not hp-aligned: one
+    #                          extra row covers the straddle
+    g0 = blk // hp
+    j = jnp.arange(r_head, dtype=jnp.int32)
+    gidx = g0[:, :, None] + j[None, None, :]                  # [B, WB, R]
+    rows = jnp.take(heads, jnp.clip(gidx, 0, h - 1), axis=0)  # [B,WB,R,Dp]
+    sc = jnp.einsum("bwrd,bd->bwr", rows, qb,
+                    preferred_element_type=jnp.float32)
+    # head row g covers sketch rows [g*hp, (g+1)*hp); mask rows wholly
+    # outside the window's live range [blk, min(blk+win, end))
+    row_lo = gidx * hp
+    lo = blk[:, :, None]
+    hi = jnp.minimum(blk + win, end_b)[:, :, None]
+    hvalid = (row_lo + hp > lo) & (row_lo < hi)
+    wscore = jnp.max(jnp.where(hvalid, sc, -jnp.inf), axis=2)
+    wscore = jnp.where(live, wscore, -jnp.inf)
+    iota = jnp.broadcast_to(
+        jnp.arange(wbf, dtype=jnp.int32)[None, :], (b, wbf))
+    _, wi = jax.lax.sort((-wscore, iota), dimension=1, num_keys=1)
+    wi = jnp.sort(wi[:, :keep], axis=1)
+    return (jnp.take_along_axis(blk, wi, axis=1),
+            jnp.take_along_axis(end_b, wi, axis=1),
+            jnp.take_along_axis(live, wi, axis=1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "win", "wb", "refine", "exclude_self",
-                     "use_pallas"),
+                     "use_pallas", "head_pool", "keep"),
 )
 def ivf_topk(
     sketch: jax.Array,       # int8 [Npad, Dp] cluster-ordered
@@ -444,9 +522,17 @@ def ivf_topk(
     refine: int = 128,
     exclude_self: bool = True,
     use_pallas: bool = True,
+    heads: Optional[jax.Array] = None,
+    head_pool: int = 0,
+    keep: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF query: centroid matmul → top-nprobe clusters → window DMA sketch
-    scoring → exact refine. Returns (ids i32[B,k], scores f32[B,k])."""
+    scoring → exact refine. Returns (ids i32[B,k], scores f32[B,k]).
+
+    With `heads`/`head_pool`/`keep` set (and keep < wb), a phase-1 pooled-
+    head pass prunes the flattened windows to the top `keep` per query
+    before the DMA + wide select (two-phase gather; `_ivf_prune_windows`).
+    keep >= wb or keep=0 is bit-identical to the single-phase path."""
     npad, dp = sketch.shape
     kc = centroids.shape[0]
     b = queries.shape[0]
@@ -465,6 +551,11 @@ def ivf_topk(
     sel_start = starts[sel]
     sel_end = ends[sel]          # TRUE ends: pad rows never score as valid
     blk, end_b, live = _flatten_windows(sel_start, sel_end, win, wb)
+    if (keep > 0 and keep < wb and heads is not None and head_pool > 0
+            and win % head_pool == 0):
+        blk, end_b, live = _ivf_prune_windows(
+            heads, head_pool, qb, blk, end_b, live, win, keep)
+        wb = keep
     # the DMA (and the gather fallback, for uniformity) reads the window at
     # min(blk, npad - win): the kernel clips starts to caprows - win, so
     # labeling scores with the UNCLIPPED positions would misattribute every
@@ -552,7 +643,8 @@ class IVFFlatIndex:
                  win: int = 256, refine: int = 128, iters: int = 8,
                  query_batch: int = 1024, seed: int = 0,
                  train_sample: Optional[int] = None,
-                 wb: Optional[int] = None):
+                 wb: Optional[int] = None,
+                 head_pool: int = 0, keep: int = 0):
         self.target_cluster = target_cluster
         self.nprobe = nprobe
         self.win = win
@@ -566,6 +658,11 @@ class IVFFlatIndex:
         # clusters first, so a tuned cap trades bounded tail recall for the
         # smaller top-k the select stage has to chew
         self.wb = wb
+        # two-phase window pruning: head_pool rows per pooled head row
+        # (must divide win), keep windows surviving phase 1 per query
+        # (0 = single-phase). See _ivf_prune_windows.
+        self.head_pool = head_pool
+        self.keep = keep
         self.state: Optional[IVFState] = None
 
     def fit(self, batch) -> "IVFFlatIndex":
@@ -576,7 +673,18 @@ class IVFFlatIndex:
             target_cluster=self.target_cluster, iters=self.iters,
             seed=self.seed, train_sample=self.train_sample,
         )
+        self.ensure_heads()
         return self
+
+    def ensure_heads(self) -> None:
+        """Build (or rebuild) the derived head tier when two-phase pruning
+        is configured — called by fit and by the load path (heads are never
+        persisted; like the forest's coarse/head tiers they are derived
+        data rebuilt on load)."""
+        if self.state is None or not self.head_pool:
+            return
+        self.state = self.state._replace(heads=build_ivf_heads(
+            self.state.sketch, self.state.row_ids, self.head_pool))
 
     def query(
         self,
@@ -585,6 +693,7 @@ class IVFFlatIndex:
         query_ids: Optional[np.ndarray] = None,
         exclude_self: bool = True,
         nprobe: Optional[int] = None,
+        keep: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self.state is None:
             print("need to fit the data first")
@@ -599,6 +708,7 @@ class IVFFlatIndex:
         npb = nprobe or self.nprobe
         bsz = effective_query_batch(nq, self.query_batch)
         wb = self.wb or ivf_window_budget(st.starts, st.ends, npb, self.win)
+        kp = self.keep if keep is None else keep
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)
@@ -610,6 +720,7 @@ class IVFFlatIndex:
                 st.sketch, st.corpus, st.row_ids, st.centroids, st.starts,
                 st.ends, qc, qi, k, nprobe=npb, win=self.win, wb=wb,
                 refine=self.refine, exclude_self=exclude_self,
+                heads=st.heads, head_pool=self.head_pool, keep=kp,
             )
             # keep per-batch outputs on device: converting inside the loop
             # blocks dispatch on a host round trip per batch (~34 ms through

@@ -595,7 +595,8 @@ def save_ivf(index, path: str) -> None:
                  nprobe=index.nprobe, win=index.win, refine=index.refine,
                  iters=index.iters, query_batch=index.query_batch,
                  seed=index.seed, wb=index.wb,
-                 train_sample=index.train_sample, version=1),
+                 train_sample=index.train_sample,
+                 head_pool=index.head_pool, keep=index.keep, version=1),
             f,
         )
 
@@ -613,6 +614,7 @@ def load_ivf(path: str):
         win=meta["win"], refine=meta["refine"], iters=meta["iters"],
         query_batch=meta["query_batch"], seed=meta["seed"],
         wb=meta.get("wb"), train_sample=meta.get("train_sample"),
+        head_pool=meta.get("head_pool", 0), keep=meta.get("keep", 0),
     )
     idx.state = IVFState(
         sketch=jnp.asarray(z["sketch"]),
@@ -624,6 +626,7 @@ def load_ivf(path: str):
         ends=jnp.asarray(z["ends"] if "ends" in z.files
                          else z["starts"][1:]),
     )
+    idx.ensure_heads()   # derived tier — rebuilt, never persisted
     return idx
 
 

@@ -213,3 +213,101 @@ def test_streamed_build_matches_regular():
     hits = sum(len(set(map(int, ids[i])) & set(map(int, gt[i])))
                for i in range(32))
     assert hits / (32 * 5) >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# two-phase window pruning (head tier; _ivf_prune_windows)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_heads_masked_mean():
+    """build_ivf_heads = masked mean of int8 sketch rows per hp-group (pad
+    rows with row_id -1 excluded, all-dead groups zero)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.ivf import build_ivf_heads
+
+    rng = np.random.default_rng(3)
+    n, dp, hp = 100, 128, 16     # n not a multiple of hp: tail pool padded
+    sk = rng.integers(-127, 128, size=(n, dp)).astype(np.int8)
+    rid = np.arange(n, dtype=np.int32)
+    rid[5:16] = -1               # a dead stretch inside pool groups 0/1
+    heads = np.asarray(build_ivf_heads(jnp.asarray(sk), jnp.asarray(rid), hp))
+    h = (n + hp - 1) // hp
+    assert heads.shape == (h, dp)
+    skp = np.zeros(((h * hp), dp), np.float32)
+    skp[:n] = sk
+    lv = np.zeros((h * hp,), bool)
+    lv[:n] = rid >= 0
+    for g in range(h):
+        rows = skp[g * hp:(g + 1) * hp]
+        m = lv[g * hp:(g + 1) * hp]
+        want = rows[m].mean(axis=0) if m.any() else np.zeros(dp)
+        np.testing.assert_allclose(
+            heads[g], want.astype(np.float32), rtol=0.02, atol=0.5)
+
+
+def test_ivf_prune_slot_order_subsequence():
+    """Survivor windows must come out in SLOT order (an order-preserving
+    subsequence of the input windows) — the DMA run-coalescer keys on slot
+    adjacency, so score-ordered output would break every run."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.ivf import _ivf_prune_windows
+
+    rng = np.random.default_rng(4)
+    b, wbf, hp, win, dp, keep = 3, 24, 8, 16, 128, 7
+    heads = jnp.asarray(rng.normal(size=(64, dp)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    blk = jnp.asarray(np.stack([
+        np.sort(rng.choice(64, size=wbf, replace=False)) * 8
+        for _ in range(b)
+    ]).astype(np.int32))
+    end_b = blk + win - 3
+    live = jnp.asarray(rng.random((b, wbf)) < 0.9)
+    qb = jnp.asarray(rng.normal(size=(b, dp)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    pb, pe, pl = _ivf_prune_windows(heads, hp, qb, blk, end_b, live,
+                                    win, keep)
+    assert pb.shape == (b, keep)
+    blk_np = np.asarray(blk)
+    for i in range(b):
+        out = np.asarray(pb[i])
+        # strictly increasing positions within the (sorted, distinct) input
+        # slots = an order-preserving subsequence
+        idxs = [int(np.flatnonzero(blk_np[i] == v)[0]) for v in out]
+        assert idxs == sorted(idxs) and len(set(idxs)) == keep
+
+
+def test_ivf_two_phase_pruning_recall_and_knobs():
+    """End-to-end: keep >= wb is bit-identical to the single-phase path;
+    a real prune (keep = wb//2) keeps high recall on clustered data; heads
+    survive save/load (rebuilt as derived data)."""
+    x = _data(n=4000, seed=6)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    idx = IVFFlatIndex(target_cluster=128, nprobe=8, iters=6, win=16,
+                       refine=256, head_pool=8, keep=0).fit(batch)
+    assert idx.state.heads is not None
+    q = x[:64]
+    from similaritysearchbyrdf_tpu.ops.ivf import ivf_window_budget
+    wb = ivf_window_budget(idx.state.starts, idx.state.ends, 8, 16)
+    ids0, s0 = idx.query(q, k=10, query_ids=np.arange(64))      # keep=0
+    ids1, s1 = idx.query(q, k=10, query_ids=np.arange(64), keep=wb + 5)
+    np.testing.assert_array_equal(ids0, ids1)                   # disabled
+    np.testing.assert_array_equal(s0, s1)
+    ids2, _ = idx.query(q, k=10, query_ids=np.arange(64), keep=max(wb // 2, 1))
+    gt_ids, _ = exact_search(x, q, k=10, exclude_self=True)
+    hits = sum(len(set(map(int, ids2[i])) & set(map(int, gt_ids[i])))
+               for i in range(64))
+    assert hits / 640 >= 0.85, hits / 640
+
+    import tempfile
+
+    from similaritysearchbyrdf_tpu.storage.persist import load_ivf, save_ivf
+    with tempfile.TemporaryDirectory() as td:
+        idx.keep = max(wb // 2, 1)
+        save_ivf(idx, td + "/ivf")
+        idx2 = load_ivf(td + "/ivf")
+        assert idx2.state.heads is not None and idx2.keep == idx.keep
+        ids3, _ = idx2.query(q, k=10, query_ids=np.arange(64))
+        np.testing.assert_array_equal(ids2, ids3)
