@@ -47,6 +47,27 @@ class ShardedIVFState(NamedTuple):
     centroids: jax.Array   # bf16 [K, Dp], replicated
     starts: jax.Array      # i32  [ndev, K+1], shard axis 0
     ends: jax.Array        # i32  [ndev, K], TRUE per-shard cluster ends
+    heads: Optional[jax.Array] = None
+    #                        bf16 [ndev, H, Dp] per-shard pooled head tier
+    #                        for two-phase window pruning — derived from
+    #                        sketch, rebuilt on load (see build_heads_sharded)
+
+
+def build_heads_sharded(state: ShardedIVFState, mesh: Mesh,
+                        head_pool: int) -> ShardedIVFState:
+    """Per-shard head tier (ops.ivf.build_ivf_heads under shard_map): every
+    shard pools ITS OWN cluster-ordered sketch rows — no collectives; the
+    phase-1 prune is a purely shard-local stage of the query."""
+    from ..ops.ivf import build_ivf_heads
+
+    fn = jax.jit(jax.shard_map(
+        lambda sk, ro: build_ivf_heads(sk[0], ro[0], head_pool)[None],
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(SHARD_AXIS),
+        check_vma=False,
+    ))
+    return state._replace(heads=fn(state.sketch, state.row_ids))
 
 
 def _local_kmeans_stats(xc, live, cent, *, chunk):
@@ -374,8 +395,8 @@ def ivf_window_budget_sharded(
 
 
 def _local_ivf_query(sketch, corpus, row_ids, starts, ends, centroids,
-                     queries, query_ids, *, k, nprobe, win, wb, refine,
-                     exclude_self):
+                     queries, query_ids, heads=None, *, k, nprobe, win, wb,
+                     refine, exclude_self, head_pool=0, keep=0):
     if wb is None:
         # safe fallback: enough windows to cover the ENTIRE local shard,
         # plus one round-up window per cluster (probed clusters occupy a
@@ -388,6 +409,8 @@ def _local_ivf_query(sketch, corpus, row_ids, starts, ends, centroids,
         sketch[0], corpus[0], row_ids[0], centroids, starts[0], ends[0],
         queries, query_ids, k, nprobe=nprobe, win=win, wb=wb,
         refine=refine, exclude_self=exclude_self,
+        heads=None if heads is None else heads[0],
+        head_pool=head_pool, keep=keep,
     )
     return _gather_merge_topk(ids, scores, k)
 
@@ -400,23 +423,37 @@ def make_ivf_query_fn(
     wb: Optional[int] = None,
     refine: int = 128,
     exclude_self: bool = True,
+    head_pool: int = 0,
+    keep: int = 0,
 ):
     """(state, queries [B, D] replicated, query_ids [B]) → (ids, scores).
     Every shard probes the same globally-selected clusters (replicated
     centroids) over its local rows; one all-gather merges the exact top-k.
     `wb=None` falls back to whole-shard window coverage (safe, test-scale
-    only); at scale pass `ivf_window_budget_sharded(state, nprobe, win)`."""
+    only); at scale pass `ivf_window_budget_sharded(state, nprobe, win)`.
+    head_pool/keep > 0 enables the shard-local two-phase window prune
+    (state.heads must be built — `build_heads_sharded`)."""
+    prune = head_pool > 0 and keep > 0
     fn = jax.shard_map(
         functools.partial(
             _local_ivf_query, k=k, nprobe=nprobe, win=win,
             wb=wb, refine=refine, exclude_self=exclude_self,
+            head_pool=head_pool, keep=keep,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P()),
+                  P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P())
+        + ((P(SHARD_AXIS),) if prune else ()),
         out_specs=(P(), P()),
         check_vma=False,
     )
+    if prune:
+        return jax.jit(
+            lambda state, q, qi: fn(
+                state.sketch, state.corpus, state.row_ids, state.starts,
+                state.ends, state.centroids, q, qi, state.heads,
+            )
+        )
     return jax.jit(
         lambda state, q, qi: fn(
             state.sketch, state.corpus, state.row_ids, state.starts,
@@ -432,7 +469,8 @@ class ShardedIVFIndex:
     def __init__(self, mesh: Optional[Mesh] = None,
                  target_cluster: int = 256, nprobe: int = 32, win: int = 64,
                  refine: int = 128, iters: int = 6, seed: int = 0,
-                 wb: Optional[int] = None):
+                 wb: Optional[int] = None,
+                 head_pool: int = 0, keep: int = 0):
         self.mesh = mesh
         self.target_cluster = target_cluster
         self.nprobe = nprobe
@@ -441,6 +479,11 @@ class ShardedIVFIndex:
         self.iters = iters
         self.seed = seed
         self.wb = wb          # None = exact budget (see IVFFlatIndex.wb)
+        # two-phase window pruning (see ops.ivf.IVFFlatIndex): head_pool
+        # rows per pooled head row (must divide win), keep surviving
+        # windows per query per SHARD (0 = single-phase)
+        self.head_pool = head_pool
+        self.keep = keep
         self.state: Optional[ShardedIVFState] = None
         self._qfn = {}
 
@@ -451,12 +494,22 @@ class ShardedIVFIndex:
             self.mesh, target_cluster=self.target_cluster,
             iters=self.iters, seed=self.seed,
         )
+        self.ensure_heads()
         return self
+
+    def ensure_heads(self) -> None:
+        """Build the derived per-shard head tier when pruning is configured
+        (called by fit and the load path; heads are never persisted)."""
+        if self.state is None or not self.head_pool:
+            return
+        self.state = build_heads_sharded(self.state, self.mesh,
+                                         self.head_pool)
 
     def query(self, queries: np.ndarray, k: int = 10,
               query_ids: Optional[np.ndarray] = None,
               exclude_self: bool = True,
-              nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+              nprobe: Optional[int] = None,
+              keep: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         if self.state is None:
             print("need to fit the data first")
             kk = max(k, 1)
@@ -464,11 +517,15 @@ class ShardedIVFIndex:
                     np.full((len(queries), kk), -np.inf, np.float32))
         npb = min(nprobe or self.nprobe, int(self.state.centroids.shape[0]))
         wb = self.wb or ivf_window_budget_sharded(self.state, npb, self.win)
-        key = (k, npb, exclude_self, wb)
+        kp = self.keep if keep is None else keep
+        if self.state.heads is None or not self.head_pool:
+            kp = 0
+        key = (k, npb, exclude_self, wb, kp)
         if key not in self._qfn:
             self._qfn[key] = make_ivf_query_fn(
                 self.mesh, k=k, nprobe=npb, win=self.win, wb=wb,
                 refine=self.refine, exclude_self=exclude_self,
+                head_pool=self.head_pool if kp else 0, keep=kp,
             )
         q = jnp.asarray(np.asarray(queries, np.float32))
         qids = (jnp.asarray(np.asarray(query_ids, np.int32))

@@ -738,6 +738,7 @@ def save_sharded_ivf(index, path: str) -> None:
             dict(engine="sharded_ivf", target_cluster=index.target_cluster,
                  nprobe=index.nprobe, win=index.win, refine=index.refine,
                  iters=index.iters, seed=index.seed, wb=index.wb,
+                 head_pool=index.head_pool, keep=index.keep,
                  ndev=int(st.sketch.shape[0]), version=1),
             f,
         )
@@ -766,7 +767,9 @@ def load_sharded_ivf(path: str, mesh=None):
     idx = ShardedIVFIndex(mesh=mesh, target_cluster=meta["target_cluster"],
                           nprobe=meta["nprobe"], win=meta["win"],
                           refine=meta["refine"], iters=meta["iters"],
-                          seed=meta["seed"], wb=meta.get("wb"))
+                          seed=meta["seed"], wb=meta.get("wb"),
+                          head_pool=meta.get("head_pool", 0),
+                          keep=meta.get("keep", 0))
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     repl = NamedSharding(mesh, P())
     idx.state = ShardedIVFState(
@@ -778,6 +781,7 @@ def load_sharded_ivf(path: str, mesh=None):
         starts=jax.device_put(z["starts"], shard),
         ends=jax.device_put(z["ends"], shard),
     )
+    idx.ensure_heads()   # derived tier — rebuilt, never persisted
     return idx
 
 

@@ -104,3 +104,41 @@ def test_sharded_ivf_save_load_roundtrip(tmp_path):
     i2, s2 = idx2.query(q, k=5, query_ids=np.arange(16))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_sharded_ivf_two_phase_pruning():
+    """Shard-local head pruning: keep larger than any shard's window budget
+    is identical to the single-phase path; a real prune retains recall;
+    save/load rebuilds the derived per-shard head tier."""
+    x = _data(n=4000, seed=6)
+    batch = DenseBatch(np.arange(4000, dtype=np.int32), x)
+    idx = ShardedIVFIndex(target_cluster=64, nprobe=12, win=16, refine=256,
+                          head_pool=8, keep=0).fit(batch)
+    assert idx.state.heads is not None
+    assert idx.state.heads.shape[0] == 8          # one head tier per shard
+    q = x[:48]
+    from similaritysearchbyrdf_tpu.parallel.sharded_ivf import (
+        ivf_window_budget_sharded)
+    wb = ivf_window_budget_sharded(idx.state, 12, 16)
+    ids0, s0 = idx.query(q, k=10, query_ids=np.arange(48))
+    ids1, s1 = idx.query(q, k=10, query_ids=np.arange(48), keep=wb + 3)
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_array_equal(s0, s1)
+    ids2, _ = idx.query(q, k=10, query_ids=np.arange(48),
+                        keep=max(wb // 2, 1))
+    gt_ids, _ = exact_search(x, q, k=10, exclude_self=True)
+    hits = sum(len(set(map(int, ids2[i])) & set(map(int, gt_ids[i])))
+               for i in range(48))
+    assert hits / 480 >= 0.85, hits / 480
+
+    import tempfile
+
+    from similaritysearchbyrdf_tpu.storage.persist import (
+        load_sharded_ivf, save_sharded_ivf)
+    with tempfile.TemporaryDirectory() as td:
+        idx.keep = max(wb // 2, 1)
+        save_sharded_ivf(idx, td + "/sivf")
+        idx2 = load_sharded_ivf(td + "/sivf", mesh=idx.mesh)
+        assert idx2.state.heads is not None and idx2.keep == idx.keep
+        ids3, _ = idx2.query(q, k=10, query_ids=np.arange(48))
+        np.testing.assert_array_equal(ids2, ids3)
