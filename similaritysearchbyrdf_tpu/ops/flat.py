@@ -254,13 +254,20 @@ class FlatIndex:
     def __init__(self, sketch_dtype: str = "int8", refine: int = 128,
                  block: int = 1 << 20, query_batch: int = 1024,
                  mode: str = "grouped", r_groups: int = 24,
-                 gmax_halved: Optional[bool] = None):
+                 gmax_halved: Optional[bool] = None,
+                 corpus_dtype: str = "float32"):
         self.sketch_dtype = sketch_dtype
         self.refine = refine
         self.block = block
         self.query_batch = query_batch
         self.mode = mode            # "grouped" (fused kernel) | "scan"
         self.r_groups = r_groups
+        # exact-tier residency: "bfloat16" halves the refine-gather traffic
+        # AND the engine's dominant HBM term (8M×96d: 4.1 → 2.0 GB — the
+        # Deep-100M plan's memory model, cf. build_ivf_streamed); refine
+        # dots accumulate in f32, so only near-ties below bf16's ~3-digit
+        # mantissa can reorder (recall impact measured in bench_flat A/B)
+        self.corpus_dtype = corpus_dtype
         # strided second sketch copy for the halved gmax reduce (grouped
         # mode, TPU only); env default so benches can A/B without code
         self.gmax_halved = _GMAX_HALVED if gmax_halved is None else (
@@ -295,6 +302,8 @@ class FlatIndex:
         # lane-pad the exact tier too: 128-multiple f32 rows gather ~2x
         # faster in the refine's latency-bound regime (bench_rowgather.py)
         self.corpus = _pad_lanes(corpus)
+        if self.corpus_dtype == "bfloat16":
+            self.corpus = self.corpus.astype(jnp.bfloat16)
         self.row_ids = jnp.asarray(np.asarray(batch.ids, dtype=np.int32))
         return self
 

@@ -535,10 +535,13 @@ def save_flat(index, path: str) -> None:
     sketch = index.sketch
     if sketch.dtype == jnp.bfloat16:
         sketch = sketch.astype(jnp.float32)   # npz has no bf16; recast on load
+    corpus = index.corpus
+    if corpus.dtype == jnp.bfloat16:
+        corpus = corpus.astype(jnp.float32)
     np.savez_compressed(
         path + ".npz",
         sketch=np.asarray(sketch),
-        corpus=np.asarray(index.corpus),
+        corpus=np.asarray(corpus),
         row_ids=np.asarray(index.row_ids),
     )
     with open(path + ".json", "w") as f:
@@ -547,7 +550,9 @@ def save_flat(index, path: str) -> None:
                  scale=float(getattr(index, "scale", 1.0)),
                  refine=index.refine, block=index.block,
                  query_batch=index.query_batch, mode=index.mode,
-                 r_groups=index.r_groups, version=1),
+                 r_groups=index.r_groups,
+                 corpus_dtype=getattr(index, "corpus_dtype", "float32"),
+                 version=1),
             f,
         )
 
@@ -565,10 +570,13 @@ def load_flat(path: str):
         block=meta["block"], query_batch=meta["query_batch"],
         mode=meta.get("mode", "grouped"),
         r_groups=meta.get("r_groups", 24),
+        corpus_dtype=meta.get("corpus_dtype", "float32"),
     )
     dt = jnp.bfloat16 if meta["sketch_dtype"] == "bfloat16" else jnp.int8
     idx.sketch = jnp.asarray(z["sketch"]).astype(dt)
     idx.corpus = jnp.asarray(z["corpus"])
+    if idx.corpus_dtype == "bfloat16":
+        idx.corpus = idx.corpus.astype(jnp.bfloat16)
     idx.row_ids = jnp.asarray(z["row_ids"])
     idx.scale = meta["scale"]
     return idx

@@ -389,3 +389,35 @@ def test_select_modes_agree(mode, sg):
     np.testing.assert_allclose(
         np.sort(np.asarray(base_s), axis=1),
         np.sort(np.asarray(got_s), axis=1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["grouped", "scan"])
+def test_flat_bf16_corpus_tier(mode, tmp_path):
+    """corpus_dtype="bfloat16": the exact tier lives in bf16 (half the
+    refine-gather traffic + HBM), dots accumulate in f32 — recall@10 vs
+    exact GT must stay ~1 on separated clusters, and save/load roundtrips
+    the dtype + results."""
+    x = _corpus()
+    idx = FlatIndex(refine=64, block=512, mode=mode,
+                    corpus_dtype="bfloat16").fit(
+        DenseBatch(np.arange(3000, dtype=np.int32), x)
+    )
+    import jax.numpy as jnp
+    assert idx.corpus.dtype == jnp.bfloat16
+    q = x[:64]
+    ids, scores = idx.query(q, k=10, query_ids=np.arange(64))
+    gt_ids, gt_scores = exact_search(x, q, k=10, exclude_self=True)
+    hits = sum(
+        len(set(map(int, ids[i])) & set(map(int, gt_ids[i])))
+        for i in range(64)
+    )
+    assert hits / 640 >= 0.97, hits / 640
+    # bf16 scores track the exact f32 scores to bf16 precision
+    np.testing.assert_allclose(scores[:, 0], gt_scores[:, 0], rtol=2e-2)
+
+    from similaritysearchbyrdf_tpu.storage.persist import load_flat, save_flat
+    save_flat(idx, str(tmp_path / "m"))
+    idx2 = load_flat(str(tmp_path / "m"))
+    assert idx2.corpus.dtype == jnp.bfloat16
+    ids2, _ = idx2.query(q, k=10, query_ids=np.arange(64))
+    np.testing.assert_array_equal(ids, ids2)
