@@ -74,7 +74,10 @@ def main():
         t0 = time.perf_counter()
         rids = np.asarray(state.row_ids)
         gt_rows = []
-        qd_all = jnp.asarray(q)
+        # the resident tier is lane-padded to Dp=128; pad queries to match
+        # (pad lanes are zero, so scores are unchanged)
+        dp = int(state.corpus.shape[1])
+        qd_all = jnp.asarray(np.pad(q, ((0, 0), (0, dp - D))))
         for s0 in range(0, NQ, 256):
             ids_pos, _ = exact_topk(state.corpus, qd_all[s0:s0 + 256], 12)
             gt_rows.append(np.asarray(ids_pos))
