@@ -131,6 +131,21 @@ def _pad_lanes(a: jax.Array) -> jax.Array:
     return a if dp == d else jnp.pad(a, ((0, 0), (0, dp - d)))
 
 
+def grouped_vmem_safe_batch(nrows: int, bsz: int, group: int = 64) -> int:
+    """Mid-size-corpus scoped-vmem guard for grouped mode: when
+    NG = Npad/group is small, XLA VMEM-promotes the gmax kernel's full
+    [B, NG] result (double-buffered) and the COMPILE fails once 2·B·NG·4 B
+    exceeds the 16 MB scoped limit — hit at 200k×784d with B=1024
+    (NG=3200 → 25.4 MB). Returns bsz capped so the promoted buffer stays
+    ≤ 12 MB; large NG (≥16384, every ≥1M-row corpus) is not promoted
+    (measured fine at 1.2M/8M rows with B=1024)."""
+    npad = -(-int(nrows) // _BLOCK_N) * _BLOCK_N
+    ng = npad // group
+    if ng >= 16384:
+        return bsz
+    return min(bsz, max(128, (12 << 20) // (ng * 8) // 128 * 128))
+
+
 def effective_query_batch(nq: int, query_batch: int) -> int:
     """Clamp the padded dispatch batch to the work actually present: the
     next power of two >= nq (floor 32), capped at `query_batch`. Large
@@ -324,6 +339,8 @@ class FlatIndex:
                 if query_ids is not None
                 else np.full((nq,), -1, np.int32))
         bsz = effective_query_batch(nq, self.query_batch)
+        if self.mode == "grouped" and self.sketch is not None:
+            bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)
@@ -838,6 +855,9 @@ class SparseFlatIndex:
                 if query_ids is not None
                 else np.full((nq,), -1, np.int32))
         bsz = effective_query_batch(nq, self.query_batch)
+        # the sparse path runs the identical gmax kernel over the
+        # densified sketch — same scoped-vmem guard
+        bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz)
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)

@@ -421,3 +421,35 @@ def test_flat_bf16_corpus_tier(mode, tmp_path):
     assert idx2.corpus.dtype == jnp.bfloat16
     ids2, _ = idx2.query(q, k=10, query_ids=np.arange(64))
     np.testing.assert_array_equal(ids, ids2)
+
+
+def test_grouped_vmem_safe_batch():
+    """Mid-size corpora must cap the grouped query chunk (XLA VMEM-promotes
+    the full [B, NG] gmax output when NG is small; 200k×784d at B=1024
+    failed the compile with a 25.4 MB scoped-vmem allocation)."""
+    from similaritysearchbyrdf_tpu.ops.flat import grouped_vmem_safe_batch
+
+    # 200k rows -> npad 204800, NG 3200: cap B so 2*B*3200*4 <= 12 MB
+    b = grouped_vmem_safe_batch(200_000, 1024)
+    assert b % 128 == 0 and 2 * b * 3200 * 4 <= (12 << 20), b
+    # large corpora (NG >= 16384) are never promoted: no cap
+    assert grouped_vmem_safe_batch(1_200_000, 1024) == 1024
+    assert grouped_vmem_safe_batch(8_000_000, 1024) == 1024
+    # tiny corpora: NG small but B*NG is tiny too -> effectively uncapped
+    assert grouped_vmem_safe_batch(20_000, 1024) == 1024
+    # the floor is one 128-row block even at pathological NG
+    assert grouped_vmem_safe_batch(8_000_000, 1024, group=1) >= 128
+
+
+def test_flat_query_chunks_capped_results_match():
+    """The vmem-guard chunking must not change results: query a corpus
+    sized to trigger the cap and compare against one-chunk ground truth."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = FlatIndex(refine=64).fit(DenseBatch(np.arange(3000, dtype=np.int32), x))
+    q = x[:300]
+    ids_a, _ = idx.query(q, k=10, query_ids=np.arange(300))
+    idx.query_batch = 128          # force multi-chunk
+    ids_b, _ = idx.query(q, k=10, query_ids=np.arange(300))
+    np.testing.assert_array_equal(ids_a, ids_b)
