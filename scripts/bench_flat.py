@@ -7,12 +7,18 @@ where which ∈ {glove, deep, both}. Reuses /tmp GT caches.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# FLAT_CORPUS_DTYPE=bfloat16 A/Bs the exact-refine tier's residency dtype
+# (FlatIndex(corpus_dtype=...)); results go to results/flat_bf16.json so
+# the canonical f32-tier points in flat.json are never overwritten.
+_CORPUS_DTYPE = os.environ.get("FLAT_CORPUS_DTYPE", "float32")
 
 
 def make_corpus(n, d, seed, n_centers):
@@ -58,6 +64,8 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
 
     t0 = time.perf_counter()
     corpus = _pad_lanes(jnp.asarray(x))
+    if _CORPUS_DTYPE == "bfloat16":
+        corpus = corpus.astype(jnp.bfloat16)
     sketch, scale = build_flat_sketch(jnp.asarray(x), dtype)
     row_ids = jnp.arange(n, dtype=jnp.int32)
     sketch_gmax = None
@@ -74,6 +82,7 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
         "corpus": name, "n": n, "dim": d, "sketch": dtype,
         "refine": refine, "block": block,
         "build_s": round(build_s, 2),
+        "corpus_dtype": _CORPUS_DTYPE,
         "sketch_bytes_per_vector": int(sketch.shape[1])
         * (2 if sketch_gmax is not None else 1),
         "gmax_halved": sketch_gmax is not None,
@@ -120,12 +129,15 @@ def main(which="both"):
         # reuse bench_deep10m's GT cache when present
         rows.append(bench_one("deep8m_96d", x, "deep8m", block=1 << 21))
         del x
-    with open("results/flat.json", "w") as f:
+    out = ("results/flat.json" if _CORPUS_DTYPE == "float32"
+           else f"results/flat_{_CORPUS_DTYPE}.json")
+    with open(out, "w") as f:
         json.dump({"points": rows,
                    "note": "quantized-flat engine (ops/flat.py); synthetic "
-                           "clustered corpora; exact GT; pipelined timing"},
+                           "clustered corpora; exact GT; pipelined timing; "
+                           f"exact tier dtype {_CORPUS_DTYPE}"},
                   f, indent=1)
-    print("WROTE results/flat.json", flush=True)
+    print(f"WROTE {out}", flush=True)
 
 
 if __name__ == "__main__":
