@@ -8,11 +8,13 @@
 # for the record (recall there is sketch-bound at 0.9861).
 cd /root/repo
 
-if [ -f /tmp/batch24.pid ]; then
-  while kill -0 "$(cat /tmp/batch24.pid)" 2>/dev/null; do
-    echo "[batch25] waiting for batch24 $(date -u +%H:%M:%S)"; sleep 120
-  done
-fi
+for dep in /tmp/batch27.pid /tmp/batch26.pid /tmp/batch24.pid; do
+  if [ -f "$dep" ]; then
+    while kill -0 "$(cat $dep)" 2>/dev/null; do
+      echo "[batch25] waiting for $dep $(date -u +%H:%M:%S)"; sleep 120
+    done
+  fi
+done
 
 probe() {
   for i in $(seq 1 60); do

@@ -5,7 +5,7 @@
 # exact-refine tail eats the 17 ms after gmax(12.3)+select(4) at B=1024.
 cd /root/repo
 
-for dep in /tmp/batch25.pid /tmp/batch24.pid; do
+for dep in /tmp/batch24.pid; do
   if [ -f "$dep" ]; then
     while kill -0 "$(cat $dep)" 2>/dev/null; do
       echo "[batch26] waiting for $dep $(date -u +%H:%M:%S)"; sleep 120

@@ -13,7 +13,7 @@
 #      measured at B=64, so even B=128 should carry the operating points).
 cd /root/repo
 
-for dep in /tmp/batch26.pid /tmp/batch25.pid /tmp/batch24.pid; do
+for dep in /tmp/batch26.pid /tmp/batch24.pid; do
   if [ -f "$dep" ]; then
     while kill -0 "$(cat $dep)" 2>/dev/null; do
       echo "[batch27] waiting for $dep $(date -u +%H:%M:%S)"; sleep 120
