@@ -6,7 +6,9 @@ lane padding (784 -> 896) and the coarse tier all change here.
 
 Corpus: 200k hard-mixture rows at D=784 (Fashion-MNIST itself is not
 downloadable in this zero-egress image), fresh queries, exact GT. Engines:
-forest (reference semantics), flat, IVF.
+forest (reference semantics), flat, IVF. Each engine block is independent:
+a failure in one is logged and the others still land (the json is written
+progressively).
 
 Run: timeout 7200 python scripts/bench_d784.py > /tmp/d784.log 2>&1
 """
@@ -14,6 +16,7 @@ Run: timeout 7200 python scripts/bench_d784.py > /tmp/d784.log 2>&1
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -45,67 +48,82 @@ def main():
 
     out = {"corpus": "hard200k_784d", "n": N, "dim": D, "points": []}
 
+    def flush():
+        with open("results/d784.json", "w") as f:
+            json.dump(out, f, indent=1)
+
     # flat engine (int8 sketch 896 B/vec at D=784)
-    t0 = time.perf_counter()
-    flat = FlatIndex().fit(DenseBatch(np.arange(N, dtype=np.int32), x))
-    jax.block_until_ready(flat.sketch)
-    fb = time.perf_counter() - t0
-    ids, _ = flat.query(q, k=10, exclude_self=False)       # compile
-    t0 = time.perf_counter()
-    ids, _ = flat.query(q, k=10, exclude_self=False)
-    dt = time.perf_counter() - t0
-    out["points"].append({"engine": "flat", "build_s": round(fb, 1),
-                          "qps": round(NQ / dt), "recall@10":
-                          round(recall(ids), 4)})
-    print("flat", out["points"][-1], flush=True)
+    try:
+        t0 = time.perf_counter()
+        flat = FlatIndex().fit(DenseBatch(np.arange(N, dtype=np.int32), x))
+        jax.block_until_ready(flat.sketch)
+        fb = time.perf_counter() - t0
+        ids, _ = flat.query(q, k=10, exclude_self=False)       # compile
+        t0 = time.perf_counter()
+        ids, _ = flat.query(q, k=10, exclude_self=False)
+        dt = time.perf_counter() - t0
+        out["points"].append({"engine": "flat", "build_s": round(fb, 1),
+                              "qps": round(NQ / dt), "recall@10":
+                              round(recall(ids), 4)})
+        print("flat", out["points"][-1], flush=True)
+    except Exception:
+        traceback.print_exc()
+    flush()
 
     # IVF
-    t0 = time.perf_counter()
-    ivf = IVFFlatIndex(target_cluster=256, iters=4).fit(
-        DenseBatch(np.arange(N, dtype=np.int32), x))
-    jax.block_until_ready(ivf.state.sketch)
-    ib = time.perf_counter() - t0
-    for nprobe in (4, 16, 64):
-        ids, _ = ivf.query(q, k=10, exclude_self=False, nprobe=nprobe)
+    try:
         t0 = time.perf_counter()
-        ids, _ = ivf.query(q, k=10, exclude_self=False, nprobe=nprobe)
-        dt = time.perf_counter() - t0
-        out["points"].append({"engine": "ivf", "nprobe": nprobe,
-                              "build_s": round(ib, 1),
-                              "qps": round(NQ / dt),
-                              "recall@10": round(recall(ids), 4)})
-        print("ivf", out["points"][-1], flush=True)
+        ivf = IVFFlatIndex(target_cluster=256, iters=4).fit(
+            DenseBatch(np.arange(N, dtype=np.int32), x))
+        jax.block_until_ready(ivf.state.sketch)
+        ib = time.perf_counter() - t0
+        for nprobe in (4, 16, 64):
+            ids, _ = ivf.query(q, k=10, exclude_self=False, nprobe=nprobe)
+            t0 = time.perf_counter()
+            ids, _ = ivf.query(q, k=10, exclude_self=False, nprobe=nprobe)
+            dt = time.perf_counter() - t0
+            out["points"].append({"engine": "ivf", "nprobe": nprobe,
+                                  "build_s": round(ib, 1),
+                                  "qps": round(NQ / dt),
+                                  "recall@10": round(recall(ids), 4)})
+            print("ivf", out["points"][-1], flush=True)
+    except Exception:
+        traceback.print_exc()
+    flush()
 
     # forest (reference semantics + coarse tier; chain hashing at D=784 is
     # a [B, 896] x [896, T*C] matmul — the MXU cost scales linearly in D)
-    conf = RDFConfig(
-        vector_dim=D, table_num=10, permutation_num=3, family_size=200,
-        partition_bits=3, lsh_table=TableConfig(chain_length=32,
-                                                bucket_overflow=500),
-        query_batch_size=256, max_candidates=32768, top_k=10,
-        coarse_dim=32, coarse_dtype="int8", coarse_refine=4096,
-    )
-    t0 = time.perf_counter()
-    forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
-    jax.block_until_ready(forest.state.tables.sorted_keys)
-    tb = time.perf_counter() - t0
-    for steps, budget in ((0, 8), (1, 16)):
-        kw = dict(steps=steps, probe_mode="margin", probe_budget=budget)
-        forest.query(q, **kw)                              # compile
+    try:
+        conf = RDFConfig(
+            vector_dim=D, table_num=10, permutation_num=3, family_size=200,
+            partition_bits=3, lsh_table=TableConfig(chain_length=32,
+                                                    bucket_overflow=500),
+            query_batch_size=256, max_candidates=32768, top_k=10,
+            coarse_dim=32, coarse_dtype="int8", coarse_refine=4096,
+        )
         t0 = time.perf_counter()
-        ids, _ = forest.query(q, **kw)
-        dt = time.perf_counter() - t0
-        out["points"].append({"engine": "forest", "steps": steps,
-                              "probe_budget": budget,
-                              "build_s": round(tb, 1),
-                              "qps": round(NQ / dt),
-                              "recall@10": round(recall(ids), 4)})
-        print("forest", out["points"][-1], flush=True)
+        forest = RDFForest(conf).fit(
+            DenseBatch(np.arange(N, dtype=np.int32), x))
+        jax.block_until_ready(forest.state.tables.sorted_keys)
+        tb = time.perf_counter() - t0
+        for steps, budget in ((0, 8), (1, 16)):
+            kw = dict(steps=steps, probe_mode="margin", probe_budget=budget)
+            forest.query(q, **kw)                              # compile
+            t0 = time.perf_counter()
+            ids, _ = forest.query(q, **kw)
+            dt = time.perf_counter() - t0
+            out["points"].append({"engine": "forest", "steps": steps,
+                                  "probe_budget": budget,
+                                  "build_s": round(tb, 1),
+                                  "qps": round(NQ / dt),
+                                  "recall@10": round(recall(ids), 4)})
+            print("forest", out["points"][-1], flush=True)
+    except Exception:
+        traceback.print_exc()
 
     out["note"] = ("hard mixture at D=784 (lane pad 896); exact GT; fresh "
                    "queries; single query pass per point (compile-warmed)")
-    with open("results/d784.json", "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(json.dumps(out), flush=True)
 
 
