@@ -12,6 +12,7 @@ Run: timeout 5400 python scripts/tune_argpack.py > /tmp/tune_argpack.log 2>&1
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,15 +48,24 @@ def main():
 
     out = {"n": N, "dim": D, "b": NQ, "points": []}
     cases = (
-        ("exact2", 128, 24), ("argpack", 128, 24), ("argpack", 256, 24),
-        ("argpack", 512, 24), ("argpack", 1024, 24),
+        ("exact2", 128, 24, 64), ("argpack", 128, 24, 64),
+        ("argpack", 256, 24, 64), ("argpack", 512, 24, 64),
+        ("argpack", 1024, 24, 64),
     )
-    for mode, refine, rg in cases:
+    if os.environ.get("TUNE_CASES"):
+        # mode,refine,rg,select_sg;... — select_sg larger than NG/2/refine
+        # forces the direct approx_max_k branch (no two-level select)
+        cases = tuple(
+            (p[0], int(p[1]), int(p[2]), int(p[3]))
+            for p in (c.split(",") for c in
+                      os.environ["TUNE_CASES"].split(";")))
+    for mode, refine, rg, sg in cases:
         try:
             def go():
                 return flat_topk_grouped(
                     sketch, corpus, row_ids, qd, qids, 10, refine=refine,
-                    r_groups=rg, select_mode=mode, exclude_self=True)
+                    r_groups=rg, select_mode=mode, select_sg=sg,
+                    exclude_self=True)
 
             ids, _ = go()
             jax.block_until_ready(ids)
@@ -68,10 +78,10 @@ def main():
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
             rec, qps = hits / (NQ * 10), NQ / dt
-            print(f"{mode}_rf{refine}: {qps:.0f} qps recall {rec:.4f}",
-                  flush=True)
+            print(f"{mode}_rf{refine}_sg{sg}: {qps:.0f} qps recall "
+                  f"{rec:.4f}", flush=True)
             out["points"].append({"mode": mode, "refine": refine,
-                                  "qps": round(qps),
+                                  "select_sg": sg, "qps": round(qps),
                                   "recall@10": round(rec, 4)})
         except Exception:
             import traceback
@@ -80,6 +90,16 @@ def main():
     out["note"] = ("argpack vs exact2 select at 8Mx96/B1024, easy corpus "
                    "(compare results/flat.json r2: grouped 32471 qps "
                    "@ 0.9861); pipelined timing; v5e")
+    try:
+        with open("results/tune_argpack.json") as f:
+            prior = json.load(f).get("points", [])
+        seen = {(p["mode"], p["refine"], p.get("select_sg", 64))
+                for p in out["points"]}
+        out["points"] += [p for p in prior
+                          if (p["mode"], p["refine"],
+                              p.get("select_sg", 64)) not in seen]
+    except Exception:
+        pass
     with open("results/tune_argpack.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
