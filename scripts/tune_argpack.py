@@ -48,24 +48,29 @@ def main():
 
     out = {"n": N, "dim": D, "b": NQ, "points": []}
     cases = (
-        ("exact2", 128, 24, 64), ("argpack", 128, 24, 64),
-        ("argpack", 256, 24, 64), ("argpack", 512, 24, 64),
-        ("argpack", 1024, 24, 64),
+        ("exact2", 128, 24, 64, 64, "approx"),
+        ("argpack", 128, 24, 64, 64, "approx"),
+        ("argpack", 256, 24, 64, 64, "approx"),
+        ("argpack", 512, 24, 64, 64, "approx"),
+        ("argpack", 1024, 24, 64, 64, "approx"),
     )
     if os.environ.get("TUNE_CASES"):
-        # mode,refine,rg,select_sg;... — select_sg larger than NG/2/refine
-        # forces the direct approx_max_k branch (no two-level select)
-        cases = tuple(
-            (p[0], int(p[1]), int(p[2]), int(p[3]))
-            for p in (c.split(",") for c in
-                      os.environ["TUNE_CASES"].split(";")))
-    for mode, refine, rg, sg in cases:
+        # mode,refine,rg,select_sg[,group[,l2]];... — select_sg larger than
+        # NG/2/refine forces the direct approx_max_k branch (no two-level
+        # select); l2 in {approx, sort} picks the level-2 formulation
+        def parse(c):
+            p = c.split(",")
+            return (p[0], int(p[1]), int(p[2]), int(p[3]),
+                    int(p[4]) if len(p) > 4 else 64,
+                    p[5] if len(p) > 5 else "approx")
+        cases = tuple(parse(c) for c in os.environ["TUNE_CASES"].split(";"))
+    for mode, refine, rg, sg, grp, l2 in cases:
         try:
             def go():
                 return flat_topk_grouped(
                     sketch, corpus, row_ids, qd, qids, 10, refine=refine,
-                    r_groups=rg, select_mode=mode, select_sg=sg,
-                    exclude_self=True)
+                    r_groups=rg, group=grp, select_mode=mode, select_sg=sg,
+                    argpack_l2=l2, exclude_self=True)
 
             ids, _ = go()
             jax.block_until_ready(ids)
@@ -78,10 +83,11 @@ def main():
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
             rec, qps = hits / (NQ * 10), NQ / dt
-            print(f"{mode}_rf{refine}_sg{sg}: {qps:.0f} qps recall "
-                  f"{rec:.4f}", flush=True)
+            print(f"{mode}_rf{refine}_sg{sg}_g{grp}_{l2}: {qps:.0f} qps "
+                  f"recall {rec:.4f}", flush=True)
             out["points"].append({"mode": mode, "refine": refine,
-                                  "select_sg": sg, "qps": round(qps),
+                                  "select_sg": sg, "group": grp, "l2": l2,
+                                  "qps": round(qps),
                                   "recall@10": round(rec, 4)})
         except Exception:
             import traceback
@@ -93,11 +99,11 @@ def main():
     try:
         with open("results/tune_argpack.json") as f:
             prior = json.load(f).get("points", [])
-        seen = {(p["mode"], p["refine"], p.get("select_sg", 64))
-                for p in out["points"]}
-        out["points"] += [p for p in prior
-                          if (p["mode"], p["refine"],
-                              p.get("select_sg", 64)) not in seen]
+        def key(p):
+            return (p["mode"], p["refine"], p.get("select_sg", 64),
+                    p.get("group", 64), p.get("l2", "approx"))
+        seen = {key(p) for p in out["points"]}
+        out["points"] += [p for p in prior if key(p) not in seen]
     except Exception:
         pass
     with open("results/tune_argpack.json", "w") as f:

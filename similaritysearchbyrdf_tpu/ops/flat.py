@@ -67,6 +67,9 @@ _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 # negligible), exact2 otherwise.
 _SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "auto")
 _SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
+# argpack level-2 formulation: "approx" (approx_max_k on the f32 score) or
+# "sort" (exact 2-operand descending sort on the packed i32 key)
+_ARGPACK_L2 = os.environ.get("FLAT_ARGPACK_L2", "approx")
 
 # argpack trades non-argmax rows of multiply-hit groups for more groups;
 # the per-query chance that two true top-10 rows share a 64-row group is
@@ -390,6 +393,7 @@ def _argpack_candidates(
     n_live: Optional[int] = None,
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
+    l2: str = _ARGPACK_L2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Argmax-packed grouped preselection: the gmax kernel emits
     int32 `score*group + member` per group, so the top-`refine` GROUPS by
@@ -468,13 +472,26 @@ def _argpack_candidates(
             b, rg * sg)
         child = (sgi[:, :, None] * sg
                  + jnp.arange(sg, dtype=jnp.int32)).reshape(b, rg * sg)
-        # level-2: approx_max_k over the UNSHIFTED score as f32 — int8
-        # scores are < 2^24 so the f32 value is exact (ordering identical
-        # up to member tie-breaks); a full [B, rg*sg] 2-operand int sort
-        # scaled superlinearly with refine (r3 tune_argpack: 30.8k → 4.5k
-        # qps from rf128 to rf1024)
-        sc_f = (cg >> shift).astype(jnp.float32)
-        _, li = jax.lax.approx_max_k(sc_f, rg, recall_target=0.998)
+        # level-2 over the [B, rg*sg] child slab. Two formulations:
+        #   approx: approx_max_k over the UNSHIFTED score as f32 — int8
+        #     scores are < 2^24 so the f32 value is exact (ordering
+        #     identical up to member tie-breaks). Measured 7.41 ms at
+        #     [1024, 8192]→128 (results/bisect_argpack.json) — approx_max_k
+        #     is compute-bound, not HBM-bound, at these shapes.
+        #   sort: one 2-operand descending sort keyed on the packed i32 —
+        #     EXACT, and lax.sort at [1024, 2048] costs only 0.49 ms
+        #     (same bisect), so the wider slab should still undercut
+        #     approx. Payload packs (level-1 rank, child slot) into one
+        #     int32 so the sort stays 2-operand (sort cost scales with
+        #     operand count, CLAUDE.md).
+        if l2 == "sort":
+            slot = jnp.broadcast_to(
+                jnp.arange(rg * sg, dtype=jnp.int32), cg.shape)
+            _, slot_s = jax.lax.sort((-cg, slot), dimension=1, num_keys=1)
+            li = slot_s[:, :rg]
+        else:
+            sc_f = (cg >> shift).astype(jnp.float32)
+            _, li = jax.lax.approx_max_k(sc_f, rg, recall_target=0.998)
         gidx = jnp.take_along_axis(child, li, axis=1)
         gpk = jnp.take_along_axis(cg, li, axis=1)
     else:
@@ -648,7 +665,7 @@ def _grouped_candidates(
     jax.jit,
     static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
                      "use_pallas", "recall_target", "select_mode",
-                     "select_sg", "gmax_halved"),
+                     "select_sg", "gmax_halved", "argpack_l2"),
 )
 def flat_topk_grouped(
     sketch: jax.Array,            # int8/bf16 [N, D]
@@ -667,6 +684,7 @@ def flat_topk_grouped(
     select_sg: int = _SELECT_SG,
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
+    argpack_l2: str = _ARGPACK_L2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped flat scan: fused matmul+group-max (never materializes the
     [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
@@ -688,6 +706,7 @@ def flat_topk_grouped(
             sketch, queries, refine, group, use_pallas,
             select_sg=select_sg, n_live=row_ids.shape[0],
             sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
+            l2=argpack_l2,
         )
     else:
         cand, sel_s = _grouped_candidates(

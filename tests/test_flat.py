@@ -453,3 +453,33 @@ def test_flat_query_chunks_capped_results_match():
     idx.query_batch = 128          # force multi-chunk
     ids_b, _ = idx.query(q, k=10, query_ids=np.arange(300))
     np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_argpack_l2_sort_matches_approx():
+    """The exact 2-operand-sort level-2 must agree with the approx_max_k
+    level-2 (results/bisect_argpack.json motivated the sort formulation:
+    approx_max_k cost 7.41 ms of the 31 ms wall at [1024, 8192]->128)."""
+    from similaritysearchbyrdf_tpu.ops.flat import (_pad_lanes,
+                                                    build_flat_sketch,
+                                                    flat_topk_grouped)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n, d = 60_000, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    corpus = _pad_lanes(jnp.asarray(x))
+    sketch, _ = build_flat_sketch(jnp.asarray(x), "int8")
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    q = jnp.asarray(x[:64])
+    qids = jnp.arange(64, dtype=jnp.int32)
+    kw = dict(refine=128, r_groups=24, select_mode="argpack", select_sg=4,
+              exclude_self=True)
+    ids_a, _ = flat_topk_grouped(sketch, corpus, row_ids, q, qids, 10,
+                                 argpack_l2="approx", **kw)
+    ids_s, _ = flat_topk_grouped(sketch, corpus, row_ids, q, qids, 10,
+                                 argpack_l2="sort", **kw)
+    ov = np.mean([len(set(map(int, np.asarray(ids_a)[i]))
+                      & set(map(int, np.asarray(ids_s)[i])))
+                  for i in range(64)])
+    assert ov >= 9.5, ov
