@@ -131,6 +131,13 @@ def main(which="both"):
         del x
     out = ("results/flat.json" if _CORPUS_DTYPE == "float32"
            else f"results/flat_{_CORPUS_DTYPE}.json")
+    try:  # keep the other corpus's row on partial (glove/deep-only) runs
+        with open(out) as f:
+            prior = json.load(f).get("points", [])
+        seen = {p["corpus"] for p in rows}
+        rows += [p for p in prior if p["corpus"] not in seen]
+    except Exception:
+        pass
     with open(out, "w") as f:
         json.dump({"points": rows,
                    "note": "quantized-flat engine (ops/flat.py); synthetic "

@@ -26,7 +26,8 @@ def main():
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.flat import (
-        _pad_lanes, build_flat_sketch, flat_topk_grouped)
+        _BLOCK_N, _pad_lanes, build_flat_sketch, flat_topk_grouped,
+        stride_for_halved_gmax)
 
     N, D, NQ = 8_000_000, 96, 1024
     rng = np.random.default_rng(11)
@@ -42,6 +43,9 @@ def main():
     corpus = _pad_lanes(jnp.asarray(x))
     sketch, _ = build_flat_sketch(jnp.asarray(x), "int8")
     row_ids = jnp.arange(N, dtype=jnp.int32)
+    npad = (N + _BLOCK_N - 1) // _BLOCK_N * _BLOCK_N
+    sketch_strided = stride_for_halved_gmax(
+        jnp.pad(sketch, ((0, npad - N), (0, 0))))
     jax.block_until_ready(sketch)
     qd = jnp.asarray(queries)
     qids = jnp.arange(NQ, dtype=jnp.int32)
@@ -62,15 +66,24 @@ def main():
             p = c.split(",")
             return (p[0], int(p[1]), int(p[2]), int(p[3]),
                     int(p[4]) if len(p) > 4 else 64,
-                    p[5] if len(p) > 5 else "approx")
+                    p[5] if len(p) > 5 else "approx",
+                    int(p[6]) if len(p) > 6 else 0)
         cases = tuple(parse(c) for c in os.environ["TUNE_CASES"].split(";"))
-    for mode, refine, rg, sg, grp, l2 in cases:
+    for case in cases:
+        mode, refine, rg, sg, grp, l2 = case[:6]
+        qlane = bool(case[6]) if len(case) > 6 else False
         try:
             def go():
+                # the qlane kernel consumes the block-local strided copy
+                # (built for block_n=8192/group=64; only valid there)
+                kw = {}
+                if qlane:
+                    assert grp == 64, "strided copy is built for group=64"
+                    kw = dict(sketch_gmax=sketch_strided, gmax_qlane=True)
                 return flat_topk_grouped(
                     sketch, corpus, row_ids, qd, qids, 10, refine=refine,
                     r_groups=rg, group=grp, select_mode=mode, select_sg=sg,
-                    argpack_l2=l2, exclude_self=True)
+                    argpack_l2=l2, exclude_self=True, **kw)
 
             ids, _ = go()
             jax.block_until_ready(ids)
@@ -83,11 +96,11 @@ def main():
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
             rec, qps = hits / (NQ * 10), NQ / dt
-            print(f"{mode}_rf{refine}_sg{sg}_g{grp}_{l2}: {qps:.0f} qps "
-                  f"recall {rec:.4f}", flush=True)
+            print(f"{mode}_rf{refine}_sg{sg}_g{grp}_{l2}_q{int(qlane)}: "
+                  f"{qps:.0f} qps recall {rec:.4f}", flush=True)
             out["points"].append({"mode": mode, "refine": refine,
                                   "select_sg": sg, "group": grp, "l2": l2,
-                                  "qps": round(qps),
+                                  "qlane": int(qlane), "qps": round(qps),
                                   "recall@10": round(rec, 4)})
         except Exception:
             import traceback
@@ -101,7 +114,8 @@ def main():
             prior = json.load(f).get("points", [])
         def key(p):
             return (p["mode"], p["refine"], p.get("select_sg", 64),
-                    p.get("group", 64), p.get("l2", "approx"))
+                    p.get("group", 64), p.get("l2", "approx"),
+                    p.get("qlane", 0))
         seen = {key(p) for p in out["points"]}
         out["points"] += [p for p in prior if key(p) not in seen]
     except Exception:

@@ -70,6 +70,10 @@ _SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
 # argpack level-2 formulation: "approx" (approx_max_k on the f32 score) or
 # "sort" (exact 2-operand descending sort on the packed i32 key)
 _ARGPACK_L2 = os.environ.get("FLAT_ARGPACK_L2", "approx")
+# FLAT_GMAX_QLANE=1: the lane-reduction gmax kernel (query-major output
+# with NO in-kernel transpose — the transpose costs ~4.2 ms at 8M x 96
+# B1024). Needs the strided sketch copy (gmax_halved machinery).
+_GMAX_QLANE = os.environ.get("FLAT_GMAX_QLANE", "0") == "1"
 
 # argpack trades non-argmax rows of multiply-hit groups for more groups;
 # the per-query chance that two true top-10 rows share a 64-row group is
@@ -394,6 +398,7 @@ def _argpack_candidates(
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
     l2: str = _ARGPACK_L2,
+    qlane: bool = _GMAX_QLANE,
 ) -> Tuple[jax.Array, jax.Array]:
     """Argmax-packed grouped preselection: the gmax kernel emits
     int32 `score*group + member` per group, so the top-`refine` GROUPS by
@@ -440,11 +445,23 @@ def _argpack_candidates(
         if use_halved:
             assert sketch_gmax.shape == (npad, d), (
                 sketch_gmax.shape, npad, d)
-        packed = pallas_flat_groupmax_qmajor(
-            sketch_gmax if use_halved else sk, q_in, group=group,
-            block_b=bb, block_n=block_n, nsub=nsub, halved=use_halved,
-            pack_arg=True,
-        )[:b]                                           # i32 [B, NG]
+        if qlane and sketch_gmax is not None:
+            # lane-reduction kernel: query-major output with no in-kernel
+            # transpose; consumes the same strided copy as `halved`
+            from .pallas.flat_groupmax import pallas_flat_groupmax_qlane
+
+            assert sketch_gmax.shape == (npad, d), (
+                sketch_gmax.shape, npad, d)
+            packed = pallas_flat_groupmax_qlane(
+                sketch_gmax, q_in, group=group, block_b=bb,
+                block_n=block_n, pack_arg=True,
+            )[:b]                                       # i32 [B, NG]
+        else:
+            packed = pallas_flat_groupmax_qmajor(
+                sketch_gmax if use_halved else sk, q_in, group=group,
+                block_b=bb, block_n=block_n, nsub=nsub, halved=use_halved,
+                pack_arg=True,
+            )[:b]                                       # i32 [B, NG]
     else:
         # XLA fallback (CPU/tests): identical packed-key math
         scores = jnp.einsum(
@@ -665,7 +682,8 @@ def _grouped_candidates(
     jax.jit,
     static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
                      "use_pallas", "recall_target", "select_mode",
-                     "select_sg", "gmax_halved", "argpack_l2"),
+                     "select_sg", "gmax_halved", "argpack_l2",
+                     "gmax_qlane"),
 )
 def flat_topk_grouped(
     sketch: jax.Array,            # int8/bf16 [N, D]
@@ -685,6 +703,7 @@ def flat_topk_grouped(
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
     argpack_l2: str = _ARGPACK_L2,
+    gmax_qlane: bool = _GMAX_QLANE,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped flat scan: fused matmul+group-max (never materializes the
     [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
@@ -706,7 +725,7 @@ def flat_topk_grouped(
             sketch, queries, refine, group, use_pallas,
             select_sg=select_sg, n_live=row_ids.shape[0],
             sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
-            l2=argpack_l2,
+            l2=argpack_l2, qlane=gmax_qlane,
         )
     else:
         cand, sel_s = _grouped_candidates(

@@ -263,3 +263,100 @@ def pallas_flat_groupmax_qmajor(
         ),
         interpret=interpret,
     )(q_lp, sketch)
+
+
+def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *, g, j_rows, chunk_lanes,
+                       pack_arg):
+    # q_ref [BT, D] int8; sk_ref [NT, D] int8 in the STRIDED layout
+    # (stride_for_halved_gmax: block-local row m*J + j holds group j's
+    # member m, J = NT//g). Computes scores QUERY-MAJOR [BT, NT] on the
+    # MXU in `chunk_lanes`-wide chunks and reduces each chunk's lanes to
+    # the J group maxima by pairwise halving — the strided layout puts a
+    # fixed member-range of ALL J groups in every chunk, so halves align
+    # group-for-group and the reduce is pure full-vreg maxima: no
+    # cross-sublane shuffles and, unlike `_gmax_kernel(transpose_out=True)`,
+    # no in-kernel transpose (measured +4.2 ms at 8M x 96 x B1024:
+    # qmajor 15.1 ms vs plain 10.9, results/tune_gmax_nsub.json /
+    # tune_gmax_halved.json). out_ref [BT, J] i32 (packed) or f32.
+    nt = sk_ref.shape[0]
+    bt = q_ref.shape[0]
+    n_chunks = nt // chunk_lanes
+    shift = max(g.bit_length() - 1, 0)
+
+    acc = None
+    for c in range(n_chunks):
+        blk = sk_ref[pl.ds(c * chunk_lanes, chunk_lanes), :]
+        scores = jax.lax.dot_general(
+            q_ref[:], blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                          # [BT, chunk_lanes] i32
+        if pack_arg:
+            # strided row r = m*J + j -> member m = r // J; lane l of this
+            # chunk is row c*chunk_lanes + l. One iota row, broadcast OR.
+            lane = c * chunk_lanes + jax.lax.broadcasted_iota(
+                jnp.int32, (1, chunk_lanes), 1)
+            scores = (scores << shift) | (lane // j_rows)
+        s = scores
+        while s.shape[1] > j_rows:
+            h = s.shape[1] // 2
+            s = jnp.maximum(s[:, :h], s[:, h:])    # [BT, J] after log2
+        acc = s if acc is None else jnp.maximum(acc, s)
+    out_ref[:] = acc if pack_arg else acc.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_b", "block_n", "chunk_lanes",
+                     "interpret", "pack_arg"),
+)
+def pallas_flat_groupmax_qlane(
+    sketch_strided: jax.Array,   # int8 [Npad, D], STRIDED layout
+    q_lp: jax.Array,             # int8 [B, D]; B % block_b == 0
+    group: int = 64,
+    block_b: int = 512,
+    block_n: int = 8192,
+    chunk_lanes: int = 1024,
+    interpret: bool = False,
+    pack_arg: bool = True,
+) -> jax.Array:
+    """Query-major per-group maxima f32/i32[B, Npad/group] via lane-axis
+    reduction over the strided sketch copy — the no-transpose alternative
+    to `pallas_flat_groupmax_qmajor`. Requires the int8 MXU path and the
+    `stride_for_halved_gmax` sketch layout; [BT, chunk_lanes] i32 score
+    chunks keep VMEM at ~2 MB for the defaults."""
+    npad, d = sketch_strided.shape
+    b = q_lp.shape[0]
+    assert sketch_strided.dtype == jnp.int8 and q_lp.dtype == jnp.int8, (
+        "qlane kernel is int8-only (i32 MXU scores)")
+    assert npad % block_n == 0 and block_n % group == 0, (npad, block_n)
+    j_rows = block_n // group
+    assert j_rows % 128 == 0, (
+        "qlane output lane dim must be a 128 multiple", block_n, group)
+    assert block_n % chunk_lanes == 0 and chunk_lanes % j_rows == 0, (
+        "chunk_lanes must tile block_n and hold whole member ranges",
+        block_n, chunk_lanes, j_rows)
+    block_b = min(block_b, b)
+    assert b % block_b == 0, (b, block_b)
+    assert group & (group - 1) == 0, group
+    if pack_arg:
+        assert d * 127 * 127 * group < 2**31, (
+            "pack_arg int32 overflow", d, group)
+    return pl.pallas_call(
+        functools.partial(_gmax_qlane_kernel, g=group, j_rows=j_rows,
+                          chunk_lanes=chunk_lanes, pack_arg=pack_arg),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, npad // group), jnp.int32 if pack_arg else jnp.float32),
+        grid=(npad // block_n, b // block_b),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_n // group), lambda i, j: (j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(q_lp, sketch_strided)

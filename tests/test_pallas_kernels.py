@@ -512,3 +512,52 @@ def test_pallas_coarse_aligned_coalesced_matches_percopy(monkeypatch):
         *argsp, win, live=jnp.asarray(live), groups=g_pack,
         seg_b=jnp.asarray(seg_b), coalesce=True))
     np.testing.assert_allclose(runs_p[live], base_p[live], atol=1e-3)
+
+
+def test_gmax_qlane_matches_qmajor_interpret():
+    """Lane-reduction gmax kernel (no in-kernel transpose) must be
+    bit-identical to the qmajor kernel on the strided sketch copy, packed
+    and f32 — the transpose it deletes cost ~4.2 ms at 8M x 96 B1024
+    (tune_gmax_nsub vs tune_gmax_halved artifacts)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import stride_for_halved_gmax
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax_qlane, pallas_flat_groupmax_qmajor)
+
+    rng = np.random.default_rng(3)
+    npad, d, b, g = 16384, 128, 256, 64
+    sk = jnp.asarray(rng.integers(-127, 128, (npad, d)), jnp.int8)
+    q = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+    strided = stride_for_halved_gmax(sk, block_n=8192, group=g)
+    for pack, chunk in ((True, 1024), (False, 2048)):
+        ref = pallas_flat_groupmax_qmajor(
+            sk, q, group=g, block_b=128, block_n=8192, pack_arg=pack,
+            interpret=True)
+        got = pallas_flat_groupmax_qlane(
+            strided, q, group=g, block_b=128, block_n=8192,
+            chunk_lanes=chunk, pack_arg=pack, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_gmax_qlane_lowers_for_tpu():
+    """Cross-platform TPU lowering check (jax.export) for the qlane kernel
+    shapes the tuner sweeps (bb 512, block_n 8192, chunk 1024) — catches
+    Mosaic constraint violations on the CPU CI host before a bench run."""
+    import jax
+    import jax.export
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax_qlane)
+
+    sk = jnp.zeros((16384, 128), jnp.int8)
+    q = jnp.zeros((1024, 128), jnp.int8)
+
+    def f(sk, q):
+        return pallas_flat_groupmax_qlane(sk, q, group=64, block_b=512,
+                                          block_n=8192, chunk_lanes=1024,
+                                          pack_arg=True)
+
+    exp = jax.export.export(jax.jit(f), platforms=["tpu"])(sk, q)
+    assert "tpu_custom_call" in exp.mlir_module()
