@@ -98,10 +98,7 @@ def flat_rows_points(row):
 
 def main():
     os.chdir(os.path.join(os.path.dirname(__file__), ".."))
-    has_hard = os.path.exists("results/ivf_hard8m.json")
-    ncols = 4 if has_hard else 3
-    fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 3.8),
-                             facecolor=SURFACE)
+    panels = []
 
     # --- GloVe-1.2M panel ---
     glove_forest = []
@@ -112,13 +109,14 @@ def main():
     for p in load("results/flat.json")["points"]:
         if p["corpus"].startswith("glove"):
             glove_flat.append((1000.0 / p["qps"], p["recall@10"]))
-    panel(axes[0], "GloVe-shaped 1.2M x 100d",
-          [("forest", C_FOREST, glove_forest), ("flat", C_FLAT, glove_flat)])
+    panels.append(("GloVe-shaped 1.2M x 100d",
+                   [("forest", C_FOREST, glove_forest),
+                    ("flat", C_FLAT, glove_flat)]))
 
     # --- SIFT-1M panel ---
     sift_forest = forest_points(load("results/sift1m.json"))
-    panel(axes[1], "SIFT-shaped 1M x 128d",
-          [("forest", C_FOREST, sift_forest)])
+    panels.append(("SIFT-shaped 1M x 128d",
+                   [("forest", C_FOREST, sift_forest)]))
 
     # --- Deep-8M panel ---
     deep_forest = forest_points(load("results/deep8m.json"))
@@ -132,13 +130,14 @@ def main():
     if os.path.exists("results/ivf_deep8m.json"):
         for p in load("results/ivf_deep8m.json")["points"]:
             deep_ivf.append((1000.0 / p["qps"], p["recall@10"]))
-    panel(axes[2], "Deep-shaped 8M x 96d (per-chip slice)",
-          [("forest", C_FOREST, deep_forest), ("flat", C_FLAT, deep_flat),
-           ("IVF", C_IVF, deep_ivf)])
+    panels.append(("Deep-shaped 8M x 96d (per-chip slice)",
+                   [("forest", C_FOREST, deep_forest),
+                    ("flat", C_FLAT, deep_flat),
+                    ("IVF", C_IVF, deep_ivf)]))
 
     # --- HARD 8M panel (binding recall: overlapping clusters + heavy
     # tail, recall governed by coverage knobs — VERDICT r2 item 1) ---
-    if has_hard:
+    if os.path.exists("results/ivf_hard8m.json"):
         hard_ivf = [(1000.0 / p["qps"], p["recall@10"])
                     for p in load("results/ivf_hard8m.json")["points"]]
         hard_forest = []
@@ -148,12 +147,43 @@ def main():
         if os.path.exists("results/flat_hard8m.json"):
             for row in load("results/flat_hard8m.json")["points"]:
                 hard_flat += flat_rows_points(row)
-        panel(axes[3], "HARD 8M x 96d (recall knobs bind)",
-              [("forest", C_FOREST, hard_forest),
-               ("flat", C_FLAT, hard_flat), ("IVF", C_IVF, hard_ivf)])
+        panels.append(("HARD 8M x 96d (recall knobs bind)",
+                       [("forest", C_FOREST, hard_forest),
+                        ("flat", C_FLAT, hard_flat),
+                        ("IVF", C_IVF, hard_ivf)]))
 
-    axes[0].set_ylabel("recall@10 (exact GT)", color=INK2, fontsize=9)
-    for ax in axes:
+    # --- HARD 30M single-chip capacity panel (Deep-100M residency model
+    # executed at 30M rows: int8 sketch + bf16 refine resident) ---
+    if os.path.exists("results/deep30m.json"):
+        panels.append(("HARD 30M x 96d (one chip, bf16-resident)",
+                       [("IVF", C_IVF, forest_points(load("results/deep30m.json")))]))
+
+    # --- High-dim panel (D=784, hard mixture) ---
+    if os.path.exists("results/d784.json"):
+        d784 = load("results/d784.json")["points"]
+        by_engine = {}
+        for p in d784:
+            rec, qps = p.get("recall@10"), p.get("qps")
+            if rec and qps:
+                by_engine.setdefault(p["engine"], []).append((1000.0 / qps, rec))
+        series = [(name, color, sorted(by_engine.get(name, [])))
+                  for name, color in (("forest", C_FOREST), ("flat", C_FLAT),
+                                      ("ivf", C_IVF))]
+        panels.append(("HARD 200k x 784d (MNIST-shaped)", series))
+
+    ncols = 3 if len(panels) > 4 else len(panels)
+    nrows = (len(panels) + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3.8 * nrows),
+                             facecolor=SURFACE, squeeze=False)
+    flat_axes = [ax for row in axes for ax in row]
+    for ax, (title, series) in zip(flat_axes, panels):
+        panel(ax, title, series)
+    for ax in flat_axes[len(panels):]:
+        ax.set_visible(False)
+
+    for row in axes:
+        row[0].set_ylabel("recall@10 (exact GT)", color=INK2, fontsize=9)
+    for ax in flat_axes[: len(panels)]:
         ax.set_facecolor(SURFACE)
         ax.legend(loc="lower right", fontsize=8, frameon=False,
                   labelcolor=INK)
