@@ -138,19 +138,47 @@ def _pad_lanes(a: jax.Array) -> jax.Array:
     return a if dp == d else jnp.pad(a, ((0, 0), (0, dp - d)))
 
 
-def grouped_vmem_safe_batch(nrows: int, bsz: int, group: int = 64) -> int:
+def _gmax_tile_plan(dpad: int, group: int = 64):
+    """(qmajor_ok, block_n): scoped-vmem plan for the gmax kernels at
+    lane-padded width `dpad`. The kernel's Mosaic frame holds the
+    double-buffered streamed sketch tile (2·block_n·dpad int8 bytes) plus,
+    at small NG, XLA's VMEM-promoted copy of the whole [B, NG] output
+    (`grouped_vmem_safe_batch` caps that term). The query-major kernels
+    (qmajor/qlane) pin block_n ≥ group·128 — their output lane dim must be
+    a 128 multiple — so past dpad=256 the 8192-row tile alone crowds the
+    16 MB scoped budget (200k×784d, batch 29: 14.7 MB tile + 9.8 MB
+    promoted output OOMed the compile). High D therefore routes to the
+    transposed-output kernel with block_n shrunk to keep the tile ≤ 2 MB,
+    paying one XLA transpose of [NG, B] — cheap exactly when NG is small
+    or B is already capped."""
+    if dpad <= 256:
+        return True, _BLOCK_N
+    block_n = _BLOCK_N
+    while block_n > group and 2 * block_n * dpad > (4 << 20):
+        block_n //= 2
+    return False, block_n
+
+
+def grouped_vmem_safe_batch(nrows: int, bsz: int, group: int = 64,
+                            dpad: int | None = None) -> int:
     """Mid-size-corpus scoped-vmem guard for grouped mode: when
     NG = Npad/group is small, XLA VMEM-promotes the gmax kernel's full
     [B, NG] result (double-buffered) and the COMPILE fails once 2·B·NG·4 B
     exceeds the 16 MB scoped limit — hit at 200k×784d with B=1024
-    (NG=3200 → 25.4 MB). Returns bsz capped so the promoted buffer stays
-    ≤ 12 MB; large NG (≥16384, every ≥1M-row corpus) is not promoted
-    (measured fine at 1.2M/8M rows with B=1024)."""
+    (NG=3200 → 25.4 MB). Returns bsz capped so the promoted buffer plus
+    the kernel's streamed sketch tile (2·block_n·dpad bytes, the term the
+    first batch-29 guard missed) stays ≤ 12 MB; large NG (≥16384, every
+    ≥1M-row corpus) is not promoted (measured fine at 1.2M/8M rows with
+    B=1024)."""
     npad = -(-int(nrows) // _BLOCK_N) * _BLOCK_N
     ng = npad // group
     if ng >= 16384:
         return bsz
-    return min(bsz, max(128, (12 << 20) // (ng * 8) // 128 * 128))
+    budget = 12 << 20
+    if dpad is not None:
+        _, block_n = _gmax_tile_plan(dpad, group)
+        budget -= 2 * block_n * dpad
+    return min(bsz, max(128, budget // (ng * 8) // 128 * 128))
 
 
 def effective_query_batch(nq: int, query_batch: int) -> int:
@@ -347,7 +375,8 @@ class FlatIndex:
                 else np.full((nq,), -1, np.int32))
         bsz = effective_query_batch(nq, self.query_batch)
         if self.mode == "grouped" and self.sketch is not None:
-            bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz)
+            bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz,
+                                          dpad=self.sketch.shape[1])
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)
@@ -431,7 +460,21 @@ def _argpack_candidates(
     shift = group.bit_length() - 1
 
     bpad = int(np.ceil(b / 128)) * 128
-    if use_pallas and jax.default_backend() == "tpu":
+    qmajor_ok, plan_block_n = _gmax_tile_plan(d, group)
+    if use_pallas and jax.default_backend() == "tpu" and not qmajor_ok:
+        # high-D route: the query-major kernels pin block_n >= group*128
+        # and their 8192-row sketch tile blows scoped vmem past dpad=256 —
+        # use the transposed-output kernel with the planned smaller tile
+        # (natural layout: the strided halved/qlane copy is laid out for
+        # _BLOCK_N tiles) and transpose [NG, B] once in XLA.
+        from .pallas.flat_groupmax import pallas_flat_groupmax
+
+        q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
+        packed = pallas_flat_groupmax(
+            sk, q_in, group=group, block_b=min(128, bpad),
+            block_n=plan_block_n, pack_arg=True,
+        ).T[:b]                                         # i32 [B, NG]
+    elif use_pallas and jax.default_backend() == "tpu":
         from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
 
         q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
@@ -567,8 +610,8 @@ def _grouped_candidates(
     bpad = int(np.ceil(b / 128)) * 128
     if use_pallas and jax.default_backend() == "tpu":
         q_in = jnp.pad(q_lp, ((0, bpad - b), (0, 0)))
-        block_n = 8192
-        if (block_n // group) % 128 == 0:
+        qmajor_ok, block_n = _gmax_tile_plan(d, group)
+        if qmajor_ok and (block_n // group) % 128 == 0:
             # query-major output: no XLA transpose of [NG, B] (the select
             # stage's measured wall, results/attrib_flat_r02.json)
             from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
@@ -895,7 +938,8 @@ class SparseFlatIndex:
         bsz = effective_query_batch(nq, self.query_batch)
         # the sparse path runs the identical gmax kernel over the
         # densified sketch — same scoped-vmem guard
-        bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz)
+        bsz = grouped_vmem_safe_batch(self.sketch.shape[0], bsz,
+                                      dpad=self.sketch.shape[1])
         out_i, out_s = [], []
         for s0 in range(0, nq, bsz):
             s1 = min(s0 + bsz, nq)

@@ -439,6 +439,33 @@ def test_grouped_vmem_safe_batch():
     assert grouped_vmem_safe_batch(20_000, 1024) == 1024
     # the floor is one 128-row block even at pathological NG
     assert grouped_vmem_safe_batch(8_000_000, 1024, group=1) >= 128
+    # D-aware: at 200k x 784d (dpad 896) the kernel's streamed sketch tile
+    # shares the scoped budget with the promoted output — the cap must
+    # shrink so tile + 2*B*NG*4 fits (the second batch-29 OOM: the
+    # dpad-blind cap of 384 left 384*3200*8 + 2*8192*896 = 24.5 MB)
+    from similaritysearchbyrdf_tpu.ops.flat import _gmax_tile_plan
+
+    b896 = grouped_vmem_safe_batch(200_000, 1024, dpad=896)
+    _, bn896 = _gmax_tile_plan(896)
+    assert b896 % 128 == 0
+    assert 2 * b896 * 3200 * 4 + 2 * bn896 * 896 <= (12 << 20), b896
+
+
+def test_gmax_tile_plan():
+    """Kernel/tile routing: tuned low-D shapes keep the query-major kernel
+    at the full 8192-row tile; high D (where 2*8192*dpad alone crowds the
+    16 MB scoped-vmem budget and the qmajor layout pins block_n >=
+    group*128) must fall back to the transposed kernel with the tile
+    shrunk to <= 2 MB."""
+    from similaritysearchbyrdf_tpu.ops.flat import _gmax_tile_plan
+
+    for dpad in (96, 128, 256):
+        assert _gmax_tile_plan(dpad) == (True, 8192), dpad
+    for dpad in (384, 512, 896, 1536):
+        ok, bn = _gmax_tile_plan(dpad)
+        assert not ok
+        assert 2 * bn * dpad <= (4 << 20), (dpad, bn)
+        assert bn % 64 == 0 and 8192 % bn == 0, bn   # tiles npad, whole groups
 
 
 def test_flat_query_chunks_capped_results_match():

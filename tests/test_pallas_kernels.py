@@ -333,6 +333,29 @@ def test_pallas_groupmax_qmajor_matches_plain(monkeypatch):
     np.testing.assert_array_equal(a, ref.astype(np.float32))
 
 
+def test_pallas_groupmax_highd_small_tile_packed():
+    """The high-D route (_gmax_tile_plan: transposed-output kernel with a
+    shrunk block_n — 2048 at dpad 896) must produce the exact packed
+    argmax keys: score*group + member, transposed to query-major."""
+    from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
+
+    rng = np.random.default_rng(11)
+    n, d, b, group, block_n = 4096, 896, 32, 64, 2048
+    sk = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    q = rng.integers(-100, 100, size=(b, d)).astype(np.int8)
+    packed = np.asarray(
+        fg.pallas_flat_groupmax(
+            jnp.asarray(sk), jnp.asarray(q), group=group,
+            block_b=b, block_n=block_n, pack_arg=True, interpret=True,
+        )
+    ).T                                                  # [B, NG]
+    scores = q.astype(np.int64) @ sk.astype(np.int64).T  # [B, N]
+    ref = ((scores * group) + (np.arange(n) % group)[None, :]).reshape(
+        b, n // group, group
+    ).max(axis=2)
+    np.testing.assert_array_equal(packed, ref.astype(np.int32))
+
+
 def test_pallas_groupmax_nsub_pipelined_matches(monkeypatch):
     """Software-pipelined (nsub>1) group-max == unpipelined, both layouts."""
     from similaritysearchbyrdf_tpu.ops.pallas import flat_groupmax as fg
