@@ -59,19 +59,23 @@ def main():
         ("argpack", 1024, 24, 64, 64, "approx"),
     )
     if os.environ.get("TUNE_CASES"):
-        # mode,refine,rg,select_sg[,group[,l2]];... — select_sg larger than
-        # NG/2/refine forces the direct approx_max_k branch (no two-level
-        # select); l2 in {approx, sort} picks the level-2 formulation
+        # mode,refine,rg,select_sg[,group[,l2[,qlane[,emit_sg]]]];... —
+        # select_sg larger than NG/2/refine forces the direct approx_max_k
+        # branch (no two-level select); l2 in {approx, sort} picks the
+        # level-2 formulation; emit_sg > 0 fuses the level-1 supergroup
+        # tier into the qlane kernel (qlane must be 1)
         def parse(c):
             p = c.split(",")
             return (p[0], int(p[1]), int(p[2]), int(p[3]),
                     int(p[4]) if len(p) > 4 else 64,
                     p[5] if len(p) > 5 else "approx",
-                    int(p[6]) if len(p) > 6 else 0)
+                    int(p[6]) if len(p) > 6 else 0,
+                    int(p[7]) if len(p) > 7 else 0)
         cases = tuple(parse(c) for c in os.environ["TUNE_CASES"].split(";"))
     for case in cases:
         mode, refine, rg, sg, grp, l2 = case[:6]
         qlane = bool(case[6]) if len(case) > 6 else False
+        emit_sg = case[7] if len(case) > 7 else 0
         try:
             def go():
                 # the qlane kernel consumes the block-local strided copy
@@ -79,7 +83,8 @@ def main():
                 kw = {}
                 if qlane:
                     assert grp == 64, "strided copy is built for group=64"
-                    kw = dict(sketch_gmax=sketch_strided, gmax_qlane=True)
+                    kw = dict(sketch_gmax=sketch_strided, gmax_qlane=True,
+                              gmax_emit_sg=emit_sg)
                 return flat_topk_grouped(
                     sketch, corpus, row_ids, qd, qids, 10, refine=refine,
                     r_groups=rg, group=grp, select_mode=mode, select_sg=sg,
@@ -96,11 +101,13 @@ def main():
             hits = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
                                             if v >= 0)) for i in range(NQ))
             rec, qps = hits / (NQ * 10), NQ / dt
-            print(f"{mode}_rf{refine}_sg{sg}_g{grp}_{l2}_q{int(qlane)}: "
-                  f"{qps:.0f} qps recall {rec:.4f}", flush=True)
+            print(f"{mode}_rf{refine}_sg{sg}_g{grp}_{l2}_q{int(qlane)}"
+                  f"_e{emit_sg}: {qps:.0f} qps recall {rec:.4f}",
+                  flush=True)
             out["points"].append({"mode": mode, "refine": refine,
                                   "select_sg": sg, "group": grp, "l2": l2,
-                                  "qlane": int(qlane), "qps": round(qps),
+                                  "qlane": int(qlane), "emit_sg": emit_sg,
+                                  "qps": round(qps),
                                   "recall@10": round(rec, 4)})
         except Exception:
             import traceback
@@ -115,7 +122,7 @@ def main():
         def key(p):
             return (p["mode"], p["refine"], p.get("select_sg", 64),
                     p.get("group", 64), p.get("l2", "approx"),
-                    p.get("qlane", 0))
+                    p.get("qlane", 0), p.get("emit_sg", 0))
         seen = {key(p) for p in out["points"]}
         out["points"] += [p for p in prior if key(p) not in seen]
     except Exception:

@@ -74,6 +74,12 @@ _ARGPACK_L2 = os.environ.get("FLAT_ARGPACK_L2", "approx")
 # with NO in-kernel transpose — the transpose costs ~4.2 ms at 8M x 96
 # B1024). Needs the strided sketch copy (gmax_halved machinery).
 _GMAX_QLANE = os.environ.get("FLAT_GMAX_QLANE", "0") == "1"
+# FLAT_GMAX_EMIT_SG=16: qlane additionally emits the level-1 supergroup
+# maxima (16 adjacent groups each) as a fused second output, deleting the
+# argpack select's full [B, NG] HBM re-read (3.22 ms of the 31.1 ms wall,
+# results/bisect_argpack.json). Coarser select_sg folds from the emitted
+# tier in XLA. Only meaningful with FLAT_GMAX_QLANE=1.
+_GMAX_EMIT_SG = int(os.environ.get("FLAT_GMAX_EMIT_SG", "0"))
 
 # argpack trades non-argmax rows of multiply-hit groups for more groups;
 # the per-query chance that two true top-10 rows share a 64-row group is
@@ -416,6 +422,24 @@ class FlatIndex:
 _I32_DEAD = -(2**31 - 1)     # dead-group sentinel; negation-safe (not MIN)
 
 
+def _fold_emitted_sgmax(sgmax_pre, p3, n, group, sg, emit_sg):
+    """Fold the kernel-emitted emit_sg level-1 tier to select_sg-wide
+    supergroup maxima instead of re-reading the full [B, NG] packed slab.
+    The emitted tier is UNMASKED (the kernel sees the zero-padded strided
+    copy, not the g_live mask), but live groups are a PREFIX: supergroups
+    fully inside the prefix are exact, so only the boundary-plus-dead tail
+    columns (a tiny static slice) are recomputed from the masked packed
+    reshape `p3` [B, NSG, sg]."""
+    b, nsg, _ = p3.shape
+    spre = (sgmax_pre if sg == emit_sg else
+            sgmax_pre.reshape(b, nsg, sg // emit_sg).max(axis=-1))
+    full_sg = (-(-n // group)) // sg         # fully-live supergroups
+    if full_sg >= nsg:
+        return spre
+    tail = p3[:, full_sg:, :].max(axis=-1)
+    return jnp.concatenate([spre[:, :full_sg], tail], axis=1)
+
+
 def _argpack_candidates(
     sketch: jax.Array,            # int8 [N, D]
     queries: jax.Array,           # f32[B, D]
@@ -428,6 +452,7 @@ def _argpack_candidates(
     gmax_halved: bool = False,
     l2: str = _ARGPACK_L2,
     qlane: bool = _GMAX_QLANE,
+    emit_sg: int = _GMAX_EMIT_SG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Argmax-packed grouped preselection: the gmax kernel emits
     int32 `score*group + member` per group, so the top-`refine` GROUPS by
@@ -460,6 +485,7 @@ def _argpack_candidates(
     shift = group.bit_length() - 1
 
     bpad = int(np.ceil(b / 128)) * 128
+    sgmax_pre = None        # fused level-1 tier (qlane emit_sg path only)
     qmajor_ok, plan_block_n = _gmax_tile_plan(d, group)
     if use_pallas and jax.default_backend() == "tpu" and not qmajor_ok:
         # high-D route: the query-major kernels pin block_n >= group*128
@@ -495,10 +521,21 @@ def _argpack_candidates(
 
             assert sketch_gmax.shape == (npad, d), (
                 sketch_gmax.shape, npad, d)
-            packed = pallas_flat_groupmax_qlane(
-                sketch_gmax, q_in, group=group, block_b=bb,
-                block_n=block_n, pack_arg=True,
-            )[:b]                                       # i32 [B, NG]
+            if emit_sg:
+                # fused level-1 tier: the kernel emits the supergroup
+                # maxima while the gmax tile is still in VMEM — the
+                # two-level select below then skips its [B, NG] re-read
+                packed, sgmax_t = pallas_flat_groupmax_qlane(
+                    sketch_gmax, q_in, group=group, block_b=bb,
+                    block_n=block_n, pack_arg=True, emit_sg=emit_sg,
+                )
+                packed = packed[:b]                     # i32 [B, NG]
+                sgmax_pre = sgmax_t.T[:b]               # i32 [B, NG/esg]
+            else:
+                packed = pallas_flat_groupmax_qlane(
+                    sketch_gmax, q_in, group=group, block_b=bb,
+                    block_n=block_n, pack_arg=True,
+                )[:b]                                   # i32 [B, NG]
         else:
             packed = pallas_flat_groupmax_qmajor(
                 sketch_gmax if use_halved else sk, q_in, group=group,
@@ -524,7 +561,11 @@ def _argpack_candidates(
         # most rg supergroups can)
         nsg = ng // sg
         p3 = packed.reshape(b, nsg, sg)
-        sgmax = p3.max(axis=-1)                          # [B, NSG]
+        if sgmax_pre is not None and sg % emit_sg == 0:
+            sgmax = _fold_emitted_sgmax(sgmax_pre, p3, n, group, sg,
+                                        emit_sg)
+        else:
+            sgmax = p3.max(axis=-1)                      # [B, NSG]
         _, sgi = jax.lax.sort((-sgmax, jnp.broadcast_to(
             jnp.arange(nsg, dtype=jnp.int32), (b, nsg))), num_keys=1)
         sgi = sgi[:, :rg]                                # [B, RG]
@@ -726,7 +767,7 @@ def _grouped_candidates(
     static_argnames=("k", "refine", "r_groups", "group", "exclude_self",
                      "use_pallas", "recall_target", "select_mode",
                      "select_sg", "gmax_halved", "argpack_l2",
-                     "gmax_qlane"),
+                     "gmax_qlane", "gmax_emit_sg"),
 )
 def flat_topk_grouped(
     sketch: jax.Array,            # int8/bf16 [N, D]
@@ -747,6 +788,7 @@ def flat_topk_grouped(
     gmax_halved: bool = False,
     argpack_l2: str = _ARGPACK_L2,
     gmax_qlane: bool = _GMAX_QLANE,
+    gmax_emit_sg: int = _GMAX_EMIT_SG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped flat scan: fused matmul+group-max (never materializes the
     [B, N] scores — a `group`× HBM-traffic cut vs `flat_topk`), then top
@@ -768,7 +810,7 @@ def flat_topk_grouped(
             sketch, queries, refine, group, use_pallas,
             select_sg=select_sg, n_live=row_ids.shape[0],
             sketch_gmax=sketch_gmax, gmax_halved=gmax_halved,
-            l2=argpack_l2, qlane=gmax_qlane,
+            l2=argpack_l2, qlane=gmax_qlane, emit_sg=gmax_emit_sg,
         )
     else:
         cand, sel_s = _grouped_candidates(

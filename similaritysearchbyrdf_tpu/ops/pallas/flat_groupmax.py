@@ -265,8 +265,8 @@ def pallas_flat_groupmax_qmajor(
     )(q_lp, sketch)
 
 
-def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *, g, j_rows, chunk_lanes,
-                       pack_arg):
+def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *refs, g, j_rows, chunk_lanes,
+                       pack_arg, emit_sg=0):
     # q_ref [BT, D] int8; sk_ref [NT, D] int8 in the STRIDED layout
     # (stride_for_halved_gmax: block-local row m*J + j holds group j's
     # member m, J = NT//g). Computes scores QUERY-MAJOR [BT, NT] on the
@@ -278,6 +278,19 @@ def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *, g, j_rows, chunk_lanes,
     # no in-kernel transpose (measured +4.2 ms at 8M x 96 x B1024:
     # qmajor 15.1 ms vs plain 10.9, results/tune_gmax_nsub.json /
     # tune_gmax_halved.json). out_ref [BT, J] i32 (packed) or f32.
+    #
+    # emit_sg > 0 additionally emits the SUPERGROUP maxima (emit_sg
+    # adjacent groups each) as a second output in TRANSPOSED layout
+    # [J//emit_sg, BT] — the level-1 two-level-select tier that the
+    # argpack consumer otherwise recomputes with a full HBM re-read of
+    # the [B, NG] packed output (3.22 ms of the 31.1 ms argpack wall at
+    # 8M x 96 x B1024, results/bisect_argpack.json). The acc tile is
+    # already in VMEM here, so the extra cost is one minor-axis segmented
+    # max + one [BT, J/sg] tile transpose per grid step. Transposed
+    # because J/sg (8 at the defaults) is far below the 128-lane store
+    # floor but is a legal sublane count; the caller pays one XLA
+    # transpose of [NSG, B] (~17 MB) instead of the [B, NG] re-read.
+    sg_ref = refs[0] if emit_sg else None
     nt = sk_ref.shape[0]
     bt = q_ref.shape[0]
     n_chunks = nt // chunk_lanes
@@ -303,12 +316,16 @@ def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *, g, j_rows, chunk_lanes,
             s = jnp.maximum(s[:, :h], s[:, h:])    # [BT, J] after log2
         acc = s if acc is None else jnp.maximum(acc, s)
     out_ref[:] = acc if pack_arg else acc.astype(jnp.float32)
+    if emit_sg:
+        bt = acc.shape[0]
+        sgm = acc.reshape(bt, j_rows // emit_sg, emit_sg).max(axis=-1)
+        sg_ref[:] = (sgm if pack_arg else sgm.astype(jnp.float32)).T
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("group", "block_b", "block_n", "chunk_lanes",
-                     "interpret", "pack_arg"),
+                     "interpret", "pack_arg", "emit_sg"),
 )
 def pallas_flat_groupmax_qlane(
     sketch_strided: jax.Array,   # int8 [Npad, D], STRIDED layout
@@ -319,12 +336,21 @@ def pallas_flat_groupmax_qlane(
     chunk_lanes: int = 1024,
     interpret: bool = False,
     pack_arg: bool = True,
-) -> jax.Array:
+    emit_sg: int = 0,
+):
     """Query-major per-group maxima f32/i32[B, Npad/group] via lane-axis
     reduction over the strided sketch copy — the no-transpose alternative
     to `pallas_flat_groupmax_qmajor`. Requires the int8 MXU path and the
     `stride_for_halved_gmax` sketch layout; [BT, chunk_lanes] i32 score
-    chunks keep VMEM at ~2 MB for the defaults."""
+    chunks keep VMEM at ~2 MB for the defaults.
+
+    emit_sg > 0 returns (gmax, sgmax_t): sgmax_t is the per-supergroup
+    (emit_sg ADJACENT groups) maxima in TRANSPOSED layout
+    [Npad/group/emit_sg, B] — fused emission of the argpack consumer's
+    level-1 select tier, saving its full [B, NG] HBM re-read. Requires
+    (block_n/group/emit_sg) % 8 == 0 (the transposed tile's sublane
+    count), so emit_sg <= 16 at the block_n=8192/group=64 defaults;
+    fold coarser supergroups from the emitted ones in XLA."""
     npad, d = sketch_strided.shape
     b = q_lp.shape[0]
     assert sketch_strided.dtype == jnp.int8 and q_lp.dtype == jnp.int8, (
@@ -342,11 +368,29 @@ def pallas_flat_groupmax_qlane(
     if pack_arg:
         assert d * 127 * 127 * group < 2**31, (
             "pack_arg int32 overflow", d, group)
+    out_dt = jnp.int32 if pack_arg else jnp.float32
+    out_shape = jax.ShapeDtypeStruct((b, npad // group), out_dt)
+    out_specs = pl.BlockSpec(
+        (block_b, block_n // group), lambda i, j: (j, i),
+        memory_space=pltpu.VMEM,
+    )
+    if emit_sg:
+        assert emit_sg & (emit_sg - 1) == 0 and j_rows % emit_sg == 0, (
+            emit_sg, j_rows)
+        assert (j_rows // emit_sg) % 8 == 0, (
+            "transposed sgmax tile needs >= 8 sublanes per block",
+            j_rows, emit_sg)
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (npad // group // emit_sg, b), out_dt))
+        out_specs = (out_specs, pl.BlockSpec(
+            (j_rows // emit_sg, block_b), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ))
     return pl.pallas_call(
         functools.partial(_gmax_qlane_kernel, g=group, j_rows=j_rows,
-                          chunk_lanes=chunk_lanes, pack_arg=pack_arg),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, npad // group), jnp.int32 if pack_arg else jnp.float32),
+                          chunk_lanes=chunk_lanes, pack_arg=pack_arg,
+                          emit_sg=emit_sg),
+        out_shape=out_shape,
         grid=(npad // block_n, b // block_b),
         in_specs=[
             pl.BlockSpec((block_b, d), lambda i, j: (j, 0),
@@ -354,9 +398,6 @@ def pallas_flat_groupmax_qlane(
             pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (block_b, block_n // group), lambda i, j: (j, i),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         interpret=interpret,
     )(q_lp, sketch_strided)

@@ -563,6 +563,85 @@ def test_gmax_qlane_matches_qmajor_interpret():
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_gmax_qlane_emit_sg_matches_fold():
+    """emit_sg: the fused second output must equal the adjacent-sg fold of
+    the first (the level-1 tier the argpack consumer otherwise recomputes
+    with a full [B, NG] re-read)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import stride_for_halved_gmax
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax_qlane)
+
+    rng = np.random.default_rng(7)
+    npad, d, b, g, esg = 16384, 128, 256, 64, 16
+    sk = jnp.asarray(rng.integers(-127, 128, (npad, d)), jnp.int8)
+    q = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+    strided = stride_for_halved_gmax(sk, block_n=8192, group=g)
+    for pack in (True, False):
+        packed, sg_t = pallas_flat_groupmax_qlane(
+            strided, q, group=g, block_b=128, block_n=8192,
+            chunk_lanes=1024, pack_arg=pack, emit_sg=esg, interpret=True)
+        ng = npad // g
+        ref = np.asarray(packed).reshape(b, ng // esg, esg).max(axis=-1)
+        np.testing.assert_array_equal(np.asarray(sg_t).T, ref)
+
+
+def test_gmax_qlane_emit_sg_lowers_for_tpu():
+    """TPU lowering check for the fused-sgmax qlane shapes (the transposed
+    [J/sg, BT] second-output tile has only 8 sublanes — the constraint the
+    wrapper asserts)."""
+    import jax
+    import jax.export
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.pallas.flat_groupmax import (
+        pallas_flat_groupmax_qlane)
+
+    sk = jnp.zeros((16384, 128), jnp.int8)
+    q = jnp.zeros((1024, 128), jnp.int8)
+
+    def f(sk, q):
+        return pallas_flat_groupmax_qlane(sk, q, group=64, block_b=512,
+                                          block_n=8192, chunk_lanes=1024,
+                                          pack_arg=True, emit_sg=16)
+
+    exp = jax.export.export(jax.jit(f), platforms=["tpu"])(sk, q)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_fold_emitted_sgmax_matches_masked_recompute():
+    """The consumer fold of the kernel-emitted (UNMASKED) level-1 tier
+    must equal the masked p3.max it replaces, at live-prefix boundaries
+    where the emitted tail supergroups contain zero-padding garbage that
+    could outrank dead (-2^31) masked entries."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (_I32_DEAD,
+                                                    _fold_emitted_sgmax)
+
+    rng = np.random.default_rng(13)
+    b, ng, group, sg, esg = 8, 256, 64, 32, 16
+    for n in (ng * group,            # all live
+              ng * group - group,    # one dead group (boundary partial)
+              150 * group,           # mid-array boundary
+              96 * group):           # boundary ON a supergroup edge
+        packed_raw = rng.integers(-2**30, 2**30, (b, ng)).astype(np.int32)
+        # zero-padded dead groups score (0 << shift) | member in the
+        # kernel's view — model as 0s (they beat negative live scores)
+        ng_live = -(-n // group)
+        unmasked = packed_raw.copy()
+        unmasked[:, ng_live:] = 0
+        masked = packed_raw.copy()
+        masked[:, ng_live:] = _I32_DEAD
+        sg_pre = jnp.asarray(
+            unmasked.reshape(b, ng // esg, esg).max(axis=-1))
+        p3 = jnp.asarray(masked.reshape(b, ng // sg, sg))
+        ref = masked.reshape(b, ng // sg, sg).max(axis=-1)
+        got = _fold_emitted_sgmax(sg_pre, p3, n, group, sg, esg)
+        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=str(n))
+
+
 def test_gmax_qlane_lowers_for_tpu():
     """Cross-platform TPU lowering check (jax.export) for the qlane kernel
     shapes the tuner sweeps (bb 512, block_n 8192, chunk 1024) — catches
