@@ -58,9 +58,11 @@ def main():
     out = {"n": N, "dim": D, "build_s": round(build_s, 1), "k_clusters": kc,
            "target_cluster": 256, "train_sample": train_sample,
            "points": []}
-    # recall was flat at 0.9861 across nprobe at refine=128 -> the int8
-    # sketch ordering, not cluster coverage, caps recall; the refine sweep
-    # below measures that ceiling (refine rows get exact f32 re-rank)
+    # recall was flat at 0.9861 across nprobe AND refine on this corpus:
+    # originally blamed on int8-sketch ordering, actually the MXU's default
+    # f32 truncation in the exact tier + GT (near-tie flips vs true f32;
+    # fixed with Precision.HIGHEST in ops/{exact,flat,rerank} — the CPU
+    # emulation measured 0.9875 agreement, results/precision_tier.md)
     sweep = (
         (2, 64, 128), (4, 64, 128), (8, 64, 128), (16, 64, 128),
         (32, 64, 128), (64, 64, 128), (4, 64, 512), (8, 64, 512),

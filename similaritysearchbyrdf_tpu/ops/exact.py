@@ -50,8 +50,14 @@ def exact_topk(
     def body(carry, ci):
         best_s, best_i = carry
         rows = jax.lax.dynamic_slice_in_dim(corpus_p, ci * chunk, chunk)
+        # HIGHEST: ground truth must be TRUE f32 ordering — the MXU's
+        # default f32 matmul truncates operands to bf16, and a GT computed
+        # that way cannot detect the same truncation in an engine's
+        # "exact" tier (see ops/flat._exact_refine). ~6x the one-off GT
+        # matmul cost; GT is cached by the benches.
         scores = jnp.einsum(
-            "nd,bd->bn", rows, q, preferred_element_type=jnp.float32
+            "nd,bd->bn", rows, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                           # [B, chunk]
         ids = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         valid = ids < n

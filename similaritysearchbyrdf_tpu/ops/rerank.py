@@ -54,11 +54,15 @@ def score_candidates(
         queries = jnp.pad(
             queries, ((0, 0), (0, corpus.shape[1] - queries.shape[1]))
         )
+    # HIGHEST: default f32 matmuls truncate operands to bf16 on the MXU
+    # (near-tie flips vs true-f32 ordering — the deep8m 0.986 recall
+    # plateau; see ops/flat._exact_refine). The candidate slab is tiny.
     scores = jnp.einsum(
         "bmd,bd->bm",
         vecs.astype(compute_dtype),
         queries.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.where(valid, scores, NEG_INF)
 
