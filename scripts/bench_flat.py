@@ -48,8 +48,9 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.flat import (
-        _BLOCK_N, _GMAX_HALVED, _pad_lanes, build_flat_sketch, flat_topk,
-        flat_topk_grouped, stride_for_halved_gmax,
+        _BLOCK_N, _GMAX_HALVED, _GMAX_QLANE, _gmax_tile_plan, _pad_lanes,
+        build_flat_sketch, flat_topk, flat_topk_grouped,
+        stride_for_halved_gmax,
     )
 
     n, d = x.shape
@@ -69,7 +70,10 @@ def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
     sketch, scale = build_flat_sketch(jnp.asarray(x), dtype)
     row_ids = jnp.arange(n, dtype=jnp.int32)
     sketch_gmax = None
-    if _GMAX_HALVED:
+    # the default qlane gmax kernel consumes the same strided copy as the
+    # halved kernel (ops/flat._ensure_gmax_sketch mirrors this rule)
+    if _GMAX_HALVED or (_GMAX_QLANE and dtype == "int8"
+                        and _gmax_tile_plan(sketch.shape[1])[0]):
         npad = (n + _BLOCK_N - 1) // _BLOCK_N * _BLOCK_N
         sketch_gmax = stride_for_halved_gmax(
             jnp.pad(sketch, ((0, npad - n), (0, 0))))

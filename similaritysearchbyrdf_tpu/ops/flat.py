@@ -66,14 +66,32 @@ _GMAX_NSUB = int(os.environ.get("FLAT_GMAX_NSUB", "1"))
 # "auto" = argpack at large N (where the per-group collision loss is
 # negligible), exact2 otherwise.
 _SELECT_MODE = os.environ.get("FLAT_SELECT_MODE", "auto")
-_SELECT_SG = int(os.environ.get("FLAT_SELECT_SG", "64"))
+# supergroup width default is MODE-dependent when the env is unset: 64 for
+# the exact2 two-level select (tune_select_r03.json), 32 for argpack where
+# the packed-key level-1 fold is cheaper than the level-2 gather
+# (33,919 vs 32,310 qps at sg=64, results/tune_argpack.json batch 35)
+_SELECT_SG_ENV = os.environ.get("FLAT_SELECT_SG")
+_SELECT_SG = int(_SELECT_SG_ENV) if _SELECT_SG_ENV is not None else 64
+
+
+def _default_select_sg(mode: str) -> int:
+    if _SELECT_SG_ENV is not None:
+        return int(_SELECT_SG_ENV)
+    return 32 if mode == "argpack" else 64
+
+
 # argpack level-2 formulation: "approx" (approx_max_k on the f32 score) or
-# "sort" (exact 2-operand descending sort on the packed i32 key)
-_ARGPACK_L2 = os.environ.get("FLAT_ARGPACK_L2", "approx")
-# FLAT_GMAX_QLANE=1: the lane-reduction gmax kernel (query-major output
+# "sort" (exact 2-operand descending sort on the packed i32 key). Default
+# sort: exact AND faster at the narrow sg=32 level-2 width (batch 33/35,
+# results/tune_argpack.json).
+_ARGPACK_L2 = os.environ.get("FLAT_ARGPACK_L2", "sort")
+# FLAT_GMAX_QLANE: the lane-reduction gmax kernel (query-major output
 # with NO in-kernel transpose — the transpose costs ~4.2 ms at 8M x 96
-# B1024). Needs the strided sketch copy (gmax_halved machinery).
-_GMAX_QLANE = os.environ.get("FLAT_GMAX_QLANE", "0") == "1"
+# B1024; +1.2k qps over qmajor, results/tune_argpack.json batch 35).
+# Needs the strided sketch copy (gmax_halved machinery); engages only
+# when the caller supplies it (FlatIndex builds it for argpack-eligible
+# corpora at qmajor-plan widths). Default on.
+_GMAX_QLANE = os.environ.get("FLAT_GMAX_QLANE", "1") == "1"
 # FLAT_GMAX_EMIT_SG=16: qlane additionally emits the level-1 supergroup
 # maxima (16 adjacent groups each) as a fused second output, deleting the
 # argpack select's full [B, NG] HBM re-read (3.22 ms of the 31.1 ms wall,
@@ -343,8 +361,22 @@ class FlatIndex:
 
     def _ensure_gmax_sketch(self):
         """Lazily derive the strided gmax copy from the sketch (one device
-        relayout; covers fit, save/load, and direct construction)."""
-        if not (self.gmax_halved and self.mode == "grouped"):
+        relayout; covers fit, save/load, and direct construction). Built
+        when the halved kernel asks for it (gmax_halved) OR when the
+        default qlane kernel will consume it — i.e. the select resolves to
+        argpack (int8, >=1M rows) at a query-major tile-plan width; at
+        high D the transposed-kernel route ignores the copy, so skip the
+        2x sketch HBM cost there."""
+        if self.mode != "grouped" or self.sketch is None:
+            return None
+        need = self.gmax_halved
+        if not need and _GMAX_QLANE:
+            d = self.sketch.shape[1]
+            need = (_resolve_select_mode(
+                        _SELECT_MODE, self.sketch.dtype,
+                        self.sketch.shape[0], d) == "argpack"
+                    and _gmax_tile_plan(d)[0])
+        if not need:
             return None
         if self.sketch_gmax is None and self.sketch is not None:
             nrows = self.sketch.shape[0]
@@ -454,7 +486,7 @@ def _argpack_candidates(
     refine: int,
     group: int,
     use_pallas: bool,
-    select_sg: int = _SELECT_SG,
+    select_sg: Optional[int] = None,
     n_live: Optional[int] = None,
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
@@ -562,7 +594,8 @@ def _argpack_candidates(
     packed = jnp.where(g_live[None, :], packed, _I32_DEAD)
 
     rg = min(refine, ng)
-    sg = select_sg
+    sg = (select_sg if select_sg is not None
+          else _default_select_sg("argpack"))
     if ng % sg == 0 and ng // sg >= 2 * rg:
         # two-level EXACT select (same containment proof as exact2: every
         # top-rg group's supergroup max beats the rg-th best group, and at
@@ -628,7 +661,7 @@ def _grouped_candidates(
     use_pallas: bool,
     recall_target: float,
     select_mode: str = _SELECT_MODE,
-    select_sg: int = _SELECT_SG,
+    select_sg: Optional[int] = None,
     n_live: Optional[int] = None,
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
@@ -707,7 +740,8 @@ def _grouped_candidates(
     # rg-th best group max, and at most rg supergroups can (each needs a
     # >= rg-th-best group inside), so the top-rg supergroups provably
     # contain every top-rg group.
-    sg = select_sg
+    sg = (select_sg if select_sg is not None
+          else _default_select_sg(select_mode))
     if (select_mode == "exact2" and ng % sg == 0
             and ng // sg >= 4 * rg):
         nsg = ng // sg
@@ -791,7 +825,7 @@ def flat_topk_grouped(
     use_pallas: bool = True,
     recall_target: float = 0.998,
     select_mode: str = _SELECT_MODE,
-    select_sg: int = _SELECT_SG,
+    select_sg: Optional[int] = None,
     sketch_gmax: Optional[jax.Array] = None,
     gmax_halved: bool = False,
     argpack_l2: str = _ARGPACK_L2,
