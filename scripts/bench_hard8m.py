@@ -163,8 +163,9 @@ def bench_flat(x, q, gt_sets):
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.flat import (
-        _BLOCK_N, _GMAX_HALVED, _pad_lanes, build_flat_sketch, flat_topk,
-        flat_topk_grouped, stride_for_halved_gmax,
+        _BLOCK_N, _GMAX_HALVED, _GMAX_QLANE, _gmax_tile_plan, _pad_lanes,
+        build_flat_sketch, flat_topk, flat_topk_grouped,
+        stride_for_halved_gmax,
     )
 
     t0 = time.perf_counter()
@@ -172,7 +173,10 @@ def bench_flat(x, q, gt_sets):
     sketch, _ = build_flat_sketch(jnp.asarray(x), "int8")
     row_ids = jnp.arange(N, dtype=jnp.int32)
     sketch_gmax = None
-    if _GMAX_HALVED:
+    # the default qlane gmax kernel consumes the same strided copy as the
+    # halved kernel (ops/flat._ensure_gmax_sketch mirrors this rule)
+    if _GMAX_HALVED or (_GMAX_QLANE
+                        and _gmax_tile_plan(sketch.shape[1])[0]):
         npad = (N + _BLOCK_N - 1) // _BLOCK_N * _BLOCK_N
         sketch_gmax = stride_for_halved_gmax(
             jnp.pad(sketch, ((0, npad - N), (0, 0))))

@@ -510,3 +510,17 @@ def test_argpack_l2_sort_matches_approx():
                       & set(map(int, np.asarray(ids_s)[i])))
                   for i in range(64)])
     assert ov >= 9.5, ov
+
+
+def test_default_select_sg_mode_dependent(monkeypatch):
+    """Shipped defaults: sg=32 for argpack (packed-key level-1 fold is
+    cheaper than the level-2 gather — results/tune_argpack.json batch 35),
+    sg=64 for exact2; FLAT_SELECT_SG env overrides both."""
+    import similaritysearchbyrdf_tpu.ops.flat as F
+
+    monkeypatch.setattr(F, "_SELECT_SG_ENV", None)
+    assert F._default_select_sg("argpack") == 32
+    assert F._default_select_sg("exact2") == 64
+    monkeypatch.setattr(F, "_SELECT_SG_ENV", "16")
+    assert F._default_select_sg("argpack") == 16
+    assert F._default_select_sg("exact2") == 16
