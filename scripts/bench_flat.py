@@ -19,6 +19,10 @@ sys.path.insert(0, ".")
 # (FlatIndex(corpus_dtype=...)); results go to results/flat_bf16.json so
 # the canonical f32-tier points in flat.json are never overwritten.
 _CORPUS_DTYPE = os.environ.get("FLAT_CORPUS_DTYPE", "float32")
+# FLAT_BENCH_REFINE overrides the refine depth of BOTH corpora's grouped
+# and scan legs — for re-pointing at a sweep-chosen operating point
+# (results/tune_argpack.json) without editing the script.
+_BENCH_REFINE = int(os.environ.get("FLAT_BENCH_REFINE", "128"))
 
 
 def make_corpus(n, d, seed, n_centers):
@@ -43,7 +47,9 @@ def gt_for(x, queries, cache):
         return gt
 
 
-def bench_one(name, x, seed_tag, dtype="int8", refine=128, block=1 << 20):
+def bench_one(name, x, seed_tag, dtype="int8", refine=None, block=1 << 20):
+    if refine is None:
+        refine = _BENCH_REFINE
     import jax
     import jax.numpy as jnp
 

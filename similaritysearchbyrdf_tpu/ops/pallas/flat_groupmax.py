@@ -317,8 +317,20 @@ def _gmax_qlane_kernel(q_ref, sk_ref, out_ref, *refs, g, j_rows, chunk_lanes,
         acc = s if acc is None else jnp.maximum(acc, s)
     out_ref[:] = acc if pack_arg else acc.astype(jnp.float32)
     if emit_sg:
-        bt = acc.shape[0]
-        sgm = acc.reshape(bt, j_rows // emit_sg, emit_sg).max(axis=-1)
+        # Mosaic cannot lower a lane-dim-splitting reshape
+        # ((BT, J) -> (BT, J/esg, esg) fails infer-vector-layout:
+        # "unsupported shape cast", batch-39 capture). Fold each
+        # supergroup's esg ADJACENT lanes with a static slice + in-slice
+        # halving instead: max over a contiguous lane run is order-free,
+        # so halving within the slice is exact.
+        cols = []
+        for s in range(j_rows // emit_sg):
+            c = acc[:, s * emit_sg:(s + 1) * emit_sg]
+            while c.shape[1] > 1:
+                h = c.shape[1] // 2
+                c = jnp.maximum(c[:, :h], c[:, h:])
+            cols.append(c)                    # [BT, 1]
+        sgm = jnp.concatenate(cols, axis=1)   # [BT, J/esg]
         sg_ref[:] = (sgm if pack_arg else sgm.astype(jnp.float32)).T
 
 
