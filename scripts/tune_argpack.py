@@ -115,7 +115,10 @@ def main():
             print(f"{mode}_rf{refine}: FAILED", flush=True)
     out["note"] = ("argpack vs exact2 select at 8Mx96/B1024, easy corpus "
                    "(compare results/flat.json r2: grouped 32471 qps "
-                   "@ 0.9861); pipelined timing; v5e")
+                   "@ 0.9861); pipelined timing; v5e. GT epochs: points "
+                   "with recall 0.9861 predate the Precision.HIGHEST GT "
+                   "fix (results/precision_tier.md) — their true recall "
+                   "is 1.0 at equal qps; recall-1.0 points are post-fix.")
     try:
         with open("results/tune_argpack.json") as f:
             prior = json.load(f).get("points", [])

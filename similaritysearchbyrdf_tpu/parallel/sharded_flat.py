@@ -55,12 +55,26 @@ def _host_gmax_strided(sk: np.ndarray, ndev: int, nloc: int) -> np.ndarray:
     )
 
 
+def _auto_strided_copy(sketch_dtype: str, nloc: int, dpad: int) -> bool:
+    """Mirror ops/flat.FlatIndex._ensure_gmax_sketch: build the strided
+    gmax copy whenever the PER-SHARD select will resolve to argpack and
+    the query-major tile plan holds — the shipped qlane kernel consumes
+    it (2x sketch HBM for the no-transpose gmax path)."""
+    from ..ops.flat import (_GMAX_QLANE, _SELECT_MODE, _gmax_tile_plan,
+                            _resolve_select_mode)
+
+    return (_GMAX_QLANE and sketch_dtype == "int8"
+            and _resolve_select_mode(
+                _SELECT_MODE, jnp.int8, nloc, dpad) == "argpack"
+            and bool(_gmax_tile_plan(dpad)[0]))
+
+
 def fit_flat_sharded(
     values: np.ndarray,            # f32[N, D]
     ids: np.ndarray,               # i32[N] user ids
     mesh: Optional[Mesh] = None,
     sketch_dtype: str = "int8",
-    gmax_halved: bool = False,
+    gmax_halved: Optional[bool] = None,
 ) -> Tuple[ShardedFlatState, Mesh]:
     mesh = mesh or make_forest_mesh()
     ndev = mesh.shape[SHARD_AXIS]
@@ -74,6 +88,8 @@ def fit_flat_sharded(
     dp = int(np.ceil(d / 128.0) * 128)       # 128-lane rows (fast gathers,
     x = np.pad(x, ((0, 0), (0, dp - d)))      # DMA-sliceable windows)
     sk_gm = None
+    if gmax_halved is None:
+        gmax_halved = _auto_strided_copy(sketch_dtype, nloc, dp)
     if sketch_dtype == "int8":
         scale = 127.0 / max(float(np.max(np.abs(values))), 1e-30)
         sk = np.clip(np.round(x * scale), -127, 127).astype(np.int8)
@@ -142,7 +158,7 @@ def fit_flat_sharded_distributed(
     local_ids: np.ndarray,           # i32[n_local]
     mesh: Optional[Mesh] = None,
     sketch_dtype: str = "int8",
-    gmax_halved: bool = False,
+    gmax_halved: Optional[bool] = None,
 ) -> Tuple[ShardedFlatState, Mesh]:
     """Multi-process flat-engine fit: every process supplies only its
     host-local rows; sketch/corpus/row_ids are assembled as distributed
@@ -179,6 +195,8 @@ def fit_flat_sharded_distributed(
         )
         sk_d = cast(sk_d)
     skg_d = None
+    if gmax_halved is None:
+        gmax_halved = _auto_strided_copy(sketch_dtype, nloc, dp)
     if gmax_halved and sketch_dtype == "int8":
         skg = _host_gmax_strided(
             sk.reshape(ndev_local * nloc, dp), ndev_local, nloc)
