@@ -592,7 +592,62 @@ def _argpack_candidates(
         packed = pk.reshape(b, ng, group).max(axis=-1)
     g_live = (jnp.arange(ng, dtype=jnp.int32) * group) < n
     packed = jnp.where(g_live[None, :], packed, _I32_DEAD)
+    return select_packed_rows(
+        packed, group=group, refine=refine, n=n, select_sg=select_sg,
+        l2=l2, sgmax_pre=sgmax_pre, emit_sg=emit_sg,
+    )
 
+
+def packed_groupmax_qmajor(
+    sk: jax.Array,        # int8 [npad, d]; npad % 8192 == 0 on TPU
+    q_i8: jax.Array,      # int8 [B, d] (pre-quantized, pre-lane-padded)
+    group: int = 64,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Argmax-packed group maxima i32[B, npad/group] for a PRE-QUANTIZED
+    int8 query slab — the producer half of the argpack pipeline, exposed
+    for callers (the forest's scan-mode coarse tier) that manage their own
+    quantization so scores stay comparable across multiple sketch slabs.
+    TPU: the query-major Pallas kernel; elsewhere the bit-identical XLA
+    einsum fallback."""
+    npad, d = sk.shape
+    b = q_i8.shape[0]
+    shift = group.bit_length() - 1
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.flat_groupmax import pallas_flat_groupmax_qmajor
+
+        bpad = int(np.ceil(b / 128)) * 128
+        q_in = jnp.pad(q_i8, ((0, bpad - b), (0, 0)))
+        bb = min(_GMAX_BLOCK_B, bpad)
+        while bpad % bb:
+            bb -= 128
+        return pallas_flat_groupmax_qmajor(
+            sk, q_in, group=group, block_b=bb, block_n=8192, pack_arg=True,
+        )[:b]
+    scores = jnp.einsum(
+        "bd,nd->bn", q_i8.astype(jnp.int32), sk.astype(jnp.int32)
+    )
+    member = jnp.arange(npad, dtype=jnp.int32) % group
+    pk = (scores << shift) | member[None, :]
+    return pk.reshape(b, npad // group, group).max(axis=-1)
+
+
+def select_packed_rows(
+    packed: jax.Array,    # i32[B, NG] argmax-packed group maxima
+    group: int,
+    refine: int,
+    n: int,               # live row count (cand >= n masked out)
+    select_sg: Optional[int] = None,
+    l2: str = _ARGPACK_L2,
+    sgmax_pre: Optional[jax.Array] = None,
+    emit_sg: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-level exact top-`refine` row select over an argmax-packed slab
+    (the consumer half of the argpack pipeline; see `_argpack_candidates`
+    for the containment proof). Returns (cand i32[B, refine] row
+    positions, sel_s f32[B, refine]; -inf = invalid)."""
+    b, ng = packed.shape
+    shift = group.bit_length() - 1
     rg = min(refine, ng)
     sg = (select_sg if select_sg is not None
           else _default_select_sg("argpack"))
