@@ -29,6 +29,11 @@ def main():
     import jax
 
     cd = int(os.environ.get("DEEP_COARSE_DIM", "16"))
+    # round-3 folded layout (ops/pallas/coarse_fold.py): fold = 128/cs
+    # consecutive same-table slots per 128-lane row + in-kernel argmax
+    # packing — the same descriptor budget covers 8x more candidates at
+    # cd=16 and the wide select disappears
+    layout = os.environ.get("DEEP_LAYOUT", "lane")
     # two-phase window pruning: pooled-head tier (rows per head row); a
     # point's optional 6th field is window_keep (top windows surviving
     # phase 1 — the descriptor-count attack measured in _prune_windows)
@@ -72,7 +77,7 @@ def main():
         query_batch_size=int(os.environ.get("DEEP_QB", "64")),
         max_candidates=65536, top_k=10,
         coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
-        coarse_head_pool=head_pool,
+        coarse_head_pool=head_pool, coarse_layout=layout,
     )
     t0 = time.perf_counter()
     forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
@@ -103,8 +108,9 @@ def main():
         (1, 20, 16384, 512, 262144),
     )
     if os.environ.get("DEEP_POINTS"):
-        # "steps,budget,refine,window,m_cap[,keep];..." override for
-        # ad-hoc sweeps (keep = two-phase window_keep; needs DEEP_HEAD_POOL)
+        # "steps,budget,refine,window,m_cap[,keep[,gsl,rkeep]];..." override
+        # for ad-hoc sweeps (keep = two-phase window_keep, lane layout;
+        # gsl/rkeep = coarse_group / coarse_rows_keep, folded layout)
         points = tuple(
             tuple(int(v) for v in grp.split(","))
             for grp in os.environ["DEEP_POINTS"].split(";")
@@ -112,9 +118,12 @@ def main():
     for pt in points:
         steps, budget, refine, cw, mc = pt[:5]
         keep = pt[5] if len(pt) > 5 else 0
+        gsl = pt[6] if len(pt) > 6 else conf.coarse_group
+        rkeep = pt[7] if len(pt) > 7 else conf.coarse_rows_keep
         kw = dict(steps=steps, query_ids=query_ids, probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
-                  coarse_window=cw, m_cap=mc, window_keep=keep)
+                  coarse_window=cw, m_cap=mc, window_keep=keep,
+                  coarse_group=gsl, rows_keep=rkeep)
         try:
             forest.query(queries, **kw)                  # compile + warm
             t0 = time.perf_counter()
@@ -135,6 +144,10 @@ def main():
             if keep:
                 point["window_keep"] = keep
                 point["head_pool"] = head_pool
+            if layout != "lane":
+                point["layout"] = layout
+                point["coarse_group"] = gsl
+                point["rows_keep"] = rkeep
             if conf.query_batch_size != 64:
                 point["query_batch"] = conf.query_batch_size
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
@@ -147,9 +160,11 @@ def main():
             import traceback
             traceback.print_exc()
             print(f"steps{steps}_rf{refine}_w{cw}_m{mc}: FAILED", flush=True)
-    out["note"] = (f"lane-packed cd={cd} coarse tier; synthetic clustered "
+    out["note"] = (f"{layout} cd={cd} coarse tier; synthetic clustered "
                    "corpus; exact GT; per-chip slice of the Deep-100M plan")
     stem = "hard8m_coarse" if hard else "deep8m_coarse"
+    if layout != "lane":
+        stem += "_fold"
     path = (f"results/{stem}.json" if cd == 16
             else f"results/{stem}_cd{cd}.json")
     try:  # keep prior sweep points (e.g. the window-scaling evidence)

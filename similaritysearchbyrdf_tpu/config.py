@@ -172,6 +172,20 @@ class RDFConfig:
     # (tier may still be built for per-call opt-in via `window_keep`).
     coarse_head_pool: int = 0             # rows pooled per head row (e.g. 64)
     coarse_keep: int = 0                  # windows kept per query (0 = all)
+    # coarse tier LAYOUT (TPU extension, round 3): "lane" packs G = 128/cs
+    # TABLES per 128-lane row (window DMAs read 128 B per candidate slot);
+    # "folded" packs fold = 128/cs CONSECUTIVE slots of ONE table per row —
+    # every fetched byte is a candidate byte, so the same descriptor budget
+    # covers fold x more candidates — and queries run the groupmax path
+    # (in-kernel argmax packing, ops/pallas/coarse_fold.py): the select
+    # sees one int32 per `coarse_group` slots and only the top
+    # `coarse_rows_keep` rows per group are exactly re-ranked. int8 only.
+    coarse_layout: str = "lane"           # lane | folded
+    coarse_group: int = 64                # slots per argmax group (pow2)
+    # rows exactly re-ranked per selected group: 0 = the WHOLE group
+    # (groups select, slots re-rank — contiguous gathers; the default),
+    # 1|2 = only the per-group packed winner row(s)
+    coarse_rows_keep: int = 0
     # engine selector (TPU extension): "forest" = the reference-semantics
     # DPF index; "flat" = the quantized-flat MXU scan (ops/flat.py) behind
     # the same front-end surface — fastest for HBM-resident dense corpora,

@@ -91,6 +91,10 @@ class ForestState:
     # mean-pooled head tier for two-phase window pruning (coarse_head_pool):
     # row r = masked mean of coarse rows [r*hp, (r+1)*hp) per lane segment
     coarse_head: Optional[jax.Array] = None      # bf16[Lg, ceil(caprows/hp), G*cs]
+    # SLOT-FOLDED coarse tier (conf.coarse_layout="folded"): fold = 128//cs
+    # CONSECUTIVE slots of one table per 128-lane row, queried through the
+    # groupmax path (`_query_groupmax` / ops/pallas/coarse_fold.py)
+    coarse_folded: Optional[jax.Array] = None    # i8[L, caprows/fold, 128]
 
     @property
     def capacity(self) -> int:
@@ -188,17 +192,23 @@ def fit_dense(
     # the coarse tier (itself bytes-per-vector scale) builds FROM the padded
     # scoring copy — with a row-padded projection — so it never coexists
     # with both corpus copies (the 8M x 96 Deep bench OOMed otherwise)
-    coarse_proj = coarse_by_table = coarse_head = None
+    coarse_proj = coarse_by_table = coarse_head = coarse_folded = None
     if conf.coarse_dim:
-        coarse_proj, coarse_by_table = _build_coarse_tier(
-            corpus_store, tables.sorted_ids, conf.coarse_dim,
-            conf.coarse_dtype, conf.seed, dim=batch.dim,
-        )
-        if conf.coarse_head_pool:
-            coarse_head = build_head_tier(
-                coarse_by_table, tables.sorted_ids, conf.coarse_head_pool,
-                groups=max(1, 128 // coarse_proj.shape[1]),
+        if conf.coarse_layout == "folded":
+            coarse_proj, coarse_folded = _build_folded_tier(
+                corpus_store, tables.sorted_ids, conf.coarse_dim,
+                conf.coarse_dtype, conf.seed, dim=batch.dim,
             )
+        else:
+            coarse_proj, coarse_by_table = _build_coarse_tier(
+                corpus_store, tables.sorted_ids, conf.coarse_dim,
+                conf.coarse_dtype, conf.seed, dim=batch.dim,
+            )
+            if conf.coarse_head_pool:
+                coarse_head = build_head_tier(
+                    coarse_by_table, tables.sorted_ids, conf.coarse_head_pool,
+                    groups=max(1, 128 // coarse_proj.shape[1]),
+                )
     corpus_lp = (
         corpus_store.astype(jnp.bfloat16)
         if conf.rerank_dtype == "bfloat16" else None
@@ -213,6 +223,7 @@ def fit_dense(
         coarse_proj=coarse_proj,
         coarse_by_table=coarse_by_table,
         coarse_head=coarse_head,
+        coarse_folded=coarse_folded,
     )
 
 
@@ -349,6 +360,77 @@ def _coarse_tier_build(cp, c, si, store_int8):
             jnp.int32(lg),
         )
     return out                                   # [Lg, Npad+P, G*cs]
+
+
+def coarse_fold_factor(cs: int) -> int:
+    """Slots per 128-lane physical row of the FOLDED tier: consecutive
+    same-table slots fill the lanes (128//cs for the packable widths; 1
+    when cs is already a 128 multiple)."""
+    return max(1, 128 // cs)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("fold",)
+)
+def _fill_folded(out, low, si_t, t, fold):
+    """Write ONE table's folded rows into the donated tier buffer: gather
+    the table's coarse rows in sort order and fold `fold` consecutive slots
+    per physical row (a pure row-major reshape — slot j lands at
+    [j // fold, (j % fold) * cs)). Donation keeps the peak at one output
+    buffer plus one table of transients (same rationale as
+    `_fill_coarse_group`)."""
+    caprows = si_t.shape[0]
+    cs = low.shape[1]
+    rows = jnp.take(low, jnp.maximum(si_t, 0), axis=0)
+    rows = jnp.where((si_t >= 0)[:, None], rows, 0)
+    folded_t = rows.reshape(caprows // fold, fold * cs)
+    return jax.lax.dynamic_update_slice(
+        out, folded_t[None], (t, jnp.int32(0), jnp.int32(0))
+    )
+
+
+def _build_folded_tier(
+    corpus: jax.Array,       # f32[Npad, Dpad] (lane-padded scoring copy)
+    sorted_ids: jax.Array,   # i32[L, Npad+ID_PAD]
+    coarse_dim: int,
+    coarse_dtype: str,
+    seed: int,
+    dim: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """SLOT-FOLDED coarse tier [L, caprows/fold, fold*cs]: same projection,
+    quantization and bytes as the lane-packed tier (`_build_coarse_tier` —
+    the two layouts differ only in which rows share a 128-lane line), laid
+    out so a window DMA's every byte is a candidate byte and the groupmax
+    kernel (`ops/pallas/coarse_fold.py`) can argmax-pack in place. int8
+    only: the kernel packs integer scores."""
+    assert coarse_dtype == "int8", (
+        "coarse_layout='folded' requires coarse_dtype='int8' (the groupmax "
+        "kernel packs integer scores)", coarse_dtype)
+    d = dim if dim is not None else corpus.shape[1]
+    cd = min(coarse_dim, d)
+    if cd == d:
+        proj = np.eye(d, dtype=np.float32)
+    else:
+        rng = np.random.default_rng(seed ^ 0x5EED)
+        proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
+            np.float32
+        )
+    cs = coarse_seg_width(cd)
+    if cs != proj.shape[1]:
+        proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
+    coarse_proj = jnp.asarray(proj)                            # [D, cs]
+    proj_build = (
+        jnp.asarray(np.pad(proj, ((0, corpus.shape[1] - d), (0, 0))))
+        if corpus.shape[1] != d else coarse_proj
+    )
+    low = _coarse_low(proj_build, corpus, True)                # i8[Npad, cs]
+    l, caprows = sorted_ids.shape
+    fold = coarse_fold_factor(cs)
+    assert caprows % fold == 0, (caprows, fold)
+    out = jnp.zeros((l, caprows // fold, fold * cs), low.dtype)
+    for t in range(l):
+        out = _fill_folded(out, low, sorted_ids[t], jnp.int32(t), fold)
+    return coarse_proj, out
 
 
 @functools.partial(jax.jit, static_argnames=("hp",))
@@ -552,6 +634,7 @@ def gather_blocks(
     probes: Optional[jax.Array] = None,       # u32[B, L, P] (override)
     probe_valid: Optional[jax.Array] = None,  # bool[B, L, P]
     window: int = 0,
+    align: int = 8,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array], jax.Array, jax.Array, int]:
     """Probe fan-out → bucket ranges → dedup/priority → ragged flatten at
     BLOCK granularity. Returns (base i32[B, MB], table i32[B, MB],
@@ -563,12 +646,15 @@ def gather_blocks(
     coarse rerank, which gathers CONTIGUOUS coarse rows per block).
 
     window > 0 switches to ALIGNED-WINDOW mode for DMA-friendly scoring:
-    each range's allocation starts at its 8-aligned head (start & ~7) and
-    rounds up to `window` slots, so every block's position range is
-    8-aligned and `window` long — the Pallas coarse kernel can DMA it as
-    one slice. Rows before the range's true `start` are masked via the
-    extra start channel. Slot budget inflation ≈ (head + round-up) per
-    range; size m_cap accordingly (e.g. 2x the block-mode cap)."""
+    each range's allocation starts at its `align`-aligned head
+    (start & ~(align-1), default 8) and rounds up to `window` slots, so
+    every block's position range is aligned and `window` long — the Pallas
+    coarse kernel can DMA it as one slice (the groupmax kernel passes
+    align=64+ so folded physical-row starts stay 8-row aligned and group
+    boundaries land on the member grid). Rows before the range's true
+    `start` are masked via the extra start channel. Slot budget inflation
+    ≈ (head + round-up) per range; size m_cap accordingly (e.g. 2x the
+    block-mode cap)."""
     b, l = h.shape
     probe_keys, table_of, probe_valid = probe_key_set(
         h, home, layout, steps, multiprobe, probes, probe_valid
@@ -685,9 +771,11 @@ def gather_blocks(
     mb_cap = m_cap // bs_block
     total = jnp.cumsum(length_s, axis=1)[:, -1]
     if window:
-        # aligned-window allocation: the range occupies [start & ~7, end),
-        # rounded up to whole windows; empty ranges allocate nothing
-        head = start_s & 7
+        # aligned-window allocation: the range occupies
+        # [start & ~(align-1), end), rounded up to whole windows; empty
+        # ranges allocate nothing
+        assert window % align == 0, (window, align)
+        head = start_s & (align - 1)
         astart = start_s - head
         alen = jnp.where(
             length_s > 0,
@@ -1288,6 +1376,189 @@ def _query_dense_coarse(
     return ids, sc_k, total
 
 
+def _query_groupmax(
+    state: ForestState,
+    queries: jax.Array,
+    query_ids: jax.Array,
+    layout: KeyLayout,
+    steps: int,
+    m_cap: int,
+    k: int,
+    multiprobe: bool,
+    exclude_self: bool,
+    refine: int,
+    probes: Optional[jax.Array] = None,
+    probe_valid: Optional[jax.Array] = None,
+    h: Optional[jax.Array] = None,
+    window: int = -1,
+    group_slots: int = 64,
+    rows_keep: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Query via the SLOT-FOLDED coarse tier: aligned-window DMA of folded
+    rows (fold = 128/cs candidates per 128-lane line — every fetched byte a
+    candidate byte) with IN-KERNEL argmax packing, so the select stage sees
+    one int32 per `group_slots` candidates instead of one f32 per slot.
+    rows_keep=0 (the default operating point): groups are only the
+    SELECTION unit — every slot of a top-`refine/group_slots` group is
+    exactly re-ranked, with contiguous positions (fast element gathers).
+    rows_keep=1|2 re-rank only the per-group winner row(s): cheaper at the
+    re-rank, but bucket-sorted layouts co-locate true neighbors inside a
+    group (within-bucket order is id order in EVERY table), so argmax-only
+    re-rank measurably under-recalls there (the forest analogue of the
+    flat engine's argpack select, `ops/flat.select_packed_rows`, whose
+    id-ordered groups don't co-locate).
+
+    Candidate-set contract: the window flatten is the same as the lane-
+    packed path (equal or superset of the reference's probed buckets,
+    farthest-step partitions truncate first); the groupmax select then
+    re-ranks a coarse-score-chosen SUBSET of it, like `coarse_refine`
+    always has. Replaces the exhaustive candidate re-rank of
+    `RandomDrawTreeMap.java:742-797`."""
+    from ..ops.pallas.coarse_fold import (
+        I32_DEAD,
+        pallas_coarse_rowmax,
+        rowmax_fallback,
+    )
+
+    if h is None:
+        h = hash_dense(state.model, queries)
+    home = partition_of_hash(h, state.part_proj)
+    folded = state.coarse_folded                 # i8[L, capf, lanes]
+    l_n, capf, lanes = folded.shape
+    cs = state.coarse_proj.shape[1]
+    fold = lanes // cs
+    gsl = group_slots
+    rpg = gsl // fold
+    assert rpg * fold == gsl and gsl & (gsl - 1) == 0, (gsl, fold)
+    mshift = gsl.bit_length() - 1
+    # window start alignment: 64-slot group grid AND 8-physical-row DMA
+    # starts (8 * fold slots)
+    align = max(gsl, 8 * fold)
+    win = window if window > 0 else 4096
+    assert win % align == 0 and m_cap % win == 0, (win, align, m_cap)
+    base_b, table_b2, start_b, end_b, total, _ = gather_blocks(
+        state.tables, h, home, layout, steps, m_cap, multiprobe,
+        probes=probes, probe_valid=probe_valid, window=win, align=align,
+    )
+    b = queries.shape[0]
+    mb_cap = m_cap // win
+    mb = jnp.arange(mb_cap, dtype=jnp.int32)
+    capslots = capf * fold
+    # clamp BEFORE positions are derived: a window near the table's end
+    # keeps covering its (earlier) range, and scores always match pos
+    blk = jnp.clip(base_b + mb[None, :] * win, 0, capslots - win)
+    live = (blk < end_b) & (blk + win > start_b)
+    # per-query int8 quantization of the coarse query vector: any positive
+    # per-query scale preserves that query's coarse order
+    q_low = queries @ state.coarse_proj                        # f32[B, cs]
+    qscale = jnp.float32(127.0) / jnp.maximum(
+        jnp.max(jnp.abs(q_low), axis=1, keepdims=True), 1e-20
+    )
+    qi8 = jnp.clip(jnp.round(q_low * qscale), -127, 127).astype(jnp.int8)
+    # block-diagonal placement: qmat[b, s, s*cs:(s+1)*cs] = qi8[b], so one
+    # [fold, lanes] x [rows, lanes] MXU dot yields every slot's dot (no
+    # lane-splitting reshape — unsupported in Mosaic)
+    qmat = jnp.stack(
+        [
+            jnp.pad(qi8, ((0, 0), (s * cs, (fold - 1 - s) * cs)))
+            for s in range(fold)
+        ],
+        axis=1,
+    )                                                          # [B, fold, lanes]
+    wpr = win // fold
+    rs = jnp.where(live, blk // fold, -1)
+    if jax.default_backend() == "tpu":
+        rowpk = pallas_coarse_rowmax(
+            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift
+        )
+    else:
+        rowpk = rowmax_fallback(
+            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift
+        )
+    rowpk = rowpk.reshape(b, mb_cap, wpr)
+    # mask rows with NO live slot (stale scratch of dead windows; flatten
+    # round-up past `end`; aligned head before `start`). Rows straddling a
+    # boundary keep their max — a fold-granular superset, allowed by the
+    # candidate contract (the extra rows are real corpus rows).
+    j = jnp.arange(wpr, dtype=jnp.int32)
+    slot0 = blk[:, :, None] + j[None, None, :] * fold
+    row_live = (
+        live[:, :, None]
+        & (slot0 < end_b[:, :, None])
+        & (slot0 + fold > start_b[:, :, None])
+    )
+    dead = jnp.int32(I32_DEAD)
+    rowpk = jnp.where(row_live, rowpk, dead)
+    ngw = win // gsl
+    g4 = rowpk.reshape(b, mb_cap, ngw, rpg)
+    g1 = jnp.max(g4, axis=-1)                                  # [B, MB, NGW]
+    cap = state.tables.capacity
+    if rows_keep == 0:
+        # WHOLE-GROUP rerank: groups are the selection unit (one packed
+        # int32 each), but every slot of a selected group reaches the
+        # exact rerank — positions are contiguous, so the id gather rides
+        # the fast element path, and a neighbor shadowed by its group's
+        # argmax is still recovered (bucket-sorted layouts co-locate true
+        # neighbors, which makes argmax-only rerank lossy there)
+        width = mb_cap * ngw
+        flat = g1.reshape(b, width)
+        rgg = max(1, min(refine // gsl, width))
+        gidx = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
+        )
+        neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1, num_keys=1)
+        selpk = -neg_s[:, :rgg]
+        sel = gidx_s[:, :rgg]
+        mbi = sel // ngw
+        gi = sel % ngw
+        base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl  # [B, RGG]
+        t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
+        sl = jnp.arange(gsl, dtype=jnp.int32)
+        pos = (base[:, :, None] + sl[None, None, :]).reshape(b, rgg * gsl)
+        t2 = jnp.repeat(t2, gsl, axis=1)
+        sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
+        cand2 = state.tables.sorted_ids[
+            jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+        ]
+        cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
+    else:
+        if rows_keep == 2:
+            # second-best ROW of the group (distinct member bits make
+            # packed values unique, so equality identifies the winner row)
+            g2 = jnp.max(
+                jnp.where(g4 == g1[..., None], dead, g4), axis=-1
+            )
+            gsel = jnp.concatenate([g1, g2], axis=2)           # [B, MB, 2*NGW]
+        else:
+            gsel = g1
+        keep = gsel.shape[2] // ngw
+        width = mb_cap * ngw * keep
+        flat = gsel.reshape(b, width)
+        rg = min(refine, width)
+        gidx = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
+        )
+        neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1, num_keys=1)
+        selpk = -neg_s[:, :rg]
+        sel = gidx_s[:, :rg]
+        mbi = sel // (ngw * keep)
+        gi = sel % ngw
+        member = selpk & jnp.int32(gsl - 1)
+        pos = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl + member
+        t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
+        sel_valid = selpk != dead
+        cand2 = state.tables.sorted_ids[
+            jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+        ]
+        cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
+    if exclude_self:
+        cand2 = _exclude_self(cand2, state.row_ids, query_ids)
+    exact = rerank_ops.score_candidates(state.corpus, cand2, queries)
+    ids_k, sc_k = rerank_ops.dedup_topk(cand2, exact, k)
+    ids = jnp.where(ids_k >= 0, state.row_ids[jnp.maximum(ids_k, 0)], -1)
+    return ids, sc_k, total
+
+
 def _exclude_self(cand: jax.Array, row_ids: jax.Array, query_ids: jax.Array) -> jax.Array:
     """Drop candidates whose *user id* equals the query's key — the
     reference excludes the query key from its own bucket chain
@@ -1312,6 +1583,8 @@ def _query_dense(
     coarse_window: int = -1,
     window_keep: int = 0,
     head_pool: int = 0,
+    coarse_group: int = 64,
+    rows_keep: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
@@ -1331,6 +1604,14 @@ def _query_dense(
         )
     else:
         h = hash_dense(state.model, queries)                    # [B, L] u32
+    if state.coarse_folded is not None:
+        return _query_groupmax(
+            state, queries, query_ids, layout, steps, m_cap, k,
+            multiprobe, exclude_self, refine=coarse_refine,
+            probes=probes, probe_valid=probe_valid, h=h,
+            window=coarse_window, group_slots=coarse_group,
+            rows_keep=rows_keep,
+        )
     if state.coarse_by_table is not None:
         return _query_dense_coarse(
             state, queries, query_ids, layout, steps, m_cap, k,
@@ -1367,7 +1648,7 @@ query_dense = jax.jit(
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
-        "window_keep", "head_pool",
+        "window_keep", "head_pool", "coarse_group", "rows_keep",
     ),
 )
 
@@ -1377,7 +1658,7 @@ query_dense = jax.jit(
     static_argnames=(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
-        "window_keep", "head_pool",
+        "window_keep", "head_pool", "coarse_group", "rows_keep",
     ),
 )
 def query_dense_many(
@@ -1397,6 +1678,8 @@ def query_dense_many(
     coarse_window: int = -1,
     window_keep: int = 0,
     head_pool: int = 0,
+    coarse_group: int = 64,
+    rows_keep: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -1413,6 +1696,7 @@ def query_dense_many(
             probe_mode=probe_mode, probe_budget=probe_budget,
             coarse_refine=coarse_refine, coarse_window=coarse_window,
             window_keep=window_keep, head_pool=head_pool,
+            coarse_group=coarse_group, rows_keep=rows_keep,
         )
 
     ids, scores, total = jax.lax.map(
@@ -1486,18 +1770,21 @@ class RDFForest:
         m_cap: Optional[int] = None,
         coarse_window: Optional[int] = None,
         window_keep: Optional[int] = None,
+        coarse_group: Optional[int] = None,
+        rows_keep: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
         Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap /
-        coarse_window / window_keep default to the config's values
-        (per-call overrides let operating-point sweeps reuse one fitted
-        forest)."""
+        coarse_window / window_keep / coarse_group / rows_keep default to
+        the config's values (per-call overrides let operating-point sweeps
+        reuse one fitted forest)."""
         ids, scores = self.query_device(
             queries, steps=steps, query_ids=query_ids, k=k,
             multiprobe=multiprobe, probe_mode=probe_mode,
             probe_budget=probe_budget, coarse_refine=coarse_refine,
             m_cap=m_cap, coarse_window=coarse_window,
-            window_keep=window_keep,
+            window_keep=window_keep, coarse_group=coarse_group,
+            rows_keep=rows_keep,
         )
         return np.asarray(ids), np.asarray(scores)
 
@@ -1514,6 +1801,8 @@ class RDFForest:
         m_cap: Optional[int] = None,
         coarse_window: Optional[int] = None,
         window_keep: Optional[int] = None,
+        coarse_group: Optional[int] = None,
+        rows_keep: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """`query` without the final host transfer: returns device arrays so
         multi-tier callers (`storage.persist.TieredForest`) can merge many
@@ -1544,6 +1833,9 @@ class RDFForest:
             window_keep=(window_keep if window_keep is not None
                          else self.conf.coarse_keep),
             head_pool=self.conf.coarse_head_pool,
+            coarse_group=coarse_group or self.conf.coarse_group,
+            rows_keep=(rows_keep if rows_keep is not None
+                       else self.conf.coarse_rows_keep),
         )
         thr = self.conf.similarity_threshold
         if thr > 0.0:

@@ -1,0 +1,217 @@
+"""Pallas DMA kernel for the SLOT-FOLDED coarse tier (groupmax mode).
+
+The aligned-window coarse gather (`coarse_gather.py`) hit the DMA engine's
+~1.2 us/descriptor floor (results/check_coarse_drain_static.json): at
+Deep-8M shapes the coarse stage pays one descriptor per 512-slot window
+and the wide [B, m_cap] score slab then costs a ~30 ms select
+(results/bisect_deep8m_window.json). This module attacks both at once:
+
+* FOLDED LAYOUT — `fold = 128 // cs` CONSECUTIVE slots of one table pack
+  into a single 128-lane physical row (a pure row-major reshape of the
+  per-table coarse matrix, `forest._build_folded_tier`), so a window of
+  `win` slots is `win/fold` physical rows: the same 64 KB descriptor now
+  covers 8x more candidates at cd=16, letting `win` grow ~8x at a fixed
+  per-query descriptor budget. (The lane-PACKED tier reads 128 bytes per
+  slot and uses cs of them; folding makes every fetched byte a candidate
+  byte.)
+
+* IN-KERNEL ARGMAX PACKING — instead of the raw f32[B, m_cap] score slab,
+  the kernel emits one int32 `(score << mshift) | member` per PHYSICAL ROW
+  (the max over the row's `fold` slots, member = slot index within the
+  row's 64-slot group). The caller reduces rows to groups with a cheap
+  XLA max and selects over a `m_cap/64`-wide slab — the same two-level
+  trick that carries the flat engine's argpack select
+  (`ops/flat.select_packed_rows`), shrunk 64x before it leaves the kernel.
+
+Scoring is int8 x int8 on the MXU: the per-query coarse vector is placed
+block-diagonally into a [fold, 128] matrix (segment s holds the query at
+lanes [s*cs, (s+1)*cs)), so ONE dot_general against the staged rows yields
+every slot's dot exactly — no lane-splitting reshapes (the Mosaic
+`vector<...x128xi32> -> ...x8x16xi32` shape cast is unsupported; batch-39
+capture).
+
+Numerics are integer-exact, so the XLA fallback (`rowmax_fallback`, used
+on CPU and in tests) is asserted BIT-IDENTICAL to the kernel.
+
+Replaces the candidate-scoring half of the reference's exhaustive rerank
+(`RandomDrawTreeMap.java:742-797` gathers every bucket member's vector);
+the candidate-set contract (equal or superset of the probed buckets) is
+preserved by the window flatten upstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NSEM = 16          # DMA semaphores cycled across the group's copies
+
+# dead-row sentinel: NOT int32 min, so `-pk` sort keys never overflow
+I32_DEAD = -(2**31 - 1)
+
+
+def _member_bits(gsl: int) -> int:
+    assert gsl & (gsl - 1) == 0, ("group slots must be a power of 2", gsl)
+    return gsl.bit_length() - 1
+
+
+def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
+            grp, wpr, fold, rpg, mshift):
+    """One grid step = one query x `grp` windows. Issues the group's window
+    copies (wpr folded rows each), drains, scores every staged slot with a
+    single int8 MXU matmul against the query's block-diagonal [fold, lanes]
+    matrix, packs `(score << mshift) | member` and writes the per-row max
+    (max over the row's `fold` lane segments). Dead windows (rs8 < 0) skip
+    their DMA; their stale scratch rows are masked by the caller."""
+    def issue(g, _):
+        rs8 = idx_ref[0, g, 1]
+
+        @pl.when(rs8 >= 0)
+        def _():
+            t = idx_ref[0, g, 0]
+            pltpu.make_async_copy(
+                tier_ref.at[t, pl.ds(rs8 * 8, wpr), :],
+                scratch.at[pl.ds(g * wpr, wpr), :],
+                sems.at[g % _NSEM],
+            ).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, issue, 0)
+
+    def drain(g, _):
+        @pl.when(idx_ref[0, g, 1] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                tier_ref.at[0, pl.ds(0, wpr), :],
+                scratch.at[pl.ds(g * wpr, wpr), :],
+                sems.at[g % _NSEM],
+            ).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, grp, drain, 0)
+
+    r = grp * wpr
+    # [fold, R] i32 = every slot's int8 dot: row r's lane segment s is the
+    # dot of tier slot (r*fold + s) with the query (block-diagonal qmat)
+    scores = jax.lax.dot_general(
+        qmat_ref[0], scratch[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # [fold, R]
+    # member within the row's gsl-slot group: (row % rpg) * fold + segment.
+    # The row part is constant per COLUMN — compute it on a [1, R] row and
+    # let the broadcast OR pay one cheap op per element (the int-mod-at-
+    # tile-scale rule, see flat_groupmax pack_arg).
+    mrow = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) % rpg
+    ) * fold                                               # [1, R]
+    mseg = jax.lax.broadcasted_iota(jnp.int32, (fold, 1), 0)
+    pk = (scores << mshift) | (mrow | mseg)
+    out_ref[...] = jnp.max(pk, axis=0, keepdims=True)      # [1, R]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wpr", "rpg", "mshift", "grp")
+)
+def pallas_coarse_rowmax(
+    folded: jax.Array,       # i8[L, capf, lanes] slot-folded coarse tier
+    qmat: jax.Array,         # i8[B, fold, lanes] block-diagonal query rows
+    table_b2: jax.Array,     # i32[B, MB]
+    row_start: jax.Array,    # i32[B, MB] physical row start; -1 = dead;
+    #                          multiple of 8 (64-slot window alignment)
+    wpr: int,                # physical rows per window (win // fold)
+    rpg: int,                # rows per member group (gsl // fold)
+    mshift: int,             # member bits (log2 gsl)
+    grp: int = 8,
+) -> jax.Array:
+    """Per-row packed maxima i32[B, MB * wpr] for every candidate window.
+    Row j of window m covers slots [blk_start + j*fold, +fold); its output
+    is max over those slots of `(score << mshift) | member`. Dead windows'
+    rows are UNDEFINED (stale scratch) — the caller masks them to a dead
+    sentinel by window liveness."""
+    l_n, capf, lanes = folded.shape
+    b, mb_cap = table_b2.shape
+    fold = qmat.shape[1]
+    assert wpr % 8 == 0 and (grp * wpr) % 128 == 0, (wpr, grp)
+    grp = min(grp, mb_cap)
+    # VMEM: scratch grp*wpr*lanes i8 + out grp*wpr i32 (stay well under 8 MB)
+    while grp > 1 and grp * wpr * (lanes + 4) > (6 << 20):
+        grp //= 2
+    pad = (-mb_cap) % grp
+    if pad:
+        table_b2 = jnp.pad(table_b2, ((0, 0), (0, pad)))
+        row_start = jnp.pad(row_start, ((0, 0), (0, pad)),
+                            constant_values=-1)
+    mb = mb_cap + pad
+    rs8 = jnp.where(
+        row_start >= 0, jnp.clip(row_start, 0, capf - wpr) >> 3, -1
+    )
+    idx = jnp.stack(
+        [jnp.clip(table_b2, 0, l_n - 1), rs8], axis=-1
+    ).astype(jnp.int32)                                    # [B, MB, 2]
+    out = pl.pallas_call(
+        functools.partial(_kernel, grp=grp, wpr=wpr, fold=fold, rpg=rpg,
+                          mshift=mshift),
+        out_shape=jax.ShapeDtypeStruct((b, mb * wpr), jnp.int32),
+        grid=(b, mb // grp),
+        in_specs=[
+            pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, fold, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # tier stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, grp * wpr), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((grp * wpr, lanes), folded.dtype),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+    )(idx, qmat, folded)
+    return out[:, : mb_cap * wpr] if pad else out
+
+
+def rowmax_fallback(
+    folded: jax.Array,       # i8[L, capf, lanes]
+    qmat: jax.Array,         # i8[B, fold, lanes]
+    table_b2: jax.Array,     # i32[B, MB]
+    row_start: jax.Array,    # i32[B, MB] (-1 = dead; clipped like the kernel)
+    wpr: int,
+    rpg: int,
+    mshift: int,
+) -> jax.Array:
+    """XLA path, BIT-IDENTICAL to `pallas_coarse_rowmax` on live rows
+    (integer math throughout); dead windows emit I32_DEAD instead of stale
+    scratch. Used on CPU (tests) and as the interpret-mode oracle."""
+    l_n, capf, lanes = folded.shape
+    b, mb_cap = table_b2.shape
+    fold = qmat.shape[1]
+    rs = jnp.clip(row_start, 0, capf - wpr)
+    idx = jnp.stack(
+        [jnp.clip(table_b2, 0, l_n - 1), rs], axis=-1
+    ).astype(jnp.int32)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    rows = jax.lax.gather(
+        folded, idx, dn, slice_sizes=(1, wpr, lanes),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )                                                  # [B, MB, wpr, lanes]
+    scores = jnp.einsum(
+        "bmrl,bfl->bmrf", rows.astype(jnp.int32), qmat.astype(jnp.int32)
+    )                                                  # [B, MB, wpr, fold]
+    r_i = jnp.arange(wpr, dtype=jnp.int32) % rpg
+    s_i = jnp.arange(fold, dtype=jnp.int32)
+    member = (r_i[:, None] * fold) | s_i[None, :]      # [wpr, fold]
+    pk = (scores << mshift) | member[None, None]
+    rowpk = jnp.max(pk, axis=3)                        # [B, MB, wpr]
+    rowpk = jnp.where(
+        (row_start >= 0)[:, :, None], rowpk, jnp.int32(I32_DEAD)
+    )
+    return rowpk.reshape(b, mb_cap * wpr)

@@ -115,19 +115,30 @@ def load_forest(path: str) -> RDFForest:
     # rebuilt rather than serialized (like `records`), keeping checkpoints
     # at corpus + CSR size while loads land on the same query path that a
     # fresh fit would take
-    coarse_proj = coarse_by_table = coarse_head = None
+    coarse_proj = coarse_by_table = coarse_head = coarse_folded = None
     if conf.coarse_dim:
-        from ..index.forest import _build_coarse_tier, build_head_tier
-
-        coarse_proj, coarse_by_table = _build_coarse_tier(
-            corpus, tables.sorted_ids, conf.coarse_dim,
-            conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
+        from ..index.forest import (
+            _build_coarse_tier,
+            _build_folded_tier,
+            build_head_tier,
         )
-        if conf.coarse_head_pool:
-            coarse_head = build_head_tier(
-                coarse_by_table, tables.sorted_ids, conf.coarse_head_pool,
-                groups=max(1, 128 // coarse_proj.shape[1]),
+
+        if conf.coarse_layout == "folded":
+            coarse_proj, coarse_folded = _build_folded_tier(
+                corpus, tables.sorted_ids, conf.coarse_dim,
+                conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
             )
+        else:
+            coarse_proj, coarse_by_table = _build_coarse_tier(
+                corpus, tables.sorted_ids, conf.coarse_dim,
+                conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
+            )
+            if conf.coarse_head_pool:
+                coarse_head = build_head_tier(
+                    coarse_by_table, tables.sorted_ids,
+                    conf.coarse_head_pool,
+                    groups=max(1, 128 // coarse_proj.shape[1]),
+                )
     state = ForestState(
         model=model,
         part_proj=jnp.asarray(z["part_proj"]),
@@ -142,6 +153,7 @@ def load_forest(path: str) -> RDFForest:
         coarse_proj=coarse_proj,
         coarse_by_table=coarse_by_table,
         coarse_head=coarse_head,
+        coarse_folded=coarse_folded,
     )
     forest = RDFForest(conf, model=model)
     forest.part_proj = state.part_proj

@@ -1,0 +1,177 @@
+"""Slot-folded coarse tier + groupmax query path (coarse_layout="folded").
+
+Covers: tier layout (fold consecutive slots of one table per 128-lane row),
+bit-parity of the XLA rowmax fallback against a numpy oracle, end-to-end
+recall parity with the lane-packed tier at equal rerank breadth, per-call
+knob overrides, and checkpoint round-trip (the tier is derived data and is
+rebuilt on load)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from similaritysearchbyrdf_tpu import DenseBatch, RDFConfig, RDFForest
+from similaritysearchbyrdf_tpu.config import TableConfig
+from similaritysearchbyrdf_tpu.index import forest as forest_mod
+from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+    I32_DEAD,
+    rowmax_fallback,
+)
+
+
+def _corpus(n=4096, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    x = (
+        centers[rng.integers(0, 64, n)]
+        + 0.3 * rng.normal(size=(n, d))
+    ).astype(np.float32)
+    q = x[:64] + 0.05 * rng.normal(size=(64, d)).astype(np.float32)
+    gt = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    return x, q, gt
+
+
+def _conf(layout, **kw):
+    base = dict(
+        vector_dim=32, table_num=4, permutation_num=1, top_k=10,
+        lsh_table=TableConfig(chain_length=12, bucket_overflow=64),
+        coarse_dim=16, coarse_layout=layout, coarse_refine=512,
+        max_candidates=4096,
+        coarse_window=256 if layout == "folded" else -1,
+        query_batch_size=64,
+    )
+    base.update(kw)
+    return RDFConfig(**base)
+
+
+def _recall(ids, gt):
+    return np.mean(
+        [len(set(ids[i]) & set(gt[i])) / gt.shape[1]
+         for i in range(gt.shape[0])]
+    )
+
+
+def test_folded_tier_layout():
+    """Slot j of table t lands at [t, j//fold, (j%fold)*cs : +cs] and holds
+    the same int8 row the lane-packed tier stores for that slot."""
+    x, _, _ = _corpus()
+    conf = _conf("folded")
+    f = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int64), x))
+    st = f.state
+    assert st.coarse_folded is not None and st.coarse_by_table is None
+    low = np.asarray(
+        forest_mod._coarse_low(
+            jnp.pad(st.coarse_proj,
+                    ((0, st.corpus.shape[1] - conf.vector_dim), (0, 0))),
+            st.corpus, True,
+        )
+    )
+    si = np.asarray(st.tables.sorted_ids)
+    folded = np.asarray(st.coarse_folded)
+    l, caprows = si.shape
+    cs = st.coarse_proj.shape[1]
+    fold = 128 // cs
+    assert folded.shape == (l, caprows // fold, fold * cs)
+    rng = np.random.default_rng(1)
+    for t in rng.integers(0, l, 2):
+        for j in rng.integers(0, caprows, 64):
+            want = low[si[t, j]] if si[t, j] >= 0 else np.zeros(cs, np.int8)
+            got = folded[t, j // fold, (j % fold) * cs:(j % fold + 1) * cs]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_rowmax_fallback_matches_numpy_oracle():
+    rng = np.random.default_rng(2)
+    l_n, capf, lanes = 3, 64, 128
+    cs, fold = 16, 8
+    b, mb, wpr, rpg = 4, 6, 8, 8
+    mshift = 6
+    folded = rng.integers(-127, 128, (l_n, capf, lanes), dtype=np.int8)
+    qi8 = rng.integers(-127, 128, (b, cs), dtype=np.int8)
+    qmat = np.zeros((b, fold, lanes), np.int8)
+    for s in range(fold):
+        qmat[:, s, s * cs:(s + 1) * cs] = qi8
+    table = rng.integers(0, l_n, (b, mb)).astype(np.int32)
+    rs = (rng.integers(0, (capf - wpr) // 8 + 1, (b, mb)) * 8).astype(
+        np.int32
+    )
+    rs[:, -1] = -1                      # a dead window per query
+    got = np.asarray(
+        rowmax_fallback(
+            jnp.asarray(folded), jnp.asarray(qmat), jnp.asarray(table),
+            jnp.asarray(rs), wpr=wpr, rpg=rpg, mshift=mshift,
+        )
+    ).reshape(b, mb, wpr)
+    for bi in range(b):
+        for m in range(mb):
+            if rs[bi, m] < 0:
+                assert (got[bi, m] == I32_DEAD).all()
+                continue
+            rows = folded[table[bi, m], rs[bi, m]:rs[bi, m] + wpr]
+            for r in range(wpr):
+                best = None
+                for s in range(fold):
+                    seg = rows[r, s * cs:(s + 1) * cs].astype(np.int64)
+                    sc = int(seg @ qi8[bi].astype(np.int64))
+                    member = (r % rpg) * fold + s
+                    pk = (sc << mshift) | member
+                    best = pk if best is None else max(best, pk)
+                assert got[bi, m, r] == best
+
+
+def test_folded_recall_matches_lane():
+    """Whole-group rerank (rows_keep=0) at equal refine is within a few
+    points of the lane-packed tier; argmax-only modes run and return valid
+    ids (their recall is structurally lower at smoke scale — the mode
+    targets m_cap >= 2^18 where groups are plentiful)."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    lane = RDFForest(_conf("lane")).fit(batch)
+    fold = RDFForest(_conf("folded")).fit(batch)
+    kw = dict(steps=1, probe_mode="margin", probe_budget=8)
+    ids_l, _ = lane.query(q, **kw)
+    r_lane = _recall(ids_l, gt)
+    ids_f, sc_f = fold.query(q, **kw)      # conf default rows_keep=0
+    r_fold = _recall(ids_f, gt)
+    assert r_fold >= r_lane - 0.06, (r_fold, r_lane)
+    # scores are exact dots of the returned ids (full-precision rerank)
+    exact = np.einsum("qd,qkd->qk", q, x[np.maximum(ids_f, 0)])
+    valid = ids_f >= 0
+    np.testing.assert_allclose(sc_f[valid], exact[valid], rtol=1e-5)
+    # per-call knob overrides: argmax-only keeps fewer rows but still
+    # returns valid ids, and wider refine is monotone (>= - noise)
+    ids_a, _ = fold.query(q, rows_keep=1, coarse_group=16, **kw)
+    assert (ids_a[ids_a >= 0] < len(x)).all()
+    ids_w, _ = fold.query(q, coarse_refine=1024, **kw)
+    assert _recall(ids_w, gt) >= r_fold - 0.02
+
+
+def test_folded_checkpoint_roundtrip(tmp_path):
+    from similaritysearchbyrdf_tpu.storage.persist import (
+        load_forest,
+        save_forest,
+    )
+
+    x, q, gt = _corpus(n=2048)
+    conf = _conf("folded", max_candidates=2048)
+    f = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int64), x))
+    kw = dict(steps=1, probe_mode="margin", probe_budget=8)
+    ids0, sc0 = f.query(q, **kw)
+    path = tmp_path / "fold_ckpt"
+    save_forest(f, str(path))
+    g = load_forest(str(path))
+    assert g.state.coarse_folded is not None
+    np.testing.assert_array_equal(
+        np.asarray(g.state.coarse_folded), np.asarray(f.state.coarse_folded)
+    )
+    ids1, sc1 = g.query(q, **kw)
+    np.testing.assert_array_equal(ids0, ids1)
+
+
+def test_folded_requires_int8():
+    with pytest.raises(AssertionError):
+        RDFForest(_conf("folded", coarse_dtype="bfloat16")).fit(
+            DenseBatch(np.arange(256, dtype=np.int64),
+                       np.ones((256, 32), np.float32))
+        )
