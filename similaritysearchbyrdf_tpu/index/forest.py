@@ -1001,6 +1001,15 @@ def _coarse_block_scores(
     b, mb_cap = base_b.shape
     mb = jnp.arange(mb_cap, dtype=jnp.int32)
     blk_start = base_b if abs_starts else base_b + mb[None, :] * bs_block
+    if start_b is not None:
+        # clamp BEFORE positions are derived (window mode only; block mode
+        # keeps exact per-slot starts): a live window within `win` of the
+        # table's end would otherwise be CLIPPED inside the gather/kernel
+        # while `pos` kept the unclipped start — scores off by the shift
+        # for its live rows. The clamped window still covers its range:
+        # clipping only engages when start > caprows - win, and
+        # end <= caprows - ID_PAD, so [start, end) ⊂ [caprows-win, caprows).
+        blk_start = jnp.minimum(blk_start, caprows - bs_block)
     q_low = (queries @ coarse_proj).astype(jnp.bfloat16)      # [B, cs]
     if g > 1:
         lg_b = table_b2 // g

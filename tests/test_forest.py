@@ -257,6 +257,49 @@ def test_coarse_window_mode_matches_reference_path():
     np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5)
 
 
+def test_coarse_window_end_of_table_clamp():
+    """A live window within `win` of the table's end used to be CLIPPED
+    inside the gather while `pos` kept the unclipped start — its live rows
+    scored against SHIFTED source rows. The clamp-before-pos fix keeps
+    score[j] == dot(q, tier[pos[j]]) for every valid slot, including
+    windows whose unclipped span would run past caprows."""
+    from similaritysearchbyrdf_tpu.index.forest import _coarse_block_scores
+
+    rng = np.random.default_rng(8)
+    caprows, d, cs, win = 128, 16, 128, 64
+    tier = jnp.asarray(
+        rng.integers(-127, 128, (1, caprows, cs), dtype=np.int8)
+    )
+    proj = jnp.asarray(np.eye(d, cs, dtype=np.float32))
+    q = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    # window start 96: unclipped span [96, 160) exceeds caprows=128, live
+    # rows [100, 124) sit entirely inside the table
+    base_b = jnp.asarray([[96]], jnp.int32)
+    table_b2 = jnp.zeros((1, 1), jnp.int32)
+    start_b = jnp.asarray([[100]], jnp.int32)
+    end_b = jnp.asarray([[124]], jnp.int32)
+    scores, pos, _ = _coarse_block_scores(
+        tier, proj, q, base_b, table_b2, end_b, win,
+        start_b=start_b, abs_starts=True,
+    )
+    scores, pos = np.asarray(scores)[0], np.asarray(pos)[0]
+    q_low = np.asarray((q @ proj).astype(jnp.bfloat16))[0]
+    tier_np = np.asarray(tier)[0]
+    # bf16 products accumulated in f32 (the einsum's preferred_element_type)
+    q32 = np.asarray(jnp.asarray(q_low).astype(jnp.bfloat16)).astype(
+        np.float32
+    )
+    for j in range(win):
+        if 100 <= pos[j] < 124:
+            row32 = np.asarray(
+                jnp.asarray(tier_np[pos[j]]).astype(jnp.bfloat16)
+            ).astype(np.float32)
+            want = float((row32 * q32).sum())
+            np.testing.assert_allclose(scores[j], want, rtol=1e-3)
+        else:
+            assert scores[j] == -np.inf, (j, pos[j], scores[j])
+
+
 def test_coarse_window_tournament_prefilter_recall():
     """With refine << m_cap the window path engages the strided 4-way
     max-tournament prefilter (approximate select). It must still recover
