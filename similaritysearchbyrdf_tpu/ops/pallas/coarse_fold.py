@@ -59,51 +59,51 @@ def _member_bits(gsl: int) -> int:
     return gsl.bit_length() - 1
 
 
+_QB = 8             # queries per grid step (the out block's second-minor
+#                     dim must be divisible by 8 — Mosaic VMEM tiling)
+
+
 def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
             grp, wpr, fold, rpg, mshift):
-    """One grid step = one query x `grp` windows. Issues the group's window
-    copies (wpr folded rows each), drains, scores every staged slot with a
-    single int8 MXU matmul against the query's block-diagonal [fold, lanes]
-    matrix, packs `(score << mshift) | member` and writes the per-row max
-    (max over the row's `fold` lane segments). Dead windows (rs8 < 0) skip
-    their DMA; their stale scratch rows are masked by the caller."""
-    def issue(g, _):
-        rs8 = idx_ref[0, g, 1]
+    """One grid step = `_QB` queries x `grp` windows each. Issues every
+    (query, window) copy (wpr folded rows each; up to _QB*grp in flight),
+    drains, then per query scores every staged slot with ONE int8 MXU
+    matmul against that query's block-diagonal [fold, lanes] matrix, packs
+    `(score << mshift) | member` and writes the per-row max (max over the
+    row's `fold` lane segments). Dead windows (rs8 < 0) skip their DMA;
+    their stale scratch rows are masked by the caller."""
+    def issue(c, _):
+        qq = c // grp
+        g = c % grp
+        rs8 = idx_ref[qq, g, 1]
 
         @pl.when(rs8 >= 0)
         def _():
-            t = idx_ref[0, g, 0]
+            t = idx_ref[qq, g, 0]
             pltpu.make_async_copy(
                 tier_ref.at[t, pl.ds(rs8 * 8, wpr), :],
-                scratch.at[pl.ds(g * wpr, wpr), :],
-                sems.at[g % _NSEM],
+                scratch.at[pl.ds(c * wpr, wpr), :],
+                sems.at[c % _NSEM],
             ).start()
 
         return 0
 
-    jax.lax.fori_loop(0, grp, issue, 0)
+    jax.lax.fori_loop(0, _QB * grp, issue, 0)
 
-    def drain(g, _):
-        @pl.when(idx_ref[0, g, 1] >= 0)
+    def drain(c, _):
+        @pl.when(idx_ref[c // grp, c % grp, 1] >= 0)
         def _():
             pltpu.make_async_copy(
                 tier_ref.at[0, pl.ds(0, wpr), :],
-                scratch.at[pl.ds(g * wpr, wpr), :],
-                sems.at[g % _NSEM],
+                scratch.at[pl.ds(c * wpr, wpr), :],
+                sems.at[c % _NSEM],
             ).wait()
 
         return 0
 
-    jax.lax.fori_loop(0, grp, drain, 0)
+    jax.lax.fori_loop(0, _QB * grp, drain, 0)
 
     r = grp * wpr
-    # [fold, R] i32 = every slot's int8 dot: row r's lane segment s is the
-    # dot of tier slot (r*fold + s) with the query (block-diagonal qmat)
-    scores = jax.lax.dot_general(
-        qmat_ref[0], scratch[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                                      # [fold, R]
     # member within the row's gsl-slot group: (row % rpg) * fold + segment.
     # The row part is constant per COLUMN — compute it on a [1, R] row and
     # let the broadcast OR pay one cheap op per element (the int-mod-at-
@@ -112,8 +112,18 @@ def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
         jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) % rpg
     ) * fold                                               # [1, R]
     mseg = jax.lax.broadcasted_iota(jnp.int32, (fold, 1), 0)
-    pk = (scores << mshift) | (mrow | mseg)
-    out_ref[...] = jnp.max(pk, axis=0, keepdims=True)      # [1, R]
+    member = mrow | mseg                                   # [fold, R]
+    for qq in range(_QB):                                  # static unroll
+        rows = scratch[pl.ds(qq * r, r), :]                # [R, lanes] i8
+        # [fold, R] i32 = every slot's int8 dot: row j's lane segment s is
+        # the dot of tier slot (j*fold + s) with the query (block-diagonal)
+        scores = jax.lax.dot_general(
+            qmat_ref[qq], rows,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        pk = (scores << mshift) | member
+        out_ref[qq:qq + 1, :] = jnp.max(pk, axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -138,17 +148,23 @@ def pallas_coarse_rowmax(
     l_n, capf, lanes = folded.shape
     b, mb_cap = table_b2.shape
     fold = qmat.shape[1]
-    assert wpr % 8 == 0 and (grp * wpr) % 128 == 0, (wpr, grp)
+    assert wpr % 8 == 0, wpr
     grp = min(grp, mb_cap)
-    # VMEM: scratch grp*wpr*lanes i8 + out grp*wpr i32 (stay well under 8 MB)
-    while grp > 1 and grp * wpr * (lanes + 4) > (6 << 20):
+    # VMEM: scratch _QB*grp*wpr*lanes i8 + out _QB*grp*wpr i32 (≤ ~6 MB);
+    # the out block minor (grp*wpr) must stay a 128 multiple
+    floor_grp = max(1, 128 // wpr)
+    while grp > floor_grp and _QB * grp * wpr * (lanes + 4) > (6 << 20):
         grp //= 2
-    pad = (-mb_cap) % grp
-    if pad:
-        table_b2 = jnp.pad(table_b2, ((0, 0), (0, pad)))
-        row_start = jnp.pad(row_start, ((0, 0), (0, pad)),
+    assert (grp * wpr) % 128 == 0, (grp, wpr)
+    padw = (-mb_cap) % grp
+    padb = (-b) % _QB
+    if padw or padb:
+        table_b2 = jnp.pad(table_b2, ((0, padb), (0, padw)))
+        row_start = jnp.pad(row_start, ((0, padb), (0, padw)),
                             constant_values=-1)
-    mb = mb_cap + pad
+        qmat = jnp.pad(qmat, ((0, padb), (0, 0), (0, 0)))
+    mb = mb_cap + padw
+    bp = b + padb
     rs8 = jnp.where(
         row_start >= 0, jnp.clip(row_start, 0, capf - wpr) >> 3, -1
     )
@@ -158,23 +174,27 @@ def pallas_coarse_rowmax(
     out = pl.pallas_call(
         functools.partial(_kernel, grp=grp, wpr=wpr, fold=fold, rpg=rpg,
                           mshift=mshift),
-        out_shape=jax.ShapeDtypeStruct((b, mb * wpr), jnp.int32),
-        grid=(b, mb // grp),
+        out_shape=jax.ShapeDtypeStruct((bp, mb * wpr), jnp.int32),
+        grid=(bp // _QB, mb // grp),
         in_specs=[
-            pl.BlockSpec((1, grp, 2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((_QB, grp, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fold, lanes), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((_QB, fold, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # tier stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, grp * wpr), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((_QB, grp * wpr), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((grp * wpr, lanes), folded.dtype),
+            pltpu.VMEM((_QB * grp * wpr, lanes), folded.dtype),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )(idx, qmat, folded)
-    return out[:, : mb_cap * wpr] if pad else out
+    if padw:
+        out = out.reshape(bp, mb, wpr)[:, :mb_cap].reshape(
+            bp, mb_cap * wpr
+        )
+    return out[:b] if padb else out
 
 
 def rowmax_fallback(
