@@ -169,6 +169,49 @@ def test_folded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(ids0, ids1)
 
 
+def test_rowmax_kernel_lowers_for_tpu():
+    """Cross-platform Mosaic lowering (jax.export) of pallas_coarse_rowmax
+    at the bench shapes — win {512, 2048, 4096} x cs {16, 32}, including a
+    window count that pads to the grp multiple — so tile-constraint
+    regressions are caught on the CPU CI host before any TPU run (the
+    batch-42 (1, grp*wpr) out-block failure class)."""
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+        pallas_coarse_rowmax,
+    )
+
+    rng = np.random.default_rng(13)
+    for (cs, win, mb, b) in [(16, 512, 16, 8), (16, 2048, 11, 5),
+                             (16, 4096, 64, 64), (32, 1024, 16, 8)]:
+        fold = 128 // cs
+        wpr = win // fold
+        rpg = 64 // fold
+        l_n, capf = 3, max(2 * wpr, 1024)
+        folded = jnp.asarray(
+            rng.integers(-127, 128, (l_n, capf, 128), dtype=np.int8)
+        )
+        qmat = jnp.asarray(
+            rng.integers(-127, 128, (b, fold, 128), dtype=np.int8)
+        )
+        table = jnp.asarray(rng.integers(0, l_n, (b, mb)).astype(np.int32))
+        rs = jnp.asarray(
+            (rng.integers(0, max(1, (capf - wpr) // 8), (b, mb)) * 8).astype(
+                np.int32
+            )
+        )
+
+        def fn(folded, qmat, table, rs):
+            return pallas_coarse_rowmax(
+                folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=6
+            )
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            folded, qmat, table, rs
+        )
+        assert "tpu_custom_call" in exp.mlir_module()
+
+
 def test_folded_requires_int8():
     with pytest.raises(AssertionError):
         RDFForest(_conf("folded", coarse_dtype="bfloat16")).fit(
