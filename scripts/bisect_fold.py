@@ -1,0 +1,202 @@
+"""Transfer-free stage bisection of the FOLDED groupmax query pipeline
+(`forest._query_groupmax`): cumulative prefixes, each ending in a scalar
+sum (array outputs ship through the axon tunnel at ~0.3 GB/s and poison
+isolated stage timings — the bisect_query.py lesson).
+
+Run:  python scripts/bisect_fold.py [N [D]]            (default 8M x 96)
+Env:  FOLD_WIN / FOLD_MCAP / FOLD_REFINE / FOLD_BUDGET / FOLD_B / FOLD_GSL
+Writes results/bisect_fold.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timeit(fn, *args, n=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index import forest as F
+    from similaritysearchbyrdf_tpu.ops import rerank as rr
+    from similaritysearchbyrdf_tpu.ops.hashing import hash_dense_with_margins
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+        I32_DEAD,
+        pallas_coarse_rowmax,
+        rowmax_fallback,
+    )
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    D = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    B = int(os.environ.get("FOLD_B", "64"))
+    win = int(os.environ.get("FOLD_WIN", "4096"))
+    m_cap = int(os.environ.get("FOLD_MCAP", "1048576"))
+    refine = int(os.environ.get("FOLD_REFINE", "12288"))
+    budget = int(os.environ.get("FOLD_BUDGET", "16"))
+    gsl = int(os.environ.get("FOLD_GSL", "64"))
+    steps = 1
+
+    conf = RDFConfig(
+        vector_dim=D, table_num=10, permutation_num=3, family_size=100,
+        partition_bits=3,
+        lsh_table=TableConfig(chain_length=32, bucket_overflow=2000),
+        query_batch_size=B, max_candidates=m_cap, top_k=10,
+        coarse_dim=16, coarse_dtype="int8", coarse_layout="folded",
+        coarse_refine=refine,
+    )
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(50_000, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 50_000, N)] + 0.05 * rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x.astype(np.float32)
+    forest = F.RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))
+    state, layout = forest.state, forest.layout
+    print("fit done", flush=True)
+
+    q = jnp.asarray(x[:B])
+    qids = jnp.arange(B, dtype=jnp.int32)
+    k = 10
+
+    def upto(stage):
+        def run(tables, corpus, row_ids, model, part_proj, cproj, folded,
+                qq, qi):
+            h, margins = hash_dense_with_margins(model, qq)
+            probes, probe_valid = F._probe_hashes_margin(
+                h, margins, layout, budget
+            )
+            if stage == "hash":
+                return h.sum() + probes.sum()
+            home = F.partition_of_hash(h, part_proj)
+            lanes = folded.shape[2]
+            cs = cproj.shape[1]
+            fold = lanes // cs
+            rpg = gsl // fold
+            mshift = gsl.bit_length() - 1
+            align = max(gsl, 8 * fold)
+            base_b, table_b2, start_b, end_b, total, _ = F.gather_blocks(
+                tables, h, home, layout, steps, m_cap, True,
+                probes=probes, probe_valid=probe_valid, window=win,
+                align=align,
+            )
+            if stage == "blocks":
+                return (base_b.sum() + table_b2.sum() + end_b.sum()
+                        + total.sum())
+            b = qq.shape[0]
+            mb_cap = m_cap // win
+            mb = jnp.arange(mb_cap, dtype=jnp.int32)
+            capslots = folded.shape[1] * fold
+            blk = jnp.clip(base_b + mb[None, :] * win, 0, capslots - win)
+            live = (blk < end_b) & (blk + win > start_b)
+            q_low = qq @ cproj
+            qscale = jnp.float32(127.0) / jnp.maximum(
+                jnp.max(jnp.abs(q_low), axis=1, keepdims=True), 1e-20
+            )
+            qi8 = jnp.clip(jnp.round(q_low * qscale), -127, 127).astype(
+                jnp.int8
+            )
+            qmat = jnp.stack(
+                [jnp.pad(qi8, ((0, 0), (s * cs, (fold - 1 - s) * cs)))
+                 for s in range(fold)], axis=1,
+            )
+            wpr = win // fold
+            rs = jnp.where(live, blk // fold, -1)
+            kern = (pallas_coarse_rowmax
+                    if jax.default_backend() == "tpu" else rowmax_fallback)
+            rowpk = kern(folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg,
+                         mshift=mshift)
+            if stage == "kernel":
+                return rowpk.sum() + total.sum()
+            rowpk = rowpk.reshape(b, mb_cap, wpr)
+            j = jnp.arange(wpr, dtype=jnp.int32)
+            slot0 = blk[:, :, None] + j[None, None, :] * fold
+            row_live = (live[:, :, None] & (slot0 < end_b[:, :, None])
+                        & (slot0 + fold > start_b[:, :, None]))
+            dead = jnp.int32(I32_DEAD)
+            rowpk = jnp.where(row_live, rowpk, dead)
+            ngw = win // gsl
+            g1 = jnp.max(rowpk.reshape(b, mb_cap, ngw, rpg), axis=-1)
+            if stage == "groups":
+                return g1.sum() + total.sum()
+            width = mb_cap * ngw
+            flat = g1.reshape(b, width)
+            rgg = max(1, min(refine // gsl, width))
+            gidx = jnp.broadcast_to(
+                jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
+            )
+            neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1,
+                                         num_keys=1)
+            selpk = -neg_s[:, :rgg]
+            sel = gidx_s[:, :rgg]
+            if stage == "select":
+                return selpk.sum() + sel.sum()
+            mbi = sel // ngw
+            gi = sel % ngw
+            base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl
+            t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
+            sl = jnp.arange(gsl, dtype=jnp.int32)
+            pos = (base[:, :, None] + sl[None, None, :]).reshape(
+                b, rgg * gsl
+            )
+            t2 = jnp.repeat(t2, gsl, axis=1)
+            sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
+            cap = tables.capacity
+            l_n = folded.shape[0]
+            cand2 = tables.sorted_ids[
+                jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+            ]
+            cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
+            if stage == "idgather":
+                return cand2.sum() + total.sum()
+            cand2 = F._exclude_self(cand2, row_ids, qi)
+            exact = rr.score_candidates(corpus, cand2, qq)
+            ids_k, sc_k = rr.dedup_topk(cand2, exact, k)
+            return ids_k.sum() + sc_k.sum()
+
+        return jax.jit(run)
+
+    prev = 0.0
+    outd = {"n": N, "dim": D, "b": B, "win": win, "m_cap": m_cap,
+            "refine": refine, "budget": budget, "gsl": gsl}
+    stages = ("hash", "blocks", "kernel", "groups", "select", "idgather",
+              "full")
+    if os.environ.get("BISECT_STAGES"):
+        stages = tuple(os.environ["BISECT_STAGES"].split(","))
+    for stage in stages:
+        fn = upto(stage)
+        t = timeit(
+            fn, state.tables, state.corpus, state.row_ids, state.model,
+            state.part_proj, state.coarse_proj, state.coarse_folded, q, qids,
+        )
+        outd[f"upto_{stage}_ms"] = round(t * 1e3, 2)
+        print(f"upto {stage}: {t*1e3:.2f}ms (+{(t-prev)*1e3:.2f})",
+              flush=True)
+        prev = t
+    outd["note"] = (f"cumulative scalar-output prefixes; B={B} chunk; "
+                    "folded groupmax path; v5e")
+    with open("results/bisect_fold.json", "w") as f:
+        json.dump(outd, f, indent=1)
+    print("BISECT " + json.dumps(outd), flush=True)
+
+
+if __name__ == "__main__":
+    main()
