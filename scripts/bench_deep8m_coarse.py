@@ -50,12 +50,26 @@ def main():
 
     N, D, NQ = 8_000_000, 96, 1024
     hard = os.environ.get("DEEP_CORPUS", "easy") == "hard"
+
+    def gt_or_build(cache, x, queries, exclude_self):
+        # the /tmp caches do not survive machine restarts — regenerate
+        # (HIGHEST-precision exact scan, same recipe that wrote them)
+        try:
+            return np.load(cache)["gt"]
+        except Exception:
+            from similaritysearchbyrdf_tpu.ops.exact import exact_search
+            t0 = time.perf_counter()
+            gt, _ = exact_search(x, queries, k=10, exclude_self=exclude_self)
+            np.savez(cache, gt=gt)
+            print(f"GT rebuild: {time.perf_counter()-t0:.1f}s", flush=True)
+            return gt
+
     if hard:
         # the binding-recall corpus (VERDICT r2 item 1): fresh queries,
         # GT cache shared with scripts/bench_hard8m.py
         from similaritysearchbyrdf_tpu.utils.datasets import hard_clustered
         x, queries = hard_clustered(N, D, n_queries=NQ, seed=7)
-        gt_ids = np.load("/tmp/hard8m_gt.npz")["gt"]
+        gt_ids = gt_or_build("/tmp/hard8m_gt.npz", x, queries, False)
         query_ids = np.full(NQ, -1, np.int32)
     else:
         rng = np.random.default_rng(11)
@@ -66,7 +80,7 @@ def main():
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         x = x.astype(np.float32)
         queries = x[:NQ]
-        gt_ids = np.load("/tmp/deep8m_gt.npz")["gt"]
+        gt_ids = gt_or_build("/tmp/deep8m_gt.npz", x, queries, True)
         query_ids = np.arange(NQ)
     gt_sets = [set(map(int, gt_ids[i])) for i in range(NQ)]
 
