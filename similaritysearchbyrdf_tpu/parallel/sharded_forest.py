@@ -67,6 +67,7 @@ class ShardedForestState:
     coarse_proj: Optional[jax.Array] = None      # replicated f32[D, cs]
     coarse_by_table: Optional[jax.Array] = None  # [ndev, Lg, Nloc+ID_PAD, G*cs] lane-packed
     coarse_head: Optional[jax.Array] = None      # bf16[ndev, Lg, ceil/hp, G*cs]
+    coarse_folded: Optional[jax.Array] = None    # i8[ndev, L, caprows/fold, 128]
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -101,6 +102,9 @@ class ShardedForestState:
             coarse_head=(
                 None if self.coarse_head is None else self.coarse_head[0]
             ),
+            coarse_folded=(
+                None if self.coarse_folded is None else self.coarse_folded[0]
+            ),
         )
 
 
@@ -120,6 +124,7 @@ def _local_fit(
     nb_pad: int,
     coarse_int8: bool,
     head_pool: int = 0,
+    folded: bool = False,
 ):
     v = values[0]
     rid = row_ids[0]
@@ -150,15 +155,30 @@ def _local_fit(
             low = jnp.clip(jnp.round(low * scale), -127, 127).astype(jnp.int8)
         else:
             low = low.astype(jnp.bfloat16)
-        from ..index.forest import _pack_tables_by_lane
+        if folded:
+            # SLOT-FOLDED tier (conf.coarse_layout="folded"): fold = 128/cs
+            # consecutive same-table slots per physical row — a row-major
+            # reshape of this shard's table-ordered coarse rows (the
+            # shard-local mirror of `forest._build_folded_tier`)
+            from ..index.forest import coarse_fold_factor
 
-        cbt = _pack_tables_by_lane(low, si)          # [Lg, Nloc+P, G*cs]
-        out = out + (cbt[None],)
-        if head_pool:
-            from ..index.forest import head_tier_traced
+            cs = low.shape[1]
+            fold = coarse_fold_factor(cs)
+            lcnt, caprows = si.shape
+            rows = jnp.take(low, jnp.maximum(si, 0), axis=0)  # [L, cap, cs]
+            rows = jnp.where((si >= 0)[:, :, None], rows, 0)
+            cft = rows.reshape(lcnt, caprows // fold, fold * cs)
+            out = out + (cft[None],)
+        else:
+            from ..index.forest import _pack_tables_by_lane
 
-            g = max(1, 128 // low.shape[1])
-            out = out + (head_tier_traced(cbt, si, head_pool, g)[None],)
+            cbt = _pack_tables_by_lane(low, si)          # [Lg, Nloc+P, G*cs]
+            out = out + (cbt[None],)
+            if head_pool:
+                from ..index.forest import head_tier_traced
+
+                g = max(1, 128 // low.shape[1])
+                out = out + (head_tier_traced(cbt, si, head_pool, g)[None],)
     return out
 
 
@@ -198,7 +218,14 @@ def _fit_from_device_arrays(
         if cs != proj.shape[1]:
             proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
         coarse_proj = jnp.asarray(proj)
-    head_pool = conf.coarse_head_pool if coarse_proj is not None else 0
+    folded = conf.coarse_layout == "folded" and coarse_proj is not None
+    if folded:
+        assert conf.coarse_dtype == "int8", (
+            "coarse_layout='folded' requires coarse_dtype='int8' (the "
+            "groupmax kernel packs integer scores)", conf.coarse_dtype)
+    head_pool = (
+        conf.coarse_head_pool if coarse_proj is not None and not folded else 0
+    )
     n_out = 6 + (coarse_proj is not None) + (head_pool > 0)
 
     body = functools.partial(
@@ -208,6 +235,7 @@ def _fit_from_device_arrays(
         nb_pad=nb_pad,
         coarse_int8=conf.coarse_dtype == "int8",
         head_pool=head_pool,
+        folded=folded,
     )
     if coarse_proj is None:
         fit_fn = jax.jit(
@@ -258,8 +286,9 @@ def _fit_from_device_arrays(
             else None
         ),
         coarse_proj=coarse_proj,
-        coarse_by_table=cbt,
+        coarse_by_table=None if folded else cbt,
         coarse_head=chd,
+        coarse_folded=cbt if folded else None,
     )
 
 
@@ -369,10 +398,12 @@ def _local_query(
     coarse_window: int = -1,
     window_keep: int = 0,
     head_pool: int = 0,
+    coarse_group: int = 64,
+    rows_keep: int = 0,
 ):
     # the shard-local search IS the single-chip pipeline (classic, margin
-    # probes, the table-ordered coarse tier, or the two-phase pruned
-    # window path — whatever the state carries)
+    # probes, the table-ordered coarse tier, the two-phase pruned window
+    # path, or the slot-folded groupmax path — whatever the state carries)
     from ..index.forest import _query_dense
 
     ids, scores, total = _query_dense(
@@ -381,7 +412,7 @@ def _local_query(
         exclude_self=exclude_self, probe_mode=probe_mode,
         probe_budget=probe_budget, coarse_refine=coarse_refine,
         coarse_window=coarse_window, window_keep=window_keep,
-        head_pool=head_pool,
+        head_pool=head_pool, coarse_group=coarse_group, rows_keep=rows_keep,
     )
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
@@ -417,6 +448,9 @@ def make_query_fn(
     window_keep: int = 0,
     head_pool: int = 0,
     has_head: bool = False,
+    has_folded: bool = False,
+    coarse_group: int = 64,
+    rows_keep: int = 0,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
@@ -434,9 +468,10 @@ def make_query_fn(
         corpus=P(SHARD_AXIS),
         row_ids=P(SHARD_AXIS),
         corpus_lp=P(SHARD_AXIS) if has_lp else None,
-        coarse_proj=P() if has_coarse else None,
+        coarse_proj=P() if has_coarse or has_folded else None,
         coarse_by_table=P(SHARD_AXIS) if has_coarse else None,
         coarse_head=P(SHARD_AXIS) if has_head else None,
+        coarse_folded=P(SHARD_AXIS) if has_folded else None,
     )
     fn = jax.shard_map(
         functools.partial(
@@ -453,6 +488,8 @@ def make_query_fn(
             coarse_window=coarse_window,
             window_keep=window_keep,
             head_pool=head_pool,
+            coarse_group=coarse_group,
+            rows_keep=rows_keep,
         ),
         mesh=mesh,
         in_specs=(state_specs, P(), P()),
@@ -530,6 +567,9 @@ class ShardedRDFForest:
                 coarse_window=self.conf.coarse_window,
                 window_keep=keep, head_pool=self.conf.coarse_head_pool,
                 has_head=self.state.coarse_head is not None,
+                has_folded=self.state.coarse_folded is not None,
+                coarse_group=self.conf.coarse_group,
+                rows_keep=self.conf.coarse_rows_keep,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs

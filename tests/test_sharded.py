@@ -215,6 +215,43 @@ def test_sharded_window_prune_parity_and_overlap():
     assert hits / max(total, 1) > 0.85, hits / max(total, 1)
 
 
+def test_sharded_folded_groupmax_dominates():
+    """Slot-folded groupmax tier under SPMD (coarse_layout='folded'): with
+    exhaustive refine (refine == m_cap ⇒ every live group is exactly
+    re-ranked) the folded sharded candidates are a superset of the classic
+    sharded path's bucket members, so merged scores must dominate both the
+    classic sharded query and the single-chip folded query elementwise."""
+    from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
+        ShardedRDFForest)
+
+    rng = np.random.default_rng(51)
+    x = _data(rng, 1200)
+    batch = DenseBatch(np.arange(1200, dtype=np.int32), x)
+    fconf = _conf(coarse_dim=16, coarse_layout="folded", coarse_window=256,
+                  coarse_refine=8192)
+
+    fold = ShardedRDFForest(fconf, mesh=make_forest_mesh(8), seed=3)
+    fold.fit(batch)
+    assert fold.state.coarse_folded is not None
+    assert fold.state.coarse_by_table is None
+    classic = ShardedRDFForest(_conf(), mesh=make_forest_mesh(8), seed=3)
+    classic.fit(batch)
+
+    a, sa = fold.query(x[:16], steps=1, query_ids=np.arange(16))
+    b, sb = classic.query(x[:16], steps=1, query_ids=np.arange(16))
+    finite = np.isfinite(sb)
+    assert (sa[finite] >= sb[finite] - 1e-5).all()
+
+    single = RDFForest(fconf)
+    single.model = fold.model
+    single.part_proj = fold.part_proj
+    single.fit(batch)
+    c, sc = single.query(x[:16], steps=1, query_ids=np.arange(16))
+    finite = np.isfinite(sc)
+    assert (sa[finite] >= sc[finite] - 1e-5).all()
+    assert (a[a >= 0] < 1200).all()
+
+
 def test_sharded_margin_probes():
     """Margin-guided probing works through the sharded path."""
     from similaritysearchbyrdf_tpu.parallel.sharded_forest import (
