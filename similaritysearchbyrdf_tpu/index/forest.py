@@ -1443,8 +1443,20 @@ def _query_groupmax(
     # window start alignment: 64-slot group grid AND 8-physical-row DMA
     # starts (8 * fold slots)
     align = max(gsl, 8 * fold)
-    win = window if window > 0 else 4096
+    capslots = capf * fold
+    if window > 0:
+        win = window
+    else:
+        # default: the largest pow2 window <= min(4096, m_cap/8, table
+        # size) — a window must not swallow the whole candidate budget
+        # (each probed range needs its own window to be covered)
+        win = align
+        while win * 2 <= min(4096, max(align, m_cap // 8), capslots):
+            win *= 2
     assert win % align == 0 and m_cap % win == 0, (win, align, m_cap)
+    assert capslots >= win, (
+        "folded coarse window exceeds the table capacity — lower "
+        "coarse_window", win, capslots)
     base_b, table_b2, start_b, end_b, total, _ = gather_blocks(
         state.tables, h, home, layout, steps, m_cap, multiprobe,
         probes=probes, probe_valid=probe_valid, window=win, align=align,
@@ -1452,7 +1464,6 @@ def _query_groupmax(
     b = queries.shape[0]
     mb_cap = m_cap // win
     mb = jnp.arange(mb_cap, dtype=jnp.int32)
-    capslots = capf * fold
     # clamp BEFORE positions are derived: a window near the table's end
     # keeps covering its (earlier) range, and scores always match pos
     blk = jnp.clip(base_b + mb[None, :] * win, 0, capslots - win)

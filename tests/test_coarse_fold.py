@@ -147,6 +147,20 @@ def test_folded_recall_matches_lane():
     assert _recall(ids_w, gt) >= r_fold - 0.02
 
 
+def test_folded_default_window_auto_clamps():
+    """With coarse_window unset the groupmax path picks the largest pow2
+    window <= min(4096, m_cap, table capacity) — small m_cap or tiny
+    corpora must work out of the box instead of tripping the divisibility
+    assert."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    f = RDFForest(_conf("folded", coarse_window=-1, max_candidates=2048))
+    f.fit(batch)
+    ids, _ = f.query(q, steps=1, probe_mode="margin", probe_budget=8)
+    assert (ids[ids >= 0] < len(x)).all()
+    assert _recall(ids, gt) > 0.5
+
+
 def test_folded_checkpoint_roundtrip(tmp_path):
     from similaritysearchbyrdf_tpu.storage.persist import (
         load_forest,
