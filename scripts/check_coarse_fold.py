@@ -28,16 +28,19 @@ def check_parity():
     )
 
     rng = np.random.default_rng(3)
-    for (l_n, capf, cs, b, mb, win) in [
-        (4, 4096, 16, 8, 16, 512),
-        (10, 8192, 16, 16, 64, 2048),
-        (3, 4096, 32, 8, 32, 1024),
+    for (l_n, capf, cs, b, mb, win, gsl) in [
+        (4, 4096, 16, 8, 16, 512, 64),
+        (10, 8192, 16, 16, 64, 2048, 64),
+        (3, 4096, 32, 8, 32, 1024, 64),
+        # finer selection groups (batch-43 gsl sweep): rpg 2 and 1
+        (4, 4096, 16, 8, 16, 1024, 16),
+        (4, 4096, 16, 8, 16, 1024, 8),
     ]:
         fold = 128 // cs
         lanes = 128
         wpr = win // fold
-        rpg = 64 // fold
-        mshift = 6
+        rpg = gsl // fold
+        mshift = gsl.bit_length() - 1
         folded = rng.integers(-127, 128, (l_n, capf, lanes), dtype=np.int8)
         qi8 = rng.integers(-127, 128, (b, cs), dtype=np.int8)
         qmat = np.zeros((b, fold, lanes), np.int8)
@@ -60,8 +63,8 @@ def check_parity():
         ).reshape(b, mb, wpr)
         live = ~dead
         ok = (got[live] == want[live]).all()
-        print(f"parity l={l_n} capf={capf} cs={cs} b={b} mb={mb} win={win}: "
-              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        print(f"parity l={l_n} capf={capf} cs={cs} b={b} mb={mb} win={win} "
+              f"gsl={gsl}: {'OK' if ok else 'MISMATCH'}", flush=True)
         if not ok:
             bad = np.argwhere(got != want)
             bad = [tuple(v) for v in bad if live[v[0], v[1]]][:5]
