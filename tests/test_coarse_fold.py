@@ -196,11 +196,14 @@ def test_rowmax_kernel_lowers_for_tpu():
     )
 
     rng = np.random.default_rng(13)
-    for (cs, win, mb, b) in [(16, 512, 16, 8), (16, 2048, 11, 5),
-                             (16, 4096, 64, 64), (32, 1024, 16, 8)]:
+    for (cs, win, mb, b, gsl) in [(16, 512, 16, 8, 64), (16, 2048, 11, 5, 64),
+                                  (16, 4096, 64, 64, 64), (32, 1024, 16, 8, 64),
+                                  # finer selection groups (gsl sweep): rpg 2/1
+                                  (16, 1024, 16, 8, 16), (16, 1024, 16, 8, 8)]:
         fold = 128 // cs
         wpr = win // fold
-        rpg = 64 // fold
+        rpg = gsl // fold
+        mshift = gsl.bit_length() - 1
         l_n, capf = 3, max(2 * wpr, 1024)
         folded = jnp.asarray(
             rng.integers(-127, 128, (l_n, capf, 128), dtype=np.int8)
@@ -217,7 +220,7 @@ def test_rowmax_kernel_lowers_for_tpu():
 
         def fn(folded, qmat, table, rs):
             return pallas_coarse_rowmax(
-                folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=6
+                folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=mshift
             )
 
         exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
