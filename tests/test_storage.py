@@ -92,6 +92,44 @@ def test_save_load_rebuilds_coarse_tier(tmp_path):
     np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
 
 
+def test_save_load_rebuilds_folded_tier(tmp_path):
+    """The slot-folded groupmax tier is derived data like the lane tier:
+    rebuilt bit-identically on load, landing on the same query path."""
+    rng = np.random.default_rng(9)
+    x = _data(rng, n=600)
+    conf = _conf(coarse_dim=16, coarse_layout="folded", coarse_refine=2048,
+                 coarse_window=64)
+    forest = RDFForest(conf).fit(
+        DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    ids0, sc0 = forest.query(x[:8], steps=1, query_ids=np.arange(8))
+
+    save_forest(forest, str(tmp_path / "idxf"))
+    loaded = load_forest(str(tmp_path / "idxf"))
+    st = loaded.state
+    assert st.coarse_folded is not None and st.coarse_by_table is None
+    np.testing.assert_array_equal(
+        np.asarray(st.coarse_folded), np.asarray(forest.state.coarse_folded))
+    ids1, sc1 = loaded.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+
+def test_tiered_spill_and_merge_folded(tmp_path):
+    """Tiered generations through the folded groupmax path: spill + merged
+    reads must work for the round-3 layout exactly like the lane tier."""
+    rng = np.random.default_rng(12)
+    x = _data(rng, n=500)
+    conf = _conf(coarse_dim=16, coarse_layout="folded", coarse_refine=2048,
+                 coarse_window=64)
+    tiered = TieredForest(conf, GenerationStore(str(tmp_path), "genf"))
+    tiered.fit(DenseBatch(np.arange(250, dtype=np.int32), x[:250]))
+    tiered.spill()
+    tiered.fit(DenseBatch(np.arange(250, 500, dtype=np.int32), x[250:]))
+    ids, scores = tiered.query(x[:16], steps=1, query_ids=np.arange(16))
+    assert (ids[ids >= 0] < 250).sum() > 0  # old generation reachable
+    assert (ids[ids >= 0] >= 250).sum() > 0  # device tier reachable
+
+
 def test_tiered_spill_and_merge(tmp_path):
     """Spill an old generation, fit fresh data, query must merge both —
     the read path the reference implements at
