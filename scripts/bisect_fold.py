@@ -87,6 +87,17 @@ def main():
             if stage == "hash":
                 return h.sum() + probes.sum()
             home = F.partition_of_hash(h, part_proj)
+            if stage == "lookup":
+                # probe fan-out + bucket-range lookup only: the remainder of
+                # gather_blocks (dedup sorts + ragged flatten) is blocks-lookup
+                from similaritysearchbyrdf_tpu.index.bucket_table import (
+                    lookup_ranges,
+                )
+                pk, tof, pv = F.probe_key_set(
+                    h, home, layout, steps, True, probes, probe_valid
+                )
+                st, ln = lookup_ranges(tables, pk, tof)
+                return st.sum() + jnp.where(pv, ln, 0).sum()
             lanes = folded.shape[2]
             cs = cproj.shape[1]
             fold = lanes // cs
@@ -169,6 +180,8 @@ def main():
                 return cand2.sum() + total.sum()
             cand2 = F._exclude_self(cand2, row_ids, qi)
             exact = rr.score_candidates(corpus, cand2, qq)
+            if stage == "score":
+                return exact.sum() + cand2.sum()
             ids_k, sc_k = rr.dedup_topk(cand2, exact, k)
             return ids_k.sum() + sc_k.sum()
 
@@ -177,8 +190,8 @@ def main():
     prev = 0.0
     outd = {"n": N, "dim": D, "b": B, "win": win, "m_cap": m_cap,
             "refine": refine, "budget": budget, "gsl": gsl}
-    stages = ("hash", "blocks", "kernel", "groups", "select", "idgather",
-              "full")
+    stages = ("hash", "lookup", "blocks", "kernel", "groups", "select",
+              "idgather", "score", "full")
     if os.environ.get("BISECT_STAGES"):
         stages = tuple(os.environ["BISECT_STAGES"].split(","))
     for stage in stages:
@@ -193,7 +206,10 @@ def main():
         prev = t
     outd["note"] = (f"cumulative scalar-output prefixes; B={B} chunk; "
                     "folded groupmax path; v5e")
-    with open("results/bisect_fold.json", "w") as f:
+    # CPU smoke runs must not clobber the committed TPU artifact
+    dest = ("results/bisect_fold.json"
+            if jax.default_backend() == "tpu" else "/tmp/bisect_fold_cpu.json")
+    with open(dest, "w") as f:
         json.dump(outd, f, indent=1)
     print("BISECT " + json.dumps(outd), flush=True)
 
