@@ -164,17 +164,14 @@ def main():
             gi = sel % ngw
             base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl
             t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
-            sl = jnp.arange(gsl, dtype=jnp.int32)
-            pos = (base[:, :, None] + sl[None, None, :]).reshape(
-                b, rgg * gsl
-            )
-            t2 = jnp.repeat(t2, gsl, axis=1)
             sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
-            cap = tables.capacity
             l_n = folded.shape[0]
-            cand2 = tables.sorted_ids[
-                jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
-            ]
+            id_cap = tables.sorted_ids.shape[1]
+            assert id_cap % gsl == 0, (id_cap, gsl)
+            ids_view = tables.sorted_ids.reshape(l_n * (id_cap // gsl), gsl)
+            grow = (jnp.clip(t2, 0, l_n - 1) * (id_cap // gsl)
+                    + jnp.clip(base, 0, id_cap - gsl) // gsl)
+            cand2 = jnp.take(ids_view, grow, axis=0).reshape(b, rgg * gsl)
             cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
             if stage == "idgather":
                 return cand2.sum() + total.sum()

@@ -1533,13 +1533,35 @@ def _query_groupmax(
         gi = sel % ngw
         base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl  # [B, RGG]
         t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
-        sl = jnp.arange(gsl, dtype=jnp.int32)
-        pos = (base[:, :, None] + sl[None, None, :]).reshape(b, rgg * gsl)
-        t2 = jnp.repeat(t2, gsl, axis=1)
         sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
-        cand2 = state.tables.sorted_ids[
-            jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
-        ]
+        id_cap = state.tables.sorted_ids.shape[1]    # npad + ID_PAD
+        if id_cap % gsl == 0:
+            # Selected groups are gsl-aligned contiguous runs, so a static
+            # reshape of sorted_ids to [L*cap/gsl, gsl] turns the id fetch
+            # into ONE full-row gather per GROUP (embedding-lookup fast
+            # path, per-INDEX cost) instead of one element gather per
+            # CANDIDATE: refine/gsl indices instead of refine. The
+            # per-candidate element gather was the folded pipeline's
+            # largest stage (17.8 of 47.5 ms at rf12288/B=64,
+            # results/bisect_fold.json). Group tails past the true table
+            # end read the ID_PAD -1 rows and mask below.
+            ids_view = state.tables.sorted_ids.reshape(
+                l_n * (id_cap // gsl), gsl
+            )
+            grow = (
+                jnp.clip(t2, 0, l_n - 1) * (id_cap // gsl)
+                + jnp.clip(base, 0, id_cap - gsl) // gsl
+            )                                                    # [B, RGG]
+            cand2 = jnp.take(ids_view, grow, axis=0).reshape(b, rgg * gsl)
+        else:
+            sl = jnp.arange(gsl, dtype=jnp.int32)
+            pos = (base[:, :, None] + sl[None, None, :]).reshape(
+                b, rgg * gsl
+            )
+            t2r = jnp.repeat(t2, gsl, axis=1)
+            cand2 = state.tables.sorted_ids[
+                jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+            ]
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
     else:
         if rows_keep == 2:

@@ -129,6 +129,48 @@ def test_buckets_cover_all_elements():
         assert (np.diff(starts) > 0).all()
 
 
+def test_lookup_decimated_matches_generic():
+    """The records fast path's DECIMATED two-level rank (taken when the
+    bucket count dwarfs the probe count; includes the contiguous-span
+    row-gather rank) must agree with the generic searchsorted path on the
+    same tables."""
+    import dataclasses
+
+    lay = _layout(pbits=2)
+    rng = np.random.default_rng(7)
+    n, l = 20_000, 2
+    # distinct spread hashes + overflow 1 → ~n leaf buckets per table,
+    # far above the 4096 / 2Q decimation threshold
+    h = rng.permutation(np.arange(1, n + 1, dtype=np.uint64) * 200003
+                        % (1 << 32))[None, :]
+    h = np.concatenate([h, (h * 7 + 13) % (1 << 32)], axis=0).astype(
+        np.uint32
+    )
+    part = rng.integers(0, 4, size=(l, n)).astype(np.int32)
+    keys = np.asarray(composite_keys(jnp.asarray(h), jnp.asarray(part), lay))
+    ids = np.broadcast_to(np.arange(n, dtype=np.int32), (l, n)).copy()
+    tables = build_tables(jnp.asarray(keys), jnp.asarray(ids), lay, 1)
+    assert tables.records is not None
+    assert tables.bucket_keys.shape[1] > 4096
+    probe = np.concatenate(
+        [keys[:, rng.choice(n, 64)],
+         rng.integers(0, 1 << 32, size=(l, 64), dtype=np.uint64)
+         .astype(np.uint32)],
+        axis=1,
+    )                                                   # [L, 128]
+    pk = jnp.asarray(probe.T)                           # [B=128, R=L]
+    t_of = jnp.arange(l, dtype=jnp.int32)
+    s_fast, l_fast = lookup_ranges(tables, pk, t_of)
+    s_gen, l_gen = lookup_ranges(
+        dataclasses.replace(tables, records=None), pk, t_of
+    )
+    np.testing.assert_array_equal(np.asarray(l_fast), np.asarray(l_gen))
+    live = np.asarray(l_fast) > 0
+    np.testing.assert_array_equal(
+        np.asarray(s_fast)[live], np.asarray(s_gen)[live]
+    )
+
+
 def test_serial_depths_matches_vectorized():
     """The table-serial depth path (taken when l*n >= 64M, the Deep-scale
     regime) must produce bit-identical bucket tables to the vectorized
