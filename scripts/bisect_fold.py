@@ -204,7 +204,7 @@ def main():
     outd["note"] = (f"cumulative scalar-output prefixes; B={B} chunk; "
                     "folded groupmax path; v5e")
     # CPU smoke runs must not clobber the committed TPU artifact
-    dest = ("results/bisect_fold.json"
+    dest = (os.environ.get("BISECT_OUT", "results/bisect_fold.json")
             if jax.default_backend() == "tpu" else "/tmp/bisect_fold_cpu.json")
     with open(dest, "w") as f:
         json.dump(outd, f, indent=1)

@@ -115,6 +115,10 @@ def check_e2e():
     r_lane = run("lane", coarse_window=512, m_cap=65536)
     r_fold = run("folded", coarse_window=2048, m_cap=262144)
     assert r_fold >= r_lane - 0.03, (r_fold, r_lane)
+    # fine selection granularity: same refine budget spread over 8x more
+    # groups — must not lose recall vs gsl=64 (it should gain)
+    r_fold8 = run("folded", coarse_window=512, m_cap=262144, coarse_group=8)
+    assert r_fold8 >= r_fold - 0.01, (r_fold8, r_fold)
     print("E2E OK", flush=True)
 
 

@@ -145,6 +145,10 @@ def test_folded_recall_matches_lane():
     assert (ids_a[ids_a >= 0] < len(x)).all()
     ids_w, _ = fold.query(q, coarse_refine=1024, **kw)
     assert _recall(ids_w, gt) >= r_fold - 0.02
+    # fine selection granularity (gsl=8 = one physical row per group,
+    # rpg=1): same refine spread over 8x more groups must not lose recall
+    ids_g8, _ = fold.query(q, coarse_group=8, **kw)
+    assert _recall(ids_g8, gt) >= r_fold - 0.02
 
 
 def test_folded_default_window_auto_clamps():
