@@ -122,9 +122,10 @@ def main():
         (1, 20, 16384, 512, 262144),
     )
     if os.environ.get("DEEP_POINTS"):
-        # "steps,budget,refine,window,m_cap[,keep[,gsl,rkeep]];..." override
-        # for ad-hoc sweeps (keep = two-phase window_keep, lane layout;
-        # gsl/rkeep = coarse_group / coarse_rows_keep, folded layout)
+        # "steps,budget,refine,window,m_cap[,keep[,gsl,rkeep[,smult]]];..."
+        # override for ad-hoc sweeps (keep = two-phase window_keep, lane
+        # layout; gsl/rkeep = coarse_group / coarse_rows_keep and smult =
+        # select_mult dedup over-selection, folded layout)
         points = tuple(
             tuple(int(v) for v in grp.split(","))
             for grp in os.environ["DEEP_POINTS"].split(";")
@@ -134,10 +135,11 @@ def main():
         keep = pt[5] if len(pt) > 5 else 0
         gsl = pt[6] if len(pt) > 6 else conf.coarse_group
         rkeep = pt[7] if len(pt) > 7 else conf.coarse_rows_keep
+        smult = pt[8] if len(pt) > 8 else 1
         kw = dict(steps=steps, query_ids=query_ids, probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
                   coarse_window=cw, m_cap=mc, window_keep=keep,
-                  coarse_group=gsl, rows_keep=rkeep)
+                  coarse_group=gsl, rows_keep=rkeep, select_mult=smult)
         try:
             forest.query(queries, **kw)                  # compile + warm
             t0 = time.perf_counter()
@@ -162,6 +164,8 @@ def main():
                 point["layout"] = layout
                 point["coarse_group"] = gsl
                 point["rows_keep"] = rkeep
+                if smult != 1:
+                    point["select_mult"] = smult
             if conf.query_batch_size != 64:
                 point["query_batch"] = conf.query_batch_size
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")

@@ -182,6 +182,11 @@ class RDFConfig:
     # `coarse_rows_keep` rows per group are exactly re-ranked. int8 only.
     coarse_layout: str = "lane"           # lane | folded
     coarse_group: int = 64                # slots per argmax group (pow2)
+    # over-select groups by this factor, dedup candidate ids (two sorts),
+    # truncate back to coarse_refine UNIQUE candidates: the exact rerank
+    # pays per slot, but ~half the selected slots are the same row reached
+    # from different tables (scripts/check_fold_dups.py) — 1 = off
+    coarse_select_mult: int = 1
     # rows exactly re-ranked per selected group: 0 = the WHOLE group
     # (groups select, slots re-rank — contiguous gathers; the default),
     # 1|2 = only the per-group packed winner row(s)

@@ -1402,6 +1402,7 @@ def _query_groupmax(
     window: int = -1,
     group_slots: int = 64,
     rows_keep: int = 1,
+    select_mult: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query via the SLOT-FOLDED coarse tier: aligned-window DMA of folded
     rows (fold = 128/cs candidates per 128-lane line — every fetched byte a
@@ -1522,7 +1523,14 @@ def _query_groupmax(
         # neighbors, which makes argmax-only rerank lossy there)
         width = mb_cap * ngw
         flat = g1.reshape(b, width)
-        rgg = max(1, min(refine // gsl, width))
+        rtarget = max(1, min(refine // gsl, width))
+        # select_mult > 1: over-select groups, dedup candidate ids, then
+        # truncate back — the exact rerank pays per SLOT, but the same
+        # corpus row reaches the selected set once per table whose probed
+        # bucket holds it (measured 46% duplicate slots at 200k/gsl8/rf4k,
+        # scripts/check_fold_dups.py), so deduplication widens the
+        # EFFECTIVE refine at fixed exact-scoring cost for two sorts.
+        rgg = max(1, min(rtarget * select_mult, width))
         gidx = jnp.broadcast_to(
             jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
         )
@@ -1563,6 +1571,29 @@ def _query_groupmax(
                 jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
             ]
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
+        if rgg > rtarget:
+            # dedup by id keeping select-order priority, then truncate to
+            # the refine budget: sort (id, rank) so the best-ranked copy
+            # of each id leads, mark later copies, then unique-first /
+            # rank-ordered compaction
+            m = rgg * gsl
+            big = jnp.int32(2**31 - 1)
+            rank = jnp.broadcast_to(
+                jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
+            )
+            idk = jnp.where(cand2 >= 0, cand2, big)
+            idk_s, rank_s = jax.lax.sort((idk, rank), dimension=1,
+                                         num_keys=2)
+            dup = jnp.concatenate(
+                [jnp.zeros((b, 1), dtype=bool),
+                 idk_s[:, 1:] == idk_s[:, :-1]], axis=1
+            )
+            key2 = jnp.where(
+                dup | (idk_s == big), rank_s + jnp.int32(1 << 30), rank_s
+            )
+            _, cand2 = jax.lax.sort((key2, idk_s), dimension=1, num_keys=1)
+            cand2 = cand2[:, :rtarget * gsl]
+            cand2 = jnp.where(cand2 == big, -1, cand2)
     else:
         if rows_keep == 2:
             # second-best ROW of the group (distinct member bits make
@@ -1627,6 +1658,7 @@ def _query_dense(
     head_pool: int = 0,
     coarse_group: int = 64,
     rows_keep: int = 1,
+    select_mult: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
@@ -1652,7 +1684,7 @@ def _query_dense(
             multiprobe, exclude_self, refine=coarse_refine,
             probes=probes, probe_valid=probe_valid, h=h,
             window=coarse_window, group_slots=coarse_group,
-            rows_keep=rows_keep,
+            rows_keep=rows_keep, select_mult=select_mult,
         )
     if state.coarse_by_table is not None:
         return _query_dense_coarse(
@@ -1691,6 +1723,7 @@ query_dense = jax.jit(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
         "window_keep", "head_pool", "coarse_group", "rows_keep",
+        "select_mult",
     ),
 )
 
@@ -1701,6 +1734,7 @@ query_dense = jax.jit(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
         "window_keep", "head_pool", "coarse_group", "rows_keep",
+        "select_mult",
     ),
 )
 def query_dense_many(
@@ -1722,6 +1756,7 @@ def query_dense_many(
     head_pool: int = 0,
     coarse_group: int = 64,
     rows_keep: int = 1,
+    select_mult: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -1739,6 +1774,7 @@ def query_dense_many(
             coarse_refine=coarse_refine, coarse_window=coarse_window,
             window_keep=window_keep, head_pool=head_pool,
             coarse_group=coarse_group, rows_keep=rows_keep,
+            select_mult=select_mult,
         )
 
     ids, scores, total = jax.lax.map(
@@ -1814,6 +1850,7 @@ class RDFForest:
         window_keep: Optional[int] = None,
         coarse_group: Optional[int] = None,
         rows_keep: Optional[int] = None,
+        select_mult: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
         Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap /
@@ -1826,7 +1863,7 @@ class RDFForest:
             probe_budget=probe_budget, coarse_refine=coarse_refine,
             m_cap=m_cap, coarse_window=coarse_window,
             window_keep=window_keep, coarse_group=coarse_group,
-            rows_keep=rows_keep,
+            rows_keep=rows_keep, select_mult=select_mult,
         )
         return np.asarray(ids), np.asarray(scores)
 
@@ -1845,6 +1882,7 @@ class RDFForest:
         window_keep: Optional[int] = None,
         coarse_group: Optional[int] = None,
         rows_keep: Optional[int] = None,
+        select_mult: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """`query` without the final host transfer: returns device arrays so
         multi-tier callers (`storage.persist.TieredForest`) can merge many
@@ -1878,6 +1916,7 @@ class RDFForest:
             coarse_group=coarse_group or self.conf.coarse_group,
             rows_keep=(rows_keep if rows_keep is not None
                        else self.conf.coarse_rows_keep),
+            select_mult=select_mult or self.conf.coarse_select_mult,
         )
         thr = self.conf.similarity_threshold
         if thr > 0.0:

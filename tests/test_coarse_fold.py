@@ -148,7 +148,12 @@ def test_folded_recall_matches_lane():
     # fine selection granularity (gsl=8 = one physical row per group,
     # rpg=1): same refine spread over 8x more groups must not lose recall
     ids_g8, _ = fold.query(q, coarse_group=8, **kw)
-    assert _recall(ids_g8, gt) >= r_fold - 0.02
+    r_g8 = _recall(ids_g8, gt)
+    assert r_g8 >= r_fold - 0.02
+    # select_mult dedup: over-select 2x, dedup ids, truncate to the same
+    # refine — unique candidates are a superset, recall must not drop
+    ids_sm, _ = fold.query(q, coarse_group=8, select_mult=2, **kw)
+    assert _recall(ids_sm, gt) >= r_g8 - 0.01
 
 
 def test_folded_default_window_auto_clamps():
