@@ -92,6 +92,7 @@ def main():
         max_candidates=65536, top_k=10,
         coarse_dim=cd, coarse_dtype="int8", coarse_refine=2048,
         coarse_head_pool=head_pool, coarse_layout=layout,
+        rerank_dtype=os.environ.get("DEEP_RERANK_DTYPE", "float32"),
     )
     t0 = time.perf_counter()
     forest = RDFForest(conf).fit(DenseBatch(np.arange(N, dtype=np.int32), x))

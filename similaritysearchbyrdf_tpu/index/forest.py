@@ -1379,6 +1379,17 @@ def _query_dense_coarse(
     cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
     if exclude_self:
         cand2 = _exclude_self(cand2, state.row_ids, query_ids)
+    if state.corpus_lp is not None:
+        # two-stage exact tail (rerank_dtype="bfloat16"): bf16 prescore of
+        # the refine slab (half gather bytes, one MXU pass vs HIGHEST's
+        # six), f32 HIGHEST re-score of the top slice — ranking exact while
+        # the true top-k sits in the bf16 top-256
+        ids_k, sc_k = rerank_ops.rerank_dense_two_stage(
+            state.corpus_lp, state.corpus, cand2, queries, k,
+            dup_bound=l, refine=256,
+        )
+        ids = jnp.where(ids_k >= 0, state.row_ids[jnp.maximum(ids_k, 0)], -1)
+        return ids, sc_k, total
     exact = rerank_ops.score_candidates(state.corpus, cand2, queries)
     ids_k, sc_k = rerank_ops.dedup_topk(cand2, exact, k)
     ids = jnp.where(ids_k >= 0, state.row_ids[jnp.maximum(ids_k, 0)], -1)
@@ -1626,8 +1637,18 @@ def _query_groupmax(
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
     if exclude_self:
         cand2 = _exclude_self(cand2, state.row_ids, query_ids)
-    exact = rerank_ops.score_candidates(state.corpus, cand2, queries)
-    ids_k, sc_k = rerank_ops.dedup_topk(cand2, exact, k)
+    if state.corpus_lp is not None:
+        # two-stage exact tail (rerank_dtype="bfloat16"): bf16 prescore of
+        # the refine slab (half gather bytes, one MXU pass vs HIGHEST's
+        # six), f32 HIGHEST re-score of the top slice — ranking exact while
+        # the true top-k sits in the bf16 top-256
+        ids_k, sc_k = rerank_ops.rerank_dense_two_stage(
+            state.corpus_lp, state.corpus, cand2, queries, k,
+            dup_bound=l_n, refine=256,
+        )
+    else:
+        exact = rerank_ops.score_candidates(state.corpus, cand2, queries)
+        ids_k, sc_k = rerank_ops.dedup_topk(cand2, exact, k)
     ids = jnp.where(ids_k >= 0, state.row_ids[jnp.maximum(ids_k, 0)], -1)
     return ids, sc_k, total
 

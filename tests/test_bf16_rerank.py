@@ -54,6 +54,30 @@ def test_bf16_mode_matches_f32_recall():
     np.testing.assert_array_equal(ids_a, ids_b)
 
 
+def test_bf16_mode_folded_matches_f32():
+    """The two-stage exact tail on the FOLDED groupmax path: bf16 prescore
+    + f32 top-slice must reproduce the full-f32 ranking."""
+    rng = np.random.default_rng(2)
+    x = _data(rng)
+    batch = DenseBatch(np.arange(len(x), dtype=np.int32), x)
+    kw = dict(coarse_dim=16, coarse_dtype="int8", coarse_layout="folded",
+              coarse_refine=1024, coarse_window=256)
+    f32 = RDFForest(_conf(**kw)).fit(batch)
+    bf16 = RDFForest(_conf(rerank_dtype="bfloat16", **kw))
+    bf16.model = f32.model
+    bf16.part_proj = f32.part_proj
+    bf16.fit(batch)
+    assert str(bf16.state.corpus_lp.dtype) == "bfloat16"
+    qkw = dict(steps=1, query_ids=np.arange(32))
+    ids_a, _ = f32.query(x[:32], **qkw)
+    ids_b, _ = bf16.query(x[:32], **qkw)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    # and through select_mult dedup
+    ids_c, _ = bf16.query(x[:32], coarse_group=8, select_mult=2, **qkw)
+    ids_d, _ = f32.query(x[:32], coarse_group=8, select_mult=2, **qkw)
+    np.testing.assert_array_equal(ids_c, ids_d)
+
+
 def test_bf16_save_load(tmp_path):
     rng = np.random.default_rng(1)
     x = _data(rng, n=300)
