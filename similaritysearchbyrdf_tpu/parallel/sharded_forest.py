@@ -400,6 +400,7 @@ def _local_query(
     head_pool: int = 0,
     coarse_group: int = 64,
     rows_keep: int = 0,
+    select_mult: int = 1,
 ):
     # the shard-local search IS the single-chip pipeline (classic, margin
     # probes, the table-ordered coarse tier, the two-phase pruned window
@@ -413,6 +414,7 @@ def _local_query(
         probe_budget=probe_budget, coarse_refine=coarse_refine,
         coarse_window=coarse_window, window_keep=window_keep,
         head_pool=head_pool, coarse_group=coarse_group, rows_keep=rows_keep,
+        select_mult=select_mult,
     )
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
@@ -451,6 +453,7 @@ def make_query_fn(
     has_folded: bool = False,
     coarse_group: int = 64,
     rows_keep: int = 0,
+    select_mult: int = 1,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
@@ -490,6 +493,7 @@ def make_query_fn(
             head_pool=head_pool,
             coarse_group=coarse_group,
             rows_keep=rows_keep,
+            select_mult=select_mult,
         ),
         mesh=mesh,
         in_specs=(state_specs, P(), P()),
@@ -570,6 +574,7 @@ class ShardedRDFForest:
                 has_folded=self.state.coarse_folded is not None,
                 coarse_group=self.conf.coarse_group,
                 rows_keep=self.conf.coarse_rows_keep,
+                select_mult=self.conf.coarse_select_mult,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs
