@@ -169,6 +169,8 @@ def main():
                     point["select_mult"] = smult
             if conf.query_batch_size != 64:
                 point["query_batch"] = conf.query_batch_size
+            if conf.rerank_dtype != "float32":
+                point["rerank_dtype"] = conf.rerank_dtype
             saf = os.environ.get("FOREST_SELECT_APPROX_FACTOR", "8")
             if saf != "8":
                 point["select_approx_factor"] = int(saf)

@@ -10,6 +10,7 @@ Run (one TPU client at a time):
     timeout 3600 python scripts/check_coarse_fold.py
 """
 
+import os
 import sys
 import time
 
@@ -90,14 +91,14 @@ def check_e2e():
     gt = np.argsort(-(q @ x.T), axis=1)[:, :10]
     gts = [set(map(int, gt[i])) for i in range(nq)]
 
-    def run(layout, **kw):
+    def run(layout, conf_kw=None, **kw):
         conf = RDFConfig(
             vector_dim=d, table_num=10, permutation_num=3, family_size=100,
             partition_bits=3,
             lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
             query_batch_size=64, max_candidates=65536, top_k=10,
             coarse_dim=16, coarse_dtype="int8", coarse_refine=4096,
-            coarse_layout=layout,
+            coarse_layout=layout, **(conf_kw or {}),
         )
         f = RDFForest(conf).fit(DenseBatch(np.arange(n, dtype=np.int32), x))
         qkw = dict(steps=1, query_ids=np.arange(nq), probe_mode="margin",
@@ -127,6 +128,18 @@ def check_e2e():
     # report it, gate only on gross breakage.
     r_fold8 = run("folded", coarse_window=512, m_cap=262144, coarse_group=8)
     assert r_fold8 >= r_fold - 0.05, (r_fold8, r_fold)
+    if os.environ.get("CHECK_FOLD_EXTRA"):
+        # select_mult dedup over-selection: unique-candidate widening must
+        # never LOSE recall at equal refine (the selected set is a superset
+        # of the smult=1 unique set by construction)
+        r_sm2 = run("folded", coarse_window=512, m_cap=262144,
+                    coarse_group=8, select_mult=2)
+        assert r_sm2 >= r_fold8 - 0.005, (r_sm2, r_fold8)
+        # bf16 two-stage exact tail: recall within noise of the f32 tail
+        # (true top-k must sit inside the bf16 top-256)
+        r_bf = run("folded", conf_kw={"rerank_dtype": "bfloat16"},
+                   coarse_window=512, m_cap=262144, coarse_group=8)
+        assert r_bf >= r_fold8 - 0.005, (r_bf, r_fold8)
     print("E2E OK", flush=True)
 
 

@@ -1553,34 +1553,23 @@ def _query_groupmax(
         base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl  # [B, RGG]
         t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
         sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
-        id_cap = state.tables.sorted_ids.shape[1]    # npad + ID_PAD
-        if id_cap % gsl == 0:
-            # Selected groups are gsl-aligned contiguous runs, so a static
-            # reshape of sorted_ids to [L*cap/gsl, gsl] turns the id fetch
-            # into ONE full-row gather per GROUP (embedding-lookup fast
-            # path, per-INDEX cost) instead of one element gather per
-            # CANDIDATE: refine/gsl indices instead of refine. The
-            # per-candidate element gather was the folded pipeline's
-            # largest stage (17.8 of 47.5 ms at rf12288/B=64,
-            # results/bisect_fold.json). Group tails past the true table
-            # end read the ID_PAD -1 rows and mask below.
-            ids_view = state.tables.sorted_ids.reshape(
-                l_n * (id_cap // gsl), gsl
-            )
-            grow = (
-                jnp.clip(t2, 0, l_n - 1) * (id_cap // gsl)
-                + jnp.clip(base, 0, id_cap - gsl) // gsl
-            )                                                    # [B, RGG]
-            cand2 = jnp.take(ids_view, grow, axis=0).reshape(b, rgg * gsl)
-        else:
-            sl = jnp.arange(gsl, dtype=jnp.int32)
-            pos = (base[:, :, None] + sl[None, None, :]).reshape(
-                b, rgg * gsl
-            )
-            t2r = jnp.repeat(t2, gsl, axis=1)
-            cand2 = state.tables.sorted_ids[
-                jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
-            ]
+        # Per-candidate ELEMENT gather of the selected groups' ids. A
+        # [L, id_cap] -> [L*id_cap/gsl, gsl] reshape looks like it would
+        # turn this into refine/gsl full-row gathers, but on TPU a minor
+        # dim of gsl pads to the 128-lane tile: the reshape materializes a
+        # 128/gsl x blow-up of sorted_ids PER CALL (~15 GB at 8M rows,
+        # L=30, gsl=8) — every batch-44 deep8m point OOM'd in HBM, and at
+        # gsl=64 (2x pad) it measured SLOWER than the element path anyway
+        # (idgather 17.8 -> 25.7 ms, results/bisect_fold.json). Element
+        # gathers at ~16 ns/element are the floor here.
+        sl = jnp.arange(gsl, dtype=jnp.int32)
+        pos = (base[:, :, None] + sl[None, None, :]).reshape(
+            b, rgg * gsl
+        )
+        t2r = jnp.repeat(t2, gsl, axis=1)
+        cand2 = state.tables.sorted_ids[
+            jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+        ]
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
         if rgg > rtarget:
             # dedup by id keeping select-order priority, then truncate to
