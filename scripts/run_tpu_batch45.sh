@@ -51,7 +51,7 @@ export DEEP_OVERFLOW=2000
 if [ -f /tmp/batch45_points_f32 ]; then
   export DEEP_POINTS="$(cat /tmp/batch45_points_f32)"
 else
-  export DEEP_POINTS="1,16,12288,512,262144,0,8,0,2;1,16,8192,512,262144,0,8,0,2;1,16,8192,512,262144,0,8,0,3;1,16,16384,512,262144,0,8,0,2"
+  export DEEP_POINTS="1,16,12288,512,262144,0,8,0,1;1,16,12288,512,262144,0,8,0,2;1,16,8192,512,262144,0,8,0,2;1,16,8192,512,262144,0,8,0,3;1,16,16384,512,262144,0,8,0,2"
 fi
 timeout 10800 python scripts/bench_deep8m_coarse.py 2>&1 | tail -30
 

@@ -181,7 +181,7 @@ def pallas_coarse_rowmax(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_QB, fold, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # tier stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # tier stays in HBM
         ],
         out_specs=pl.BlockSpec((_QB, grp * wpr), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),

@@ -115,7 +115,7 @@ def pallas_coarse_scores(
             # violate the (8, 128) VMEM tiling rule
             pl.BlockSpec((b, cd), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # stays in HBM
         ],
         out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
@@ -497,7 +497,7 @@ def pallas_coarse_scores_aligned(
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((b, cd), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                        memory_space=pltpu.VMEM),
@@ -522,7 +522,7 @@ def pallas_coarse_scores_aligned(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
@@ -542,7 +542,7 @@ def pallas_coarse_scores_aligned(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((b, cd), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
@@ -580,7 +580,7 @@ def pallas_coarse_scores_aligned(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
@@ -599,7 +599,7 @@ def pallas_coarse_scores_aligned(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, grp, cd), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, grp, win), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
