@@ -1553,23 +1553,60 @@ def _query_groupmax(
         base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl  # [B, RGG]
         t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
         sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
-        # Per-candidate ELEMENT gather of the selected groups' ids. A
-        # [L, id_cap] -> [L*id_cap/gsl, gsl] reshape looks like it would
-        # turn this into refine/gsl full-row gathers, but on TPU a minor
-        # dim of gsl pads to the 128-lane tile: the reshape materializes a
-        # 128/gsl x blow-up of sorted_ids PER CALL (~15 GB at 8M rows,
-        # L=30, gsl=8) — every batch-44 deep8m point OOM'd in HBM, and at
-        # gsl=64 (2x pad) it measured SLOWER than the element path anyway
-        # (idgather 17.8 -> 25.7 ms, results/bisect_fold.json). Element
-        # gathers at ~16 ns/element are the floor here.
-        sl = jnp.arange(gsl, dtype=jnp.int32)
-        pos = (base[:, :, None] + sl[None, None, :]).reshape(
-            b, rgg * gsl
-        )
-        t2r = jnp.repeat(t2, gsl, axis=1)
-        cand2 = state.tables.sorted_ids[
-            jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
-        ]
+        # Id fetch: gather cost is per OPERATION (~20 ns) roughly
+        # independent of row width (the exact-rerank stage fetches 96-wide
+        # corpus rows at ~18 ns/row), so fetch each selected group's
+        # PARENT 128-LANE ROW of sorted_ids (gsl | 128 and groups are
+        # gsl-aligned, so a group never straddles a row) and extract the
+        # gsl-slice with a static select chain: refine/gsl row gathers
+        # instead of refine element gathers (17.8 ms of the 47.5 ms chunk
+        # at rf12288/B=64, results/bisect_fold.json).
+        #
+        # The view MUST keep a 128-lane minor dim: a [L*id_cap/gsl, gsl]
+        # reshape pads gsl lanes to 128 on TPU and materializes a
+        # 128/gsl x blow-up per call (~15 GB at 8M/L30/gsl8 — every
+        # batch-44 deep8m point OOM'd in HBM). The lane-full reshape
+        # below still relayouts sorted_ids once per call (~1 GB at 8M;
+        # bandwidth-bound, amortized over the query chunk) — if the
+        # bisect shows that copy binding, cache the view at fit time.
+        id_cap = state.tables.sorted_ids.shape[1]    # npad + ID_PAD
+        gpr = 128 // gsl                             # groups per 128-row
+        if gsl <= 128:
+            idw = -(-id_cap // 128) * 128
+            ids_pad = state.tables.sorted_ids
+            if idw != id_cap:
+                ids_pad = jnp.pad(
+                    ids_pad, ((0, 0), (0, idw - id_cap)),
+                    constant_values=-1,
+                )
+            ids128 = ids_pad.reshape(l_n * (idw // 128), 128)
+            # clamp with gsl-alignment preserved (base is gsl-aligned, so
+            # (base % 128) + gsl <= 128 and the row always covers the
+            # group); the bound includes the trailing ID_PAD -1 columns,
+            # so straddling tail groups read real ids then -1s (masked by
+            # the cand2 >= 0 check below) and rowi stays in range
+            basec = jnp.clip(base, 0, ((id_cap - gsl) // gsl) * gsl)
+            rowi = (
+                jnp.clip(t2, 0, l_n - 1) * (idw // 128) + basec // 128
+            )                                                  # [B, RGG]
+            rows = jnp.take(ids128, rowi, axis=0)        # [B, RGG, 128]
+            off = (basec // gsl) % gpr                         # [B, RGG]
+            ext = rows[..., :gsl]
+            for p in range(1, gpr):
+                ext = jnp.where(
+                    (off == p)[..., None],
+                    rows[..., p * gsl:(p + 1) * gsl], ext,
+                )
+            cand2 = ext.reshape(b, rgg * gsl)
+        else:
+            sl = jnp.arange(gsl, dtype=jnp.int32)
+            pos = (base[:, :, None] + sl[None, None, :]).reshape(
+                b, rgg * gsl
+            )
+            t2r = jnp.repeat(t2, gsl, axis=1)
+            cand2 = state.tables.sorted_ids[
+                jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
+            ]
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
         if rgg > rtarget:
             # dedup by id keeping select-order priority, then truncate to
