@@ -63,6 +63,11 @@ import os as _os
 _COARSE_COALESCE = _os.environ.get("FOREST_COALESCE", "1") == "1"
 _SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
                                             "8"))
+# folded groupmax path: single-operand packed sorts for the group select
+# and the select_mult dedup (sort cost scales with operand count); both
+# fall back to the exact 2-operand sorts when the bit budget does not fit
+_FOLD_PACK_SELECT = _os.environ.get("FOLD_PACK_SELECT", "1") == "1"
+_FOLD_PACK_DEDUP = _os.environ.get("FOLD_PACK_DEDUP", "1") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -95,6 +100,12 @@ class ForestState:
     # CONSECUTIVE slots of one table per 128-lane row, queried through the
     # groupmax path (`_query_groupmax` / ops/pallas/coarse_fold.py)
     coarse_folded: Optional[jax.Array] = None    # i8[L, caprows/fold, 128]
+    # 128-lane row view of sorted_ids for the folded id fetch, cached at
+    # fit/load time: building it in-jit re-pays a pad + minor-dim-retiling
+    # copy (~1.3 GB of HBM traffic at 8M x 10 tables) on EVERY query chunk.
+    # Derived data — rebuilt, never persisted; None falls back to in-jit
+    # construction (sharded per-shard states, legacy checkpoints).
+    ids128: Optional[jax.Array] = None           # i32[L*ceil(cap/128), 128]
 
     @property
     def capacity(self) -> int:
@@ -224,7 +235,24 @@ def fit_dense(
         coarse_by_table=coarse_by_table,
         coarse_head=coarse_head,
         coarse_folded=coarse_folded,
+        ids128=(ids128_view(tables.sorted_ids)
+                if coarse_folded is not None else None),
     )
+
+
+@jax.jit
+def ids128_view(sorted_ids: jax.Array) -> jax.Array:
+    """[L, cap] -> [L*ceil(cap/128), 128] row view of the per-table sorted
+    ids (pad = -1): the folded id fetch gathers a group's parent 128-lane
+    row (lane-full, so the gather rides the vectorized fast path) and
+    extracts the gsl slice with a static select chain."""
+    l_n, id_cap = sorted_ids.shape
+    idw = -(-id_cap // 128) * 128
+    if idw != id_cap:
+        sorted_ids = jnp.pad(
+            sorted_ids, ((0, 0), (0, idw - id_cap)), constant_values=-1
+        )
+    return sorted_ids.reshape(l_n * (idw // 128), 128)
 
 
 def coarse_seg_width(cd: int) -> int:
@@ -1542,17 +1570,40 @@ def _query_groupmax(
         # scripts/check_fold_dups.py), so deduplication widens the
         # EFFECTIVE refine at fixed exact-scoring cost for two sorts.
         rgg = max(1, min(rtarget * select_mult, width))
-        gidx = jnp.broadcast_to(
-            jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
-        )
-        neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1, num_keys=1)
-        selpk = -neg_s[:, :rgg]
-        sel = gidx_s[:, :rgg]
+        bits_w = max(1, (width - 1).bit_length())
+        score_bits = (cs * 127 * 127).bit_length() + 1   # signed int8 dot
+        sh = max(0, score_bits + mshift - (32 - bits_w))
+        if _FOLD_PACK_SELECT and sh <= mshift + 8:
+            # SINGLE-OPERAND select sort: quantize the packed group value
+            # to the top 32-bits_w bits (drops sh-mshift score LSBs — ties
+            # broaden by <= 2^(sh-mshift) of a +-cs*127^2 dot; the member
+            # bits are unused at rows_keep=0) and pack the group index
+            # into the low bits. Sort cost scales with operand count, so
+            # this halves the [B, mb_cap*ngw] select wall vs the 2-operand
+            # (value, index) sort. ~pack ascending == pack descending
+            # without the -INT32_MIN negation overflow.
+            lo = jnp.int32(-(1 << (31 - bits_w)))
+            qv = jnp.maximum(
+                jax.lax.shift_right_arithmetic(flat, sh), lo
+            )                    # dead I32_DEAD clamps to lo (< any live)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+            pack = jax.lax.shift_left(qv, bits_w) | gidx
+            pack_s = ~jax.lax.sort(~pack, dimension=1)[:, :rgg]
+            sel = pack_s & jnp.int32((1 << bits_w) - 1)
+            live_sel = jax.lax.shift_right_arithmetic(pack_s, bits_w) > lo
+        else:
+            gidx = jnp.broadcast_to(
+                jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
+            )
+            neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1,
+                                         num_keys=1)
+            sel = gidx_s[:, :rgg]
+            live_sel = -neg_s[:, :rgg] != dead
         mbi = sel // ngw
         gi = sel % ngw
         base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl  # [B, RGG]
         t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
-        sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
+        sel_valid = jnp.repeat(live_sel, gsl, axis=1)
         # Id fetch: gather cost is per OPERATION (~20 ns) roughly
         # independent of row width (the exact-rerank stage fetches 96-wide
         # corpus rows at ~18 ns/row), so fetch each selected group's
@@ -1573,13 +1624,10 @@ def _query_groupmax(
         gpr = 128 // gsl                             # groups per 128-row
         if gsl <= 128:
             idw = -(-id_cap // 128) * 128
-            ids_pad = state.tables.sorted_ids
-            if idw != id_cap:
-                ids_pad = jnp.pad(
-                    ids_pad, ((0, 0), (0, idw - id_cap)),
-                    constant_values=-1,
-                )
-            ids128 = ids_pad.reshape(l_n * (idw // 128), 128)
+            ids128 = (
+                state.ids128 if state.ids128 is not None
+                else ids128_view(state.tables.sorted_ids)
+            )
             # clamp with gsl-alignment preserved (base is gsl-aligned, so
             # (base % 128) + gsl <= 128 and the row always covers the
             # group); the bound includes the trailing ID_PAD -1 columns,
@@ -1610,27 +1658,59 @@ def _query_groupmax(
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
         if rgg > rtarget:
             # dedup by id keeping select-order priority, then truncate to
-            # the refine budget: sort (id, rank) so the best-ranked copy
-            # of each id leads, mark later copies, then unique-first /
-            # rank-ordered compaction
+            # the refine budget: sort so the best-ranked copy of each id
+            # leads, mark later copies, then unique-first / rank-ordered
+            # compaction
             m = rgg * gsl
             big = jnp.int32(2**31 - 1)
-            rank = jnp.broadcast_to(
-                jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
-            )
-            idk = jnp.where(cand2 >= 0, cand2, big)
-            idk_s, rank_s = jax.lax.sort((idk, rank), dimension=1,
-                                         num_keys=2)
-            dup = jnp.concatenate(
-                [jnp.zeros((b, 1), dtype=bool),
-                 idk_s[:, 1:] == idk_s[:, :-1]], axis=1
-            )
-            key2 = jnp.where(
-                dup | (idk_s == big), rank_s + jnp.int32(1 << 30), rank_s
-            )
-            _, cand2 = jax.lax.sort((key2, idk_s), dimension=1, num_keys=1)
-            cand2 = cand2[:, :rtarget * gsl]
-            cand2 = jnp.where(cand2 == big, -1, cand2)
+            bits_id = cap.bit_length()
+            rank_bits = 31 - bits_id
+            if _FOLD_PACK_DEDUP and rank_bits >= 4:
+                # SINGLE-OPERAND packed variant: candidate row index in
+                # the high bits (cap < 2^bits_id), select rank quantized
+                # to rank_bits in the low bits — both dedup sorts run on
+                # one i32 operand instead of two. Truncation priority is
+                # rank >> rq_sh (2^rq_sh-slot blocks, id tie-break): only
+                # the refine-boundary ordering moves, within one block.
+                rq_sh = max(0, (m - 1).bit_length() - rank_bits)
+                sent = jnp.int32((1 << bits_id) - 1)   # > any real row id
+                idk = jnp.where(cand2 >= 0, cand2, sent)
+                rank = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+                k1 = jax.lax.shift_left(idk, rank_bits) | (rank >> rq_sh)
+                k1 = jax.lax.sort(k1, dimension=1)
+                id_s = jax.lax.shift_right_logical(k1, rank_bits)
+                dup = jnp.concatenate(
+                    [jnp.zeros((b, 1), dtype=bool),
+                     id_s[:, 1:] == id_s[:, :-1]], axis=1
+                )
+                rq = k1 & jnp.int32((1 << rank_bits) - 1)
+                k2 = jnp.where(
+                    dup | (id_s == sent), big,
+                    jax.lax.shift_left(rq, bits_id) | id_s,
+                )
+                k2 = jax.lax.sort(k2, dimension=1)[:, :rtarget * gsl]
+                cand2 = jnp.where(
+                    k2 == big, -1, k2 & jnp.int32((1 << bits_id) - 1)
+                )
+            else:
+                rank = jnp.broadcast_to(
+                    jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
+                )
+                idk = jnp.where(cand2 >= 0, cand2, big)
+                idk_s, rank_s = jax.lax.sort((idk, rank), dimension=1,
+                                             num_keys=2)
+                dup = jnp.concatenate(
+                    [jnp.zeros((b, 1), dtype=bool),
+                     idk_s[:, 1:] == idk_s[:, :-1]], axis=1
+                )
+                key2 = jnp.where(
+                    dup | (idk_s == big), rank_s + jnp.int32(1 << 30),
+                    rank_s
+                )
+                _, cand2 = jax.lax.sort((key2, idk_s), dimension=1,
+                                        num_keys=1)
+                cand2 = cand2[:, :rtarget * gsl]
+                cand2 = jnp.where(cand2 == big, -1, cand2)
     else:
         if rows_keep == 2:
             # second-best ROW of the group (distinct member bits make

@@ -121,6 +121,7 @@ def load_forest(path: str) -> RDFForest:
             _build_coarse_tier,
             _build_folded_tier,
             build_head_tier,
+            ids128_view,
         )
 
         if conf.coarse_layout == "folded":
@@ -154,6 +155,8 @@ def load_forest(path: str) -> RDFForest:
         coarse_by_table=coarse_by_table,
         coarse_head=coarse_head,
         coarse_folded=coarse_folded,
+        ids128=(None if coarse_folded is None
+                else ids128_view(tables.sorted_ids)),
     )
     forest = RDFForest(conf, model=model)
     forest.part_proj = state.part_proj
