@@ -148,30 +148,46 @@ def main():
             g1 = jnp.max(rowpk.reshape(b, mb_cap, ngw, rpg), axis=-1)
             if stage == "groups":
                 return g1.sum() + total.sum()
+            # mirror the LANDED select + id fetch (forest._query_groupmax):
+            # single-operand packed select sort, then lane-full parent-row
+            # id gathers (the old [L*cap/gsl, gsl] narrow reshape pads each
+            # row to 128 lanes and OOMs HBM at 8M/gsl8 — batch 44).
             width = mb_cap * ngw
             flat = g1.reshape(b, width)
             rgg = max(1, min(refine // gsl, width))
-            gidx = jnp.broadcast_to(
-                jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
-            )
-            neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1,
-                                         num_keys=1)
-            selpk = -neg_s[:, :rgg]
-            sel = gidx_s[:, :rgg]
+            bits_w = max(1, (width - 1).bit_length())
+            score_bits = (cs * 127 * 127).bit_length() + 1
+            sh = max(0, score_bits + mshift - (32 - bits_w))
+            lo = jnp.int32(-(1 << (31 - bits_w)))
+            qv = jnp.maximum(jax.lax.shift_right_arithmetic(flat, sh), lo)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+            pack = jax.lax.shift_left(qv, bits_w) | gidx
+            pack_s = ~jax.lax.sort(~pack, dimension=1)[:, :rgg]
+            sel = pack_s & jnp.int32((1 << bits_w) - 1)
+            live_sel = jax.lax.shift_right_arithmetic(pack_s, bits_w) > lo
             if stage == "select":
-                return selpk.sum() + sel.sum()
+                return pack_s.sum() + sel.sum()
             mbi = sel // ngw
             gi = sel % ngw
             base = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl
             t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
-            sel_valid = jnp.repeat(selpk != dead, gsl, axis=1)
+            sel_valid = jnp.repeat(live_sel, gsl, axis=1)
             l_n = folded.shape[0]
             id_cap = tables.sorted_ids.shape[1]
-            assert id_cap % gsl == 0, (id_cap, gsl)
-            ids_view = tables.sorted_ids.reshape(l_n * (id_cap // gsl), gsl)
-            grow = (jnp.clip(t2, 0, l_n - 1) * (id_cap // gsl)
-                    + jnp.clip(base, 0, id_cap - gsl) // gsl)
-            cand2 = jnp.take(ids_view, grow, axis=0).reshape(b, rgg * gsl)
+            idw = -(-id_cap // 128) * 128
+            gpr = 128 // gsl
+            ids128 = F.ids128_view(tables.sorted_ids)
+            basec = jnp.clip(base, 0, ((id_cap - gsl) // gsl) * gsl)
+            rowi = jnp.clip(t2, 0, l_n - 1) * (idw // 128) + basec // 128
+            rows = jnp.take(ids128, rowi, axis=0)
+            off = (basec // gsl) % gpr
+            ext = rows[..., :gsl]
+            for p in range(1, gpr):
+                ext = jnp.where(
+                    (off == p)[..., None],
+                    rows[..., p * gsl:(p + 1) * gsl], ext,
+                )
+            cand2 = ext.reshape(b, rgg * gsl)
             cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
             if stage == "idgather":
                 return cand2.sum() + total.sum()
