@@ -156,6 +156,29 @@ def test_folded_recall_matches_lane():
     assert _recall(ids_sm, gt) >= r_g8 - 0.01
 
 
+def test_packed_sorts_match_two_operand_fallback(monkeypatch):
+    """The single-operand packed select/dedup sorts (FOLD_PACK_SELECT /
+    FOLD_PACK_DEDUP) quantize only tie-breaking LSBs: recall against exact
+    GT must match the 2-operand exact-sort fallback to within tie noise,
+    and the returned ids must be valid under both."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    f = RDFForest(_conf("folded")).fit(batch)
+    kw = dict(steps=1, probe_mode="margin", probe_budget=8,
+              coarse_group=8, select_mult=2)
+    recs = {}
+    for packed in (True, False):
+        monkeypatch.setattr(forest_mod, "_FOLD_PACK_SELECT", packed)
+        monkeypatch.setattr(forest_mod, "_FOLD_PACK_DEDUP", packed)
+        # the flags are read at trace time, not part of the jit key
+        import jax
+        jax.clear_caches()
+        ids, _ = f.query(q, **kw)
+        assert (ids[ids >= 0] < len(x)).all()
+        recs[packed] = _recall(ids, gt)
+    assert abs(recs[True] - recs[False]) <= 0.02, recs
+
+
 def test_folded_default_window_auto_clamps():
     """With coarse_window unset the groupmax path picks the largest pow2
     window <= min(4096, m_cap, table capacity) — small m_cap or tiny
