@@ -77,9 +77,15 @@ def main():
     qids = jnp.arange(B, dtype=jnp.int32)
     k = 10
 
+    # fit-time ids128 cache, built ONCE outside the timed region so the
+    # 'idgather' stage matches the landed path (state.ids128; advisor r3:
+    # building it in-jit re-pays the pad+retile relayout per timed call)
+    ids128_cached = F.ids128_view(state.tables.sorted_ids)
+    jax.block_until_ready(ids128_cached)
+
     def upto(stage):
         def run(tables, corpus, row_ids, model, part_proj, cproj, folded,
-                qq, qi):
+                ids128, qq, qi):
             h, margins = hash_dense_with_margins(model, qq)
             probes, probe_valid = F._probe_hashes_margin(
                 h, margins, layout, budget
@@ -176,7 +182,6 @@ def main():
             id_cap = tables.sorted_ids.shape[1]
             idw = -(-id_cap // 128) * 128
             gpr = 128 // gsl
-            ids128 = F.ids128_view(tables.sorted_ids)
             basec = jnp.clip(base, 0, ((id_cap - gsl) // gsl) * gsl)
             rowi = jnp.clip(t2, 0, l_n - 1) * (idw // 128) + basec // 128
             rows = jnp.take(ids128, rowi, axis=0)
@@ -211,7 +216,8 @@ def main():
         fn = upto(stage)
         t = timeit(
             fn, state.tables, state.corpus, state.row_ids, state.model,
-            state.part_proj, state.coarse_proj, state.coarse_folded, q, qids,
+            state.part_proj, state.coarse_proj, state.coarse_folded,
+            ids128_cached, q, qids,
         )
         outd[f"upto_{stage}_ms"] = round(t * 1e3, 2)
         print(f"upto {stage}: {t*1e3:.2f}ms (+{(t-prev)*1e3:.2f})",

@@ -16,8 +16,10 @@ probe() {
     fi
     sleep 120
   done
+  echo "probe exhausted; aborting leg" >&2
+  return 1
 }
-probe
+probe || exit 1
 
 echo "[batch46] leg 1: deep8m folded packed-sort re-points $(date -u +%H:%M:%S)"
 export DEEP_LAYOUT=folded

@@ -20,8 +20,10 @@ probe() {
     fi
     sleep 120
   done
+  echo "probe exhausted; aborting leg" >&2
+  return 1
 }
-probe
+probe || exit 1
 
 echo "[batch47] gsl8 shipped-point bisect $(date -u +%H:%M:%S)"
 export FOLD_WIN=512 FOLD_MCAP=262144 FOLD_REFINE=12288 FOLD_BUDGET=16 FOLD_GSL=8

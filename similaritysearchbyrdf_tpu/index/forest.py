@@ -1573,6 +1573,16 @@ def _query_groupmax(
         bits_w = max(1, (width - 1).bit_length())
         score_bits = (cs * 127 * 127).bit_length() + 1   # signed int8 dot
         sh = max(0, score_bits + mshift - (32 - bits_w))
+        # The gate below (sh <= mshift + 8) keeps the dead-window sentinel
+        # strictly below `lo` only because sh <= bits_w, which holds iff the
+        # groupmax kernel's rowpk pack invariant score_bits + mshift <= 32
+        # holds. Assert it so a future coarse_dim/gsl combination that
+        # overflows the pack fails loudly instead of letting dead windows
+        # pass live_sel (advisor r3 finding).
+        assert score_bits + mshift <= 32, (
+            "folded groupmax pack overflow: score_bits + mshift > 32",
+            score_bits, mshift,
+        )
         if _FOLD_PACK_SELECT and sh <= mshift + 8:
             # SINGLE-OPERAND select sort: quantize the packed group value
             # to the top 32-bits_w bits (drops sh-mshift score LSBs — ties

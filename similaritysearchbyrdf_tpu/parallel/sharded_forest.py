@@ -68,6 +68,10 @@ class ShardedForestState:
     coarse_by_table: Optional[jax.Array] = None  # [ndev, Lg, Nloc+ID_PAD, G*cs] lane-packed
     coarse_head: Optional[jax.Array] = None      # bf16[ndev, Lg, ceil/hp, G*cs]
     coarse_folded: Optional[jax.Array] = None    # i8[ndev, L, caprows/fold, 128]
+    # fit-time 128-lane row view of sorted_ids for the folded id fetch
+    # (same rationale as ForestState.ids128: building it in-jit re-pays a
+    # pad + minor-dim retiling per query chunk — advisor r3 finding)
+    ids128: Optional[jax.Array] = None           # i32[ndev, L*ceil(cap/128), 128]
 
     def local_tables(self) -> BucketTables:
         """View of this (traced, per-shard) state's tables without the
@@ -105,6 +109,7 @@ class ShardedForestState:
             coarse_folded=(
                 None if self.coarse_folded is None else self.coarse_folded[0]
             ),
+            ids128=None if self.ids128 is None else self.ids128[0],
         )
 
 
@@ -289,7 +294,26 @@ def _fit_from_device_arrays(
         coarse_by_table=None if folded else cbt,
         coarse_head=chd,
         coarse_folded=cbt if folded else None,
+        ids128=(
+            jax.jit(
+                jax.shard_map(
+                    lambda s: _ids128_local(s),
+                    mesh=mesh,
+                    in_specs=P(SHARD_AXIS),
+                    out_specs=P(SHARD_AXIS),
+                )
+            )(si)
+            if folded
+            else None
+        ),
     )
+
+
+def _ids128_local(si: jax.Array) -> jax.Array:
+    """Per-shard ids128 view ([1, L, cap] block -> [1, L*ceil/128, 128])."""
+    from ..index.forest import ids128_view
+
+    return ids128_view(si[0])[None]
 
 
 def fit_sharded(
@@ -475,6 +499,7 @@ def make_query_fn(
         coarse_by_table=P(SHARD_AXIS) if has_coarse else None,
         coarse_head=P(SHARD_AXIS) if has_head else None,
         coarse_folded=P(SHARD_AXIS) if has_folded else None,
+        ids128=P(SHARD_AXIS) if has_folded else None,
     )
     fn = jax.shard_map(
         functools.partial(

@@ -39,9 +39,17 @@ from .bloom import BloomFilter
 # ---------------------------------------------------------------------------
 
 
-def save_forest(forest: RDFForest, path: str) -> None:
+def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
     """Serialize config + model + tables + corpus to `<path>.npz` /
-    `<path>.json`."""
+    `<path>.json`.
+
+    `compress` mirrors the reference store's optional per-record LZF
+    compression (`Store.java:26-60`, a constructor flag there): True (the
+    default) writes a deflate-compressed npz; False writes a raw npz —
+    ~3-4x larger on typical float corpora but markedly faster to write,
+    the right trade for short-lived spill generations on fast local disk.
+    `load_forest` reads either transparently (npz records the encoding
+    per member)."""
     assert forest.state is not None, "nothing to save: fit first"
     s = forest.state
     arrays = dict(
@@ -58,7 +66,7 @@ def save_forest(forest: RDFForest, path: str) -> None:
         corpus=np.asarray(s.corpus).astype(np.float32),
         row_ids=np.asarray(s.row_ids),
     )
-    np.savez_compressed(path + ".npz", **arrays)
+    (np.savez_compressed if compress else np.savez)(path + ".npz", **arrays)
     meta = dict(
         config=json.loads(forest.conf.to_json()),
         family=s.model.family,
@@ -220,10 +228,14 @@ class GenerationStore:
         working_dir: str,
         name: str = "forest",
         cache_bytes: int = 8 << 30,
+        compress: bool = True,
     ) -> None:
         self.dir = os.path.join(working_dir, name)
         os.makedirs(self.dir, exist_ok=True)
         self.cache_bytes = cache_bytes
+        # per-store compression knob, like the reference Store's optional
+        # LZF (`Store.java:26-60`): False trades disk bytes for spill speed
+        self.compress = compress
         self.disk_loads = 0
         self._cache: "dict[str, RDFForest]" = {}
         self._lru: List[str] = []            # least-recent first
@@ -254,7 +266,7 @@ class GenerationStore:
         assert forest.state is not None
         ts = int(time.time() * 1000)
         stem = os.path.join(self.dir, str(ts))
-        save_forest(forest, stem)
+        save_forest(forest, stem, compress=self.compress)
         ids = np.asarray(forest.state.row_ids)
         ids = ids[ids >= 0]
         bloom = BloomFilter.build(len(ids), fpr=0.001)

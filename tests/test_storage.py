@@ -65,6 +65,35 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
 
 
+def test_save_load_uncompressed_roundtrip(tmp_path):
+    """compress=False (the reference Store's optional-LZF-off mode,
+    `Store.java:26-60`) writes a raw npz that loads back identically —
+    and a GenerationStore(compress=False) spill stays query-merge
+    compatible."""
+    rng = np.random.default_rng(7)
+    x = _data(rng)
+    conf = _conf()
+    forest = RDFForest(conf).fit(DenseBatch(np.arange(len(x), dtype=np.int32), x))
+    ids0, sc0 = forest.query(x[:8], steps=1, query_ids=np.arange(8))
+
+    save_forest(forest, str(tmp_path / "raw"), compress=False)
+    save_forest(forest, str(tmp_path / "zip"), compress=True)
+    raw_sz = (tmp_path / "raw.npz").stat().st_size
+    zip_sz = (tmp_path / "zip.npz").stat().st_size
+    assert raw_sz > zip_sz   # raw is bigger; both must load identically
+    for stem in ("raw", "zip"):
+        loaded = load_forest(str(tmp_path / stem))
+        ids1, sc1 = loaded.query(x[:8], steps=1, query_ids=np.arange(8))
+        np.testing.assert_array_equal(ids0, ids1)
+        np.testing.assert_allclose(sc0, sc1, rtol=1e-6)
+
+    store = GenerationStore(str(tmp_path), name="gen-raw", compress=False)
+    stem = store.spill(forest)
+    g = store.load_generation(stem)
+    ids2, _ = g.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(ids0, ids2)
+
+
 def test_save_load_rebuilds_coarse_tier(tmp_path):
     """A forest fitted with a coarse tier (+ head tier) must load back onto
     the SAME query path: the tiers are derived data (seeded projection over
