@@ -1,0 +1,213 @@
+"""Small-batch / serving latency curve — VERDICT r3 item 5.
+
+The reference's per-query latency experiments
+(`TestSingleRDFSuite.scala:144-170`) time SINGLE queries on a warm JVM.
+Every headline number in results/ so far is B>=256 pipelined throughput;
+this script measures the missing operating points honestly:
+
+  B in {1, 8, 64, 256, 1024} x {forest, flat, ivf}
+  - blocked-each: dispatch one batch, block, repeat (true request latency;
+    includes the remote-tunnel dispatch round trip on this rig, reported
+    separately so on-host serving can be estimated)
+  - pipelined: dispatch `reps` batches, block once (device throughput)
+
+Corpus selected by argv[1] (glove | deep8m). Writes/merges
+results/latency_curve.json.
+
+Batch-1 is the classic TPU weak spot vs CPU pointer-chasing tries: one
+query cannot fill the MXU or amortize kernel launches. Measured, not
+hand-waved — see the artifact's per-point `blocked_ms_p50`.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import wait_for_backend  # noqa: E402
+
+BATCHES = (1, 8, 64, 256, 1024)
+REPS_PIPE = 8
+REPS_BLOCK = 20
+
+
+def timed_curve(run_batch, queries, k):
+    """run_batch(qpad [B, D]) -> ids; returns per-B dict."""
+    import jax
+
+    out = {}
+    for b in BATCHES:
+        q = queries[:b]
+        if q.shape[0] < b:
+            q = np.pad(q, ((0, b - q.shape[0]), (0, 0)))
+        ids = run_batch(q)
+        jax.block_until_ready(ids)          # compile + warm (exact shape)
+        # blocked-each: per-request latency
+        lats = []
+        for _ in range(REPS_BLOCK):
+            t0 = time.perf_counter()
+            ids = run_batch(q)
+            jax.block_until_ready(ids)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
+        # pipelined: device throughput
+        t0 = time.perf_counter()
+        for _ in range(REPS_PIPE):
+            ids = run_batch(q)
+        jax.block_until_ready(ids)
+        pipe_s = (time.perf_counter() - t0) / REPS_PIPE
+        out[str(b)] = {
+            "blocked_ms_p50": round(lats[len(lats) // 2], 3),
+            "blocked_ms_min": round(lats[0], 3),
+            "blocked_qps": round(b / (lats[len(lats) // 2] / 1e3), 1),
+            "pipelined_ms": round(pipe_s * 1e3, 3),
+            "pipelined_qps": round(b / pipe_s, 1),
+        }
+        print(f"  B={b}: blocked p50 {out[str(b)]['blocked_ms_p50']} ms, "
+              f"pipelined {out[str(b)]['pipelined_qps']} qps", flush=True)
+    return out
+
+
+def corpus_glove():
+    from scripts.bench_large import clustered
+
+    n, d = 1_200_000, 100
+    return clustered(n, d, 4096, 0.08), n, d
+
+
+def corpus_deep8m():
+    from scripts.bench_large import clustered
+
+    n, d = 8_000_000, 96
+    return clustered(n, d, 8192, 0.1), n, d
+
+
+def main():
+    wait_for_backend()
+    which = sys.argv[1] if len(sys.argv) > 1 else "glove"
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import (
+        RDFForest, query_dense_many,
+    )
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        build_flat_sketch, flat_topk, flat_topk_grouped,
+    )
+    from similaritysearchbyrdf_tpu.ops.ivf import IVFFlatIndex
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    if which == "glove":
+        x, n, d = corpus_glove()
+        forest_conf = RDFConfig(
+            vector_dim=d, table_num=10, permutation_num=3, family_size=100,
+            partition_bits=3,
+            lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
+            query_batch_size=256, max_candidates=65536, top_k=10,
+            coarse_dim=d, coarse_dtype="int8", coarse_refine=1024,
+        )
+        forest_kw = dict(steps=0, multiprobe=True)
+    else:
+        x, n, d = corpus_deep8m()
+        forest_conf = RDFConfig(
+            vector_dim=d, table_num=10, permutation_num=3, family_size=100,
+            partition_bits=3,
+            lsh_table=TableConfig(chain_length=32, bucket_overflow=2000),
+            query_batch_size=64, max_candidates=262144, top_k=10,
+            coarse_dim=16, coarse_dtype="int8", coarse_layout="folded",
+            coarse_refine=12288, coarse_window=512,
+            rerank_dtype="bfloat16",
+        )
+        forest_kw = dict(steps=1, multiprobe=True, probe_mode="margin",
+                         probe_budget=16, select_mult=2)
+
+    ids = np.arange(n, dtype=np.int32)
+    queries = x[:1024].copy()
+    k = 10
+    results = {"corpus": which, "n": n, "dim": d,
+               "note": ("blocked-each includes the remote-tunnel dispatch "
+                        "RTT (~30 ms on this rig); pipelined is device "
+                        "throughput. p50 of %d reps." % REPS_BLOCK),
+               "engines": {}}
+
+    # --- forest ---
+    t0 = time.perf_counter()
+    forest = RDFForest(forest_conf).fit(DenseBatch(ids, x))
+    print(f"forest fit {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def run_forest(q):
+        b = q.shape[0]
+        qd = jnp.asarray(q)
+        qid = jnp.asarray(np.arange(b, dtype=np.int32))
+        got, _, _ = query_dense_many(
+            forest.state, qd, qid, layout=forest.layout,
+            m_cap=forest_conf.max_candidates, k=k, exclude_self=True,
+            chunk=min(b, forest_conf.query_batch_size),
+            coarse_refine=forest_conf.coarse_refine,
+            coarse_window=forest_conf.coarse_window, **forest_kw,
+        )
+        return got
+
+    print("forest:", flush=True)
+    results["engines"]["forest"] = timed_curve(run_forest, queries, k)
+    del forest
+    import gc; gc.collect()
+
+    # --- flat ---
+    xd = jnp.asarray(x)
+    sketch, _ = build_flat_sketch(xd, "int8")
+    row_ids_d = jnp.asarray(ids)
+
+    if which == "glove":
+        def run_flat(q):
+            b = q.shape[0]
+            f_ids, _ = flat_topk(
+                sketch, xd, row_ids_d, jnp.asarray(q),
+                jnp.asarray(np.arange(b, dtype=np.int32)), k, refine=128)
+            return f_ids
+    else:
+        def run_flat(q):
+            b = q.shape[0]
+            f_ids, _ = flat_topk_grouped(
+                sketch, xd, row_ids_d, jnp.asarray(q),
+                jnp.asarray(np.arange(b, dtype=np.int32)), k,
+                r_groups=128, refine=128)
+            return f_ids
+
+    print("flat:", flush=True)
+    results["engines"]["flat"] = timed_curve(run_flat, queries, k)
+
+    # --- ivf ---
+    t0 = time.perf_counter()
+    ivf = IVFFlatIndex(target_cluster=256, nprobe=2, refine=128)
+    ivf.fit(DenseBatch(ids, x))
+    print(f"ivf build {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def run_ivf(q):
+        b = q.shape[0]
+        i_ids, _ = ivf.query(q, k=k,
+                             query_ids=np.arange(b, dtype=np.int32),
+                             nprobe=2)
+        return i_ids
+
+    print("ivf:", flush=True)
+    results["engines"]["ivf"] = timed_curve(run_ivf, queries, k)
+
+    path = "results/latency_curve.json"
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged[which] = results
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

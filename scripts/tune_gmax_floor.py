@@ -1,0 +1,234 @@
+"""gmax roofline: where is the fused matmul+group-max wall? — VERDICT r3
+item 3/6.
+
+At 8M x 96 int8, B=1024, g=64 the gmax stage measures ~10.9-14 ms. Floors:
+  MXU:  2*N*D*B int8 ops = 1.65 Tops -> 4.2 ms at 394 TOPS (v5e int8 peak)
+  HBM:  sketch N*D bytes (streamed once/batch) + out (N/g)*B*4
+        = 0.8 GB + 0.54 GB -> 1.6 ms at 819 GB/s
+so the stage is NOT HBM-bound; the residual is the VPU epilogue (MXU
+accumulator move-out + the max-reduce tree over N*B = 8.6e9 elements).
+
+Kernel variants (sample-verified against numpy where the output is the
+real group-max):
+  mm_only    matmul per tile, accumulate 8 rows          -> ~MXU floor
+  tree_i32   plain reshape reduce (shipped)
+  tree_half  halved contiguous-half reduce
+  tree_i16   level-1 max in i32, >>6 to i16, i16 tree    (2x lane packing?)
+  tree_i8    levels-1,2 in i32, >>14 to i8, i8 tree      (4x lane packing?)
+  vpu_probe  dependent add+max chain on a resident tile  -> VPU issue rate
+
+Writes results/tune_gmax_floor.json with mfu / hbm_frac per variant.
+"""
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+import sys
+sys.path.insert(0, ".")
+
+from bench import wait_for_backend  # noqa: E402
+
+N = 8_388_608
+D = 96
+B = 1024
+G = 64
+BLOCK_N = 8192
+BLOCK_B = 1024
+
+INT8_PEAK_TOPS = 394e12
+HBM_PEAK = 819e9
+
+
+def main():
+    wait_for_backend()
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    sketch = jnp.asarray(
+        rng.integers(-127, 128, size=(N, D), dtype=np.int8))
+    q = jnp.asarray(rng.integers(-127, 128, size=(B, D), dtype=np.int8))
+
+    def mm(q_ref, sk_ref):
+        return jax.lax.dot_general(
+            sk_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                           # [NT, BT] i32
+
+    def k_mm_only(q_ref, sk_ref, out_ref):
+        i = pl.program_id(0)
+        s = mm(q_ref, sk_ref)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] = out_ref[:] + s[:8, :]
+
+    def k_tree_i32(q_ref, sk_ref, out_ref):
+        s = mm(q_ref, sk_ref)
+        out_ref[:] = jnp.max(
+            s.reshape(BLOCK_N // G, G, BLOCK_B), axis=1)
+
+    def k_tree_half(q_ref, sk_ref, out_ref):
+        s = mm(q_ref, sk_ref)
+        while s.shape[0] > BLOCK_N // G:
+            h = s.shape[0] // 2
+            s = jnp.maximum(s[:h], s[h:])
+        out_ref[:] = s
+
+    def k_tree_i16(q_ref, sk_ref, out_ref):
+        s = mm(q_ref, sk_ref)
+        h = s.shape[0] // 2
+        s = jnp.maximum(s[:h], s[h:])               # level 1 in i32
+        s16 = (s >> 6).astype(jnp.int16)            # |s| <= 96*127^2 < 2^21
+        while s16.shape[0] > BLOCK_N // G:
+            h = s16.shape[0] // 2
+            s16 = jnp.maximum(s16[:h], s16[h:])
+        out_ref[:] = s16
+
+    def k_tree_i8(q_ref, sk_ref, out_ref):
+        s = mm(q_ref, sk_ref)
+        for _ in range(2):                          # levels 1-2 in i32
+            h = s.shape[0] // 2
+            s = jnp.maximum(s[:h], s[h:])
+        s8 = (s >> 14).astype(jnp.int8)             # 7-bit group score
+        while s8.shape[0] > BLOCK_N // G:
+            h = s8.shape[0] // 2
+            s8 = jnp.maximum(s8[:h], s8[h:])
+        out_ref[:] = s8
+
+    interp = os.environ.get("GMAX_INTERPRET", "0") == "1"
+
+    def build(kernel, out_dtype, out_rows, accum):
+        grid_n = N // BLOCK_N
+        return pl.pallas_call(
+            kernel,
+            interpret=interp,
+            out_shape=jax.ShapeDtypeStruct(
+                (out_rows if accum else grid_n * out_rows, BLOCK_B),
+                out_dtype),
+            grid=(grid_n, B // BLOCK_B),
+            in_specs=[
+                pl.BlockSpec((BLOCK_B, D), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_N, D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, BLOCK_B),
+                (lambda i, j: (0, j)) if accum else (lambda i, j: (i, j)),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+
+    variants = {
+        "mm_only": (k_mm_only, jnp.int32, 8, True),
+        "tree_i32": (k_tree_i32, jnp.int32, BLOCK_N // G, False),
+        "tree_half": (k_tree_half, jnp.int32, BLOCK_N // G, False),
+        "tree_i16": (k_tree_i16, jnp.int16, BLOCK_N // G, False),
+        "tree_i8": (k_tree_i8, jnp.int8, BLOCK_N // G, False),
+    }
+
+    # numpy reference on the first block
+    sk0 = np.asarray(sketch[:BLOCK_N]).astype(np.int32)
+    q0 = np.asarray(q).astype(np.int32)
+    scores0 = sk0 @ q0.T                               # [BLOCK_N, B]
+    gmax0 = scores0.reshape(BLOCK_N // G, G, B).max(axis=1)
+    # the halving trees compute STRIDED groups (row ≡ j mod J — the
+    # halved-sketch layout of ops/flat.stride_for_halved_gmax); reference
+    # accordingly
+    half0 = scores0.reshape(G, BLOCK_N // G, B).max(axis=0)
+
+    out = {"n": N, "d": D, "b": B, "g": G, "block_n": BLOCK_N,
+           "int8_ops": 2.0 * N * D * B,
+           "hbm_bytes": float(N * D + (N // G) * B * 4)}
+    results = {}
+    for name, (kern, dt, rows, accum) in variants.items():
+        try:
+            fn = jax.jit(lambda qq, ss, k=kern, d=dt, r=rows, a=accum:
+                         build(k, d, r, a)(qq, ss))
+            r = fn(q, sketch)
+            r.block_until_ready()
+            rn = np.asarray(r)
+            if name == "tree_i32":
+                np.testing.assert_array_equal(rn[: BLOCK_N // G], gmax0)
+            elif name == "tree_half":
+                np.testing.assert_array_equal(rn[: BLOCK_N // G], half0)
+            elif name == "tree_i16":
+                np.testing.assert_array_equal(
+                    rn[: BLOCK_N // G],
+                    (half0 >> 6).astype(np.int16))
+            elif name == "tree_i8":
+                np.testing.assert_array_equal(
+                    rn[: BLOCK_N // G], (half0 >> 14).astype(np.int8))
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                r = fn(q, sketch)
+            r.block_until_ready()
+            dt_s = (time.perf_counter() - t0) / reps
+            results[name] = {
+                "ms": round(dt_s * 1e3, 2),
+                "mfu_int8": round(
+                    out["int8_ops"] / dt_s / INT8_PEAK_TOPS, 3),
+                "hbm_frac": round(out["hbm_bytes"] / dt_s / HBM_PEAK, 3),
+            }
+        except Exception as e:  # record compile failures, keep going
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            traceback.print_exc()
+        print(name, results[name], flush=True)
+
+    # ---- VPU issue-rate probe: dependent add+max chain on a resident
+    # [512, 1024] i32 tile; 2 elementwise ops per element per iteration ----
+    R = 64
+
+    def k_vpu(x_ref, out_ref):
+        acc = x_ref[:]
+        for i in range(R):
+            acc = jnp.maximum(acc, acc + i)
+        out_ref[:] = acc[:8, :]
+
+    tile = jnp.asarray(rng.integers(-1000, 1000, size=(512, 1024),
+                                    dtype=np.int32))
+    try:
+        fnv = jax.jit(lambda t: pl.pallas_call(
+            k_vpu,
+            out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(t))
+        r = fnv(tile); r.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = fnv(tile)
+        r.block_until_ready()
+        vpu_s = (time.perf_counter() - t0) / 20
+        ops = 2.0 * R * tile.size
+        results["vpu_probe"] = {
+            "ms": round(vpu_s * 1e3, 3),
+            "i32_tops": round(ops / vpu_s / 1e12, 3),
+        }
+    except Exception as e:
+        results["vpu_probe"] = {"error": str(e)[:300]}
+    print("vpu_probe", results["vpu_probe"], flush=True)
+
+    out["variants"] = results
+    out["note"] = ("v5e; sample-verified; peaks int8 394 TOPS / 819 GB/s; "
+                   "mm_only ~isolates the MXU term; trees add the "
+                   "group-max epilogue")
+    with open("results/tune_gmax_floor.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,9 @@ import os as _os
 # ranges fetch as ceil-pow2 runs (up to 8 windows per descriptor) — the
 # descriptor-count attack on the ~1.2 us/descriptor DMA floor.
 _COARSE_COALESCE = _os.environ.get("FOREST_COALESCE", "1") == "1"
+# largest dyadic DMA run class for the window kernels (8/16/32): bigger
+# runs mean fewer descriptors when probed ranges span many windows
+_COARSE_MAX_RUN = int(_os.environ.get("COARSE_MAX_RUN", "8"))
 _SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
                                             "8"))
 # folded groupmax path: single-operand packed sorts for the group select
@@ -1071,6 +1074,7 @@ def _coarse_block_scores(
             q_seg.reshape(b * g, lanes) if g > 1 else q_low,
             lg_b, blk_start, bs_block, live=live,
             groups=g, seg_b=seg_b, coalesce=_COARSE_COALESCE,
+            max_run=_COARSE_MAX_RUN,
         )                                                      # [B, MB, bs]
     else:
         idx = jnp.stack(

@@ -569,11 +569,11 @@ def ivf_topk(
             and win % 8 == 0):
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
-        from ..index.forest import _COARSE_COALESCE
+        from ..index.forest import _COARSE_COALESCE, _COARSE_MAX_RUN
 
         w_scores = pallas_coarse_scores_aligned(
             sketch[None], qb, jnp.zeros_like(blk), blk_dma, win, live=live,
-            coalesce=_COARSE_COALESCE,
+            coalesce=_COARSE_COALESCE, max_run=_COARSE_MAX_RUN,
         )                                                       # [B, WB, win]
     else:
         rows_i = jnp.clip(

@@ -282,6 +282,7 @@ def _run_classes(
     live: jax.Array,       # bool[B, MB]
     win: int,
     grp: int,
+    max_run: int = 8,
 ) -> jax.Array:
     """DMA run-coalescing classes (the descriptor-count attack the static-
     drain probe concluded was the only remaining coarse win — see
@@ -316,30 +317,40 @@ def _run_classes(
         jax.lax.associative_scan(jnp.minimum, jnp.flip(nh, 1), axis=1), 1)
     length = run_end - r0
 
+    classes = _dyadic_classes(max_run)
+
     def cfor(p):
-        c = jnp.where((p % 2 == 0) & (p + 2 <= length), 2, 1)
-        c = jnp.where((p % 4 == 0) & (p + 4 <= length), 4, c)
-        c = jnp.where((p % 8 == 0) & (p + 8 <= length), 8, c)
+        c = jnp.full_like(p, 1)
+        for a in classes[1:]:
+            c = jnp.where((p % a == 0) & (p + a <= length), a, c)
         return c
 
     cls = cfor(pos)
     covered = jnp.zeros((b, mb), bool)
-    for a in (2, 4, 8):
+    for a in classes[1:]:
         h = pos - (pos % a)
         covered |= (h < pos) & (cfor(h) > pos - h)
     return jnp.where(live & ~covered, cls, 0).astype(jnp.int32)
 
 
-def _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win):
+def _dyadic_classes(max_run: int) -> tuple:
+    """(1, 2, 4, ..., max_run); max_run must be a power of two."""
+    assert max_run & (max_run - 1) == 0 and max_run >= 1, max_run
+    return tuple(1 << i for i in range(max_run.bit_length()))
+
+
+def _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win, max_run=8):
     """Shared issue/drain for the run-coalescing kernels: one copy per run
     head, statically sized by its class; per-copy waits with matching
     descriptors. scratch is FLAT [grp*win, lanes] so a c-window copy lands
     in c consecutive window slots."""
+    classes = _dyadic_classes(max_run)
+
     def issue(g, _):
         t = idx_ref[0, g, 0]
         s8 = idx_ref[0, g, 1]
         c = idx_ref[0, g, 2]
-        for cw in (1, 2, 4, 8):
+        for cw in classes:
             @pl.when(c == cw)
             def _(cw=cw):
                 pltpu.make_async_copy(
@@ -354,7 +365,7 @@ def _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win):
 
     def drain(g, _):
         c = idx_ref[0, g, 2]
-        for cw in (1, 2, 4, 8):
+        for cw in classes:
             @pl.when(c == cw)
             def _(cw=cw):
                 pltpu.make_async_copy(
@@ -369,9 +380,9 @@ def _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win):
 
 
 def _kernel_aligned_runs(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *,
-                         grp, win, cd):
+                         grp, win, cd, max_run=8):
     """Run-coalescing variant of `_kernel_aligned` (same scoring tail)."""
-    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win)
+    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win, max_run)
     rows = scratch[:].astype(jnp.bfloat16)                # [grp*win, cd]
     b_all = q_ref.shape[0]
     scores_all = jax.lax.dot_general(
@@ -391,16 +402,17 @@ def _kernel_aligned_runs(idx_ref, q_ref, cbt_ref, out_ref, scratch, sems, *,
 
 
 def _kernel_aligned_packed_runs(idx_ref, qrow_ref, cbt_ref, out_ref, scratch,
-                                sems, *, grp, win, cd):
+                                sems, *, grp, win, cd, max_run=8):
     """Run-coalescing variant of `_kernel_aligned_packed`."""
-    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win)
+    _issue_runs(idx_ref, cbt_ref, scratch, sems, grp, win, max_run)
     rows = scratch[:].reshape(grp, win, cd).astype(jnp.float32)
     q = qrow_ref[0].astype(jnp.float32)                   # [grp, lanes]
     out_ref[0] = jnp.sum(rows * q[:, None, :], axis=2)    # [grp, win]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "grp", "groups", "drain", "coalesce")
+    jax.jit,
+    static_argnames=("win", "grp", "groups", "drain", "coalesce", "max_run"),
 )
 def pallas_coarse_scores_aligned(
     coarse_by_table: jax.Array,   # int8/bf16[Lg, caprows, lanes]
@@ -414,6 +426,7 @@ def pallas_coarse_scores_aligned(
     seg_b: "jax.Array | None" = None,  # i32[B, MB] lane segment per block
     drain: str = "per_copy",           # "per_copy" | "counted" (packed only)
     coalesce: bool = False,            # run-coalesced DMA (fewer descriptors)
+    max_run: int = 8,                  # largest dyadic run class (pow2)
 ) -> jax.Array:
     """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
     Windows marked dead in `live` are neither copied nor scored validly —
@@ -480,8 +493,11 @@ def pallas_coarse_scores_aligned(
         # runs of up to 8 windows must stay in-bounds: the head's copy
         # spans [start, start + c*win) — member windows are individually
         # clipped, and consecutive clipped windows remain consecutive rows
+        # runs must stay within the grp block (scratch is block-local),
+        # so the class cap is the largest power of two <= min(max_run, grp)
+        mrun = 1 << (min(max_run, grp).bit_length() - 1)
         cls = _run_classes(jnp.clip(table_b2, 0, l - 1), start_clip,
-                           live_eff, win, grp)
+                           live_eff, win, grp, max_run=mrun)
         idx3 = jnp.concatenate(
             [jnp.clip(table_b2, 0, l - 1)[..., None].astype(jnp.int32),
              (start_clip >> 3)[..., None].astype(jnp.int32),
@@ -489,7 +505,7 @@ def pallas_coarse_scores_aligned(
         if groups == 1:
             out = pl.pallas_call(
                 functools.partial(_kernel_aligned_runs, grp=grp, win=win,
-                                  cd=cd),
+                                  cd=cd, max_run=mrun),
                 out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
                 grid=(b, mb // grp),
                 in_specs=[
@@ -514,7 +530,7 @@ def pallas_coarse_scores_aligned(
         ).astype(jnp.bfloat16)                             # [B, MB, lanes]
         out = pl.pallas_call(
             functools.partial(_kernel_aligned_packed_runs, grp=grp,
-                              win=win, cd=cd),
+                              win=win, cd=cd, max_run=mrun),
             out_shape=jax.ShapeDtypeStruct((b, mb, win), jnp.float32),
             grid=(b, mb // grp),
             in_specs=[

@@ -469,24 +469,27 @@ def test_run_classes_partition_exact():
                     tb[i, gx] = tb[i, gx - 1] if gx else tb[i, gx]
                 bs[i, gx] = s
         live = rng.random((b, mb)) > 0.25
-        cls = np.asarray(_run_classes(jnp.asarray(tb), jnp.asarray(bs),
-                                      jnp.asarray(live), win, grp))
-        # brute-force cover: each live g covered exactly once
-        cover = np.zeros((b, mb), np.int32)
-        for i in range(b):
-            for gx in range(mb):
-                c = cls[i, gx]
-                if c:
-                    cover[i, gx:gx + c] += 1
-                    # a span must stay inside one grp block and be a real
-                    # adjacency run
-                    assert gx // grp == (gx + c - 1) // grp
-                    for m in range(1, c):
-                        assert tb[i, gx + m] == tb[i, gx]
-                        assert bs[i, gx + m] == bs[i, gx] + m * win
-                        assert live[i, gx + m]
-        assert (cover[live] == 1).all(), trial
-        assert (cover[~live] == 0).all(), trial
+        for max_run in (8, 16, 32):
+            cls = np.asarray(_run_classes(jnp.asarray(tb), jnp.asarray(bs),
+                                          jnp.asarray(live), win, grp,
+                                          max_run=max_run))
+            # brute-force cover: each live g covered exactly once
+            cover = np.zeros((b, mb), np.int32)
+            for i in range(b):
+                for gx in range(mb):
+                    c = cls[i, gx]
+                    if c:
+                        assert c <= max_run
+                        cover[i, gx:gx + c] += 1
+                        # a span must stay inside one grp block and be a
+                        # real adjacency run
+                        assert gx // grp == (gx + c - 1) // grp
+                        for m in range(1, c):
+                            assert tb[i, gx + m] == tb[i, gx]
+                            assert bs[i, gx + m] == bs[i, gx] + m * win
+                            assert live[i, gx + m]
+            assert (cover[live] == 1).all(), (trial, max_run)
+            assert (cover[~live] == 0).all(), (trial, max_run)
 
 
 def test_pallas_coarse_aligned_coalesced_matches_percopy(monkeypatch):
@@ -517,6 +520,11 @@ def test_pallas_coarse_aligned_coalesced_matches_percopy(monkeypatch):
     runs = np.asarray(cg.pallas_coarse_scores_aligned(
         *args, win, live=jnp.asarray(live), coalesce=True))
     np.testing.assert_allclose(runs[live], base[live], atol=1e-3)
+    # larger dyadic run classes must not change any live score
+    for mr in (16, 32):
+        runs_mr = np.asarray(cg.pallas_coarse_scores_aligned(
+            *args, win, live=jnp.asarray(live), coalesce=True, max_run=mr))
+        np.testing.assert_allclose(runs_mr[live], base[live], atol=1e-3)
 
     # lane-packed variant
     g_pack, lanes = 4, 64
