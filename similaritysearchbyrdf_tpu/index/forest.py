@@ -71,6 +71,9 @@ _SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
 # fall back to the exact 2-operand sorts when the bit budget does not fit
 _FOLD_PACK_SELECT = _os.environ.get("FOLD_PACK_SELECT", "1") == "1"
 _FOLD_PACK_DEDUP = _os.environ.get("FOLD_PACK_DEDUP", "1") == "1"
+# dyadic DMA run coalescing in the folded rowmax kernel (1 = off):
+# adjacent windows of one probed range fetch in one descriptor
+_FOLD_MAX_RUN = int(_os.environ.get("FOLD_MAX_RUN", "1"))
 
 
 # ---------------------------------------------------------------------------
@@ -1533,7 +1536,8 @@ def _query_groupmax(
     rs = jnp.where(live, blk // fold, -1)
     if jax.default_backend() == "tpu":
         rowpk = pallas_coarse_rowmax(
-            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift
+            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift,
+            max_run=_FOLD_MAX_RUN,
         )
     else:
         rowpk = rowmax_fallback(

@@ -64,44 +64,87 @@ _QB = 8             # queries per grid step (the out block's second-minor
 
 
 def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
-            grp, wpr, fold, rpg, mshift):
+            grp, wpr, fold, rpg, mshift, max_run=1):
     """One grid step = `_QB` queries x `grp` windows each. Issues every
     (query, window) copy (wpr folded rows each; up to _QB*grp in flight),
     drains, then per query scores every staged slot with ONE int8 MXU
     matmul against that query's block-diagonal [fold, lanes] matrix, packs
     `(score << mshift) | member` and writes the per-row max (max over the
     row's `fold` lane segments). Dead windows (rs8 < 0) skip their DMA;
-    their stale scratch rows are masked by the caller."""
-    def issue(c, _):
-        qq = c // grp
-        g = c % grp
-        rs8 = idx_ref[qq, g, 1]
+    their stale scratch rows are masked by the caller.
 
-        @pl.when(rs8 >= 0)
-        def _():
-            t = idx_ref[qq, g, 0]
-            pltpu.make_async_copy(
-                tier_ref.at[t, pl.ds(rs8 * 8, wpr), :],
-                scratch.at[pl.ds(c * wpr, wpr), :],
-                sems.at[c % _NSEM],
-            ).start()
+    max_run > 1: idx carries a 3rd field — the dyadic run class from
+    `coarse_gather._run_classes` (adjacent windows of one probed range are
+    consecutive tier rows) — and a class-c head fetches c*wpr rows in ONE
+    descriptor; covered members (class 0, live) skip their DMA. This is
+    the same descriptor-count attack as the lane path's coalesce=True."""
+    if max_run == 1:
+        def issue(c, _):
+            qq = c // grp
+            g = c % grp
+            rs8 = idx_ref[qq, g, 1]
 
-        return 0
+            @pl.when(rs8 >= 0)
+            def _():
+                t = idx_ref[qq, g, 0]
+                pltpu.make_async_copy(
+                    tier_ref.at[t, pl.ds(rs8 * 8, wpr), :],
+                    scratch.at[pl.ds(c * wpr, wpr), :],
+                    sems.at[c % _NSEM],
+                ).start()
 
-    jax.lax.fori_loop(0, _QB * grp, issue, 0)
+            return 0
 
-    def drain(c, _):
-        @pl.when(idx_ref[c // grp, c % grp, 1] >= 0)
-        def _():
-            pltpu.make_async_copy(
-                tier_ref.at[0, pl.ds(0, wpr), :],
-                scratch.at[pl.ds(c * wpr, wpr), :],
-                sems.at[c % _NSEM],
-            ).wait()
+        jax.lax.fori_loop(0, _QB * grp, issue, 0)
 
-        return 0
+        def drain(c, _):
+            @pl.when(idx_ref[c // grp, c % grp, 1] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    tier_ref.at[0, pl.ds(0, wpr), :],
+                    scratch.at[pl.ds(c * wpr, wpr), :],
+                    sems.at[c % _NSEM],
+                ).wait()
 
-    jax.lax.fori_loop(0, _QB * grp, drain, 0)
+            return 0
+
+        jax.lax.fori_loop(0, _QB * grp, drain, 0)
+    else:
+        classes = tuple(1 << i for i in range(max_run.bit_length()))
+
+        def issue(c, _):
+            qq = c // grp
+            g = c % grp
+            cls = idx_ref[qq, g, 2]
+            for cw in classes:
+                @pl.when(cls == cw)
+                def _(cw=cw):
+                    t = idx_ref[qq, g, 0]
+                    rs8 = idx_ref[qq, g, 1]
+                    pltpu.make_async_copy(
+                        tier_ref.at[t, pl.ds(rs8 * 8, cw * wpr), :],
+                        scratch.at[pl.ds(c * wpr, cw * wpr), :],
+                        sems.at[c % _NSEM],
+                    ).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, _QB * grp, issue, 0)
+
+        def drain(c, _):
+            cls = idx_ref[c // grp, c % grp, 2]
+            for cw in classes:
+                @pl.when(cls == cw)
+                def _(cw=cw):
+                    pltpu.make_async_copy(
+                        tier_ref.at[0, pl.ds(0, cw * wpr), :],
+                        scratch.at[pl.ds(c * wpr, cw * wpr), :],
+                        sems.at[c % _NSEM],
+                    ).wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, _QB * grp, drain, 0)
 
     r = grp * wpr
     # member within the row's gsl-slot group: (row % rpg) * fold + segment.
@@ -127,7 +170,7 @@ def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wpr", "rpg", "mshift", "grp")
+    jax.jit, static_argnames=("wpr", "rpg", "mshift", "grp", "max_run")
 )
 def pallas_coarse_rowmax(
     folded: jax.Array,       # i8[L, capf, lanes] slot-folded coarse tier
@@ -139,6 +182,7 @@ def pallas_coarse_rowmax(
     rpg: int,                # rows per member group (gsl // fold)
     mshift: int,             # member bits (log2 gsl)
     grp: int = 8,
+    max_run: int = 1,        # dyadic DMA run classes (1 = per-window copies)
 ) -> jax.Array:
     """Per-row packed maxima i32[B, MB * wpr] for every candidate window.
     Row j of window m covers slots [blk_start + j*fold, +fold); its output
@@ -165,19 +209,30 @@ def pallas_coarse_rowmax(
         qmat = jnp.pad(qmat, ((0, padb), (0, 0), (0, 0)))
     mb = mb_cap + padw
     bp = b + padb
-    rs8 = jnp.where(
-        row_start >= 0, jnp.clip(row_start, 0, capf - wpr) >> 3, -1
-    )
-    idx = jnp.stack(
-        [jnp.clip(table_b2, 0, l_n - 1), rs8], axis=-1
-    ).astype(jnp.int32)                                    # [B, MB, 2]
+    start_clip = jnp.clip(row_start, 0, capf - wpr)
+    rs8 = jnp.where(row_start >= 0, start_clip >> 3, -1)
+    fields = [jnp.clip(table_b2, 0, l_n - 1), rs8]
+    mrun = 1
+    if max_run > 1:
+        from .coarse_gather import _run_classes
+
+        mrun = 1 << (min(max_run, grp).bit_length() - 1)
+        # adjacency on CLIPPED starts (mirrors the lane path): a class-c
+        # head's copy covers exactly the rows its members would fetch
+        cls = _run_classes(
+            jnp.clip(table_b2, 0, l_n - 1), start_clip,
+            row_start >= 0, wpr, grp, max_run=mrun,
+        )
+        fields.append(cls)
+    idx = jnp.stack(fields, axis=-1).astype(jnp.int32)     # [B, MB, 2|3]
+    nf = len(fields)
     out = pl.pallas_call(
         functools.partial(_kernel, grp=grp, wpr=wpr, fold=fold, rpg=rpg,
-                          mshift=mshift),
+                          mshift=mshift, max_run=mrun),
         out_shape=jax.ShapeDtypeStruct((bp, mb * wpr), jnp.int32),
         grid=(bp // _QB, mb // grp),
         in_specs=[
-            pl.BlockSpec((_QB, grp, 2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((_QB, grp, nf), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_QB, fold, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -267,3 +267,84 @@ def test_folded_requires_int8():
             DenseBatch(np.arange(256, dtype=np.int64),
                        np.ones((256, 32), np.float32))
         )
+
+
+def test_rowmax_coalesced_matches_fallback(monkeypatch):
+    """max_run > 1 (dyadic DMA run coalescing) must emit bit-identical
+    packed maxima to the per-window kernel / XLA fallback on live windows
+    (interpret mode; adjacency patterns with real +wpr runs)."""
+    from jax.experimental import pallas as pl
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_fold as cf
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(cf.pl, "pallas_call", patched)
+    rng = np.random.default_rng(21)
+    l_n, capf, lanes = 3, 512, 128
+    cs, fold = 16, 8
+    b, mb, wpr, rpg = 4, 24, 16, 8
+    mshift = 6
+    folded = rng.integers(-127, 128, (l_n, capf, lanes), dtype=np.int8)
+    qi8 = rng.integers(-127, 128, (b, cs), dtype=np.int8)
+    qmat = np.zeros((b, fold, lanes), np.int8)
+    for s in range(fold):
+        qmat[:, s, s * cs:(s + 1) * cs] = qi8
+    table = rng.integers(0, l_n, (b, mb)).astype(np.int32)
+    rs = np.zeros((b, mb), np.int32)
+    for i in range(b):
+        for m in range(mb):
+            if m and rng.random() < 0.6:
+                table[i, m] = table[i, m - 1]
+                rs[i, m] = rs[i, m - 1] + wpr
+            else:
+                rs[i, m] = int(rng.integers(0, (capf - 16 * wpr) // 8)) * 8
+    live = rng.random((b, mb)) > 0.25
+    rs = np.where(live, rs, -1).astype(np.int32)
+
+    args = (jnp.asarray(folded), jnp.asarray(qmat), jnp.asarray(table),
+            jnp.asarray(rs))
+    ref = np.asarray(cf.rowmax_fallback(
+        *args, wpr=wpr, rpg=rpg, mshift=mshift)).reshape(b, mb, wpr)
+    for max_run in (1, 8, 16):
+        got = np.asarray(cf.pallas_coarse_rowmax(
+            *args, wpr=wpr, rpg=rpg, mshift=mshift,
+            max_run=max_run)).reshape(b, mb, wpr)
+        np.testing.assert_array_equal(got[live], ref[live]), max_run
+
+
+def test_rowmax_coalesced_lowers_for_tpu():
+    """Mosaic lowering of the coalesced fold kernel at bench shapes."""
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+        pallas_coarse_rowmax,
+    )
+
+    rng = np.random.default_rng(17)
+    cs, win, mb, b, gsl = 16, 512, 16, 8, 8
+    fold = 128 // cs
+    wpr = win // fold
+    rpg = gsl // fold
+    mshift = gsl.bit_length() - 1
+    l_n, capf = 3, 1024
+    folded = jnp.asarray(
+        rng.integers(-127, 128, (l_n, capf, 128), dtype=np.int8))
+    qmat = jnp.asarray(
+        rng.integers(-127, 128, (b, fold, 128), dtype=np.int8))
+    table = jnp.asarray(rng.integers(0, l_n, (b, mb)).astype(np.int32))
+    rs = jnp.asarray(
+        (rng.integers(0, max(1, (capf - wpr) // 8), (b, mb)) * 8).astype(
+            np.int32))
+
+    def fn(folded, qmat, table, rs):
+        return pallas_coarse_rowmax(
+            folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=mshift,
+            max_run=8)
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        folded, qmat, table, rs)
+    assert "tpu_custom_call" in exp.mlir_module()
