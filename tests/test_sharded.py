@@ -4,6 +4,7 @@ entirely — SURVEY.md §4 'Multi-node testing: None')."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
 from similaritysearchbyrdf_tpu.index.forest import RDFForest
@@ -234,6 +235,14 @@ def test_sharded_folded_groupmax_dominates():
     fold.fit(batch)
     assert fold.state.coarse_folded is not None
     assert fold.state.coarse_by_table is None
+    # fit-time ids128 cache must be populated per shard (advisor r3): the
+    # folded id fetch otherwise re-pays the pad+retile relayout in-jit
+    assert fold.state.ids128 is not None
+    from similaritysearchbyrdf_tpu.index.forest import ids128_view
+    np.testing.assert_array_equal(
+        np.asarray(fold.state.ids128)[0],
+        np.asarray(ids128_view(jnp.asarray(
+            np.asarray(fold.state.sorted_ids)[0]))))
     classic = ShardedRDFForest(_conf(), mesh=make_forest_mesh(8), seed=3)
     classic.fit(batch)
 
