@@ -181,6 +181,11 @@ class RDFConfig:
     # sees one int32 per `coarse_group` slots and only the top
     # `coarse_rows_keep` rows per group are exactly re-ranked. int8 only.
     coarse_layout: str = "lane"           # lane | folded
+    # coarse projection basis: "random" = seeded QR (round-1 default);
+    # "pca" = top-cd eigenvectors of the corpus's uncentered second moment
+    # (deterministic in the corpus — better coarse rank order at the same
+    # cd, so the same recall needs a smaller coarse_refine)
+    coarse_proj_mode: str = "random"      # random | pca
     coarse_group: int = 64                # slots per argmax group (pow2)
     # over-select groups by this factor, dedup candidate ids (two sorts),
     # truncate back to coarse_refine UNIQUE candidates: the exact rerank

@@ -215,11 +215,13 @@ def fit_dense(
             coarse_proj, coarse_folded = _build_folded_tier(
                 corpus_store, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=batch.dim,
+                proj_mode=conf.coarse_proj_mode,
             )
         else:
             coarse_proj, coarse_by_table = _build_coarse_tier(
                 corpus_store, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=batch.dim,
+                proj_mode=conf.coarse_proj_mode,
             )
             if conf.coarse_head_pool:
                 coarse_head = build_head_tier(
@@ -271,6 +273,43 @@ def coarse_seg_width(cd: int) -> int:
     return int(np.ceil(cd / 128.0) * 128)
 
 
+def _coarse_projection(
+    corpus: jax.Array,   # f32[Npad, Dpad] (zero rows beyond the live corpus)
+    d: int,              # true vector dim
+    cd: int,
+    seed: int,
+    mode: str = "random",
+) -> np.ndarray:
+    """[d, cd] orthonormal projection for the coarse tier.
+
+    mode="random": seed-deterministic QR of a Gaussian (round-1 default).
+    mode="pca": top-cd eigenvectors of the corpus's (uncentered) second
+    moment — the rank-cd basis minimizing ||X - X P Pᵀ||_F, so int8 coarse
+    dots rank candidates closer to the true f32 order than a random basis
+    at the same cd (smaller coarse_refine for equal recall). Computed from
+    a strided ≤128k-row device sample (one [S, D]ᵀ[S, D] matmul + a host
+    96×96 eigh); deterministic in the corpus, so checkpoint loads rebuild
+    the identical tier (`storage/persist.load_forest`). Mean is NOT
+    subtracted: search scores are inner products, and the uncentered
+    moment is the right target for preserving x·q."""
+    if mode == "pca":
+        n = corpus.shape[0]
+        stride = max(1, n // 131072)
+        xs = corpus[::stride, :d]
+        mom = np.asarray(jnp.einsum("nd,ne->de", xs, xs,
+                                    preferred_element_type=jnp.float32))
+        w, v = np.linalg.eigh(mom.astype(np.float64))
+        proj = v[:, np.argsort(-w)[:cd]].astype(np.float32)
+        # deterministic sign convention (eigh sign is arbitrary per column)
+        flip = np.sign(proj[np.argmax(np.abs(proj), axis=0),
+                            np.arange(cd)])
+        return proj * np.where(flip == 0, 1.0, flip)[None, :]
+    assert mode == "random", mode
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    return np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
+        np.float32)
+
+
 def _build_coarse_tier(
     corpus: jax.Array,       # f32[Npad, Dpad] (lane-padded scoring copy)
     sorted_ids: jax.Array,   # i32[L, Npad+ID_PAD]
@@ -278,6 +317,7 @@ def _build_coarse_tier(
     coarse_dtype: str,
     seed: int,
     dim: Optional[int] = None,   # true vector dim (<= corpus.shape[1])
+    proj_mode: str = "random",
 ) -> Tuple[jax.Array, jax.Array]:
     """Coarse rows replicated per table in BUCKET-SORTED order (padding
     rows = 0), so a query block's coarse rows are one contiguous slice.
@@ -299,10 +339,7 @@ def _build_coarse_tier(
     if cd == d:
         proj = np.eye(d, dtype=np.float32)
     else:
-        rng = np.random.default_rng(seed ^ 0x5EED)
-        proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
-            np.float32
-        )
+        proj = _coarse_projection(corpus, d, cd, seed, proj_mode)
     cs = coarse_seg_width(cd)
     if cs != proj.shape[1]:
         proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))
@@ -430,6 +467,7 @@ def _build_folded_tier(
     coarse_dtype: str,
     seed: int,
     dim: Optional[int] = None,
+    proj_mode: str = "random",
 ) -> Tuple[jax.Array, jax.Array]:
     """SLOT-FOLDED coarse tier [L, caprows/fold, fold*cs]: same projection,
     quantization and bytes as the lane-packed tier (`_build_coarse_tier` —
@@ -445,10 +483,7 @@ def _build_folded_tier(
     if cd == d:
         proj = np.eye(d, dtype=np.float32)
     else:
-        rng = np.random.default_rng(seed ^ 0x5EED)
-        proj = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :cd].astype(
-            np.float32
-        )
+        proj = _coarse_projection(corpus, d, cd, seed, proj_mode)
     cs = coarse_seg_width(cd)
     if cs != proj.shape[1]:
         proj = np.pad(proj, ((0, 0), (0, cs - proj.shape[1])))

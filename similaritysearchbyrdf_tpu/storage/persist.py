@@ -136,11 +136,13 @@ def load_forest(path: str) -> RDFForest:
             coarse_proj, coarse_folded = _build_folded_tier(
                 corpus, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
+                proj_mode=conf.coarse_proj_mode,
             )
         else:
             coarse_proj, coarse_by_table = _build_coarse_tier(
                 corpus, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
+                proj_mode=conf.coarse_proj_mode,
             )
             if conf.coarse_head_pool:
                 coarse_head = build_head_tier(

@@ -348,3 +348,49 @@ def test_rowmax_coalesced_lowers_for_tpu():
     exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
         folded, qmat, table, rs)
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_pca_projection_orders_better_than_random():
+    """coarse_proj_mode='pca' must (a) produce an orthonormal [d, cd]
+    basis, (b) capture more corpus energy than a random basis on an
+    anisotropic corpus, and (c) be deterministic in the corpus (checkpoint
+    rebuild contract)."""
+    from similaritysearchbyrdf_tpu.index.forest import _coarse_projection
+
+    rng = np.random.default_rng(3)
+    d, cd, n = 48, 8, 4000
+    # anisotropic: energy concentrated in a random 8-dim subspace
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0][:, :8]
+    x = (rng.normal(size=(n, 8)) @ basis.T
+         + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    p_pca = _coarse_projection(xd, d, cd, seed=7, mode="pca")
+    p_rnd = _coarse_projection(xd, d, cd, seed=7, mode="random")
+    np.testing.assert_allclose(p_pca.T @ p_pca, np.eye(cd), atol=1e-4)
+    e_pca = np.linalg.norm(x @ p_pca) ** 2
+    e_rnd = np.linalg.norm(x @ p_rnd) ** 2
+    assert e_pca > 1.5 * e_rnd, (e_pca, e_rnd)
+    p2 = _coarse_projection(jnp.asarray(x.copy()), d, cd, seed=7,
+                            mode="pca")
+    np.testing.assert_array_equal(p_pca, p2)
+
+
+def test_pca_tier_save_load_rebuild(tmp_path):
+    """A pca-projected folded tier must rebuild bit-identically on load
+    (derived-data contract) and answer queries identically."""
+    from similaritysearchbyrdf_tpu.storage.persist import (
+        load_forest, save_forest)
+
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    conf = _conf("folded", coarse_proj_mode="pca")
+    f = RDFForest(conf).fit(batch)
+    ids0, sc0 = f.query(q, steps=1, query_ids=np.arange(len(q)))
+    save_forest(f, str(tmp_path / "pca"))
+    loaded = load_forest(str(tmp_path / "pca"))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.state.coarse_folded),
+        np.asarray(f.state.coarse_folded))
+    ids1, sc1 = loaded.query(q, steps=1, query_ids=np.arange(len(q)))
+    np.testing.assert_array_equal(ids0, ids1)
