@@ -173,14 +173,25 @@ def fit_dense(
     n = batch.n
     chunk = min(conf.fit_batch_size, _pad_to(n, 256))
     npad = _pad_to(n, chunk)
-    values = np.zeros((npad, batch.dim), dtype=np.float32)
-    values[:n] = batch.values
     row_ids = np.full((npad,), -1, dtype=np.int32)
     row_ids[:n] = batch.ids
     valid = np.zeros((npad,), dtype=bool)
     valid[:n] = True
 
-    values_d = jnp.asarray(values)
+    if isinstance(batch.values, jax.Array):
+        # device-resident corpus (steady-state refits, streaming updates):
+        # skip the host staging copy + upload — through the remote-tunnel
+        # rig that upload is ~80% of the warm-fit wall
+        # (results/bisect_fit.json) and in any real deployment the batch
+        # is already on-device
+        values_d = batch.values
+        if values_d.shape[0] != npad:
+            values_d = jnp.pad(
+                values_d, ((0, npad - values_d.shape[0]), (0, 0)))
+    else:
+        values = np.zeros((npad, batch.dim), dtype=np.float32)
+        values[:n] = batch.values
+        values_d = jnp.asarray(values)
     keys = _keys_for_corpus(
         model, part_proj, values_d, jnp.asarray(valid), layout, chunk
     )

@@ -40,7 +40,10 @@ class DenseBatch:
 
     def __post_init__(self) -> None:
         self.ids = np.asarray(self.ids, dtype=np.int32)
-        self.values = np.asarray(self.values, dtype=np.float32)
+        # device-resident values pass through untouched (np.asarray would
+        # force a device->host transfer); fit consumes them directly
+        if not hasattr(self.values, "devices"):
+            self.values = np.asarray(self.values, dtype=np.float32)
         assert self.values.ndim == 2 and self.ids.shape[0] == self.values.shape[0]
 
     @property

@@ -534,3 +534,39 @@ def test_pstable_forest_end_to_end():
         for i in range(200)
     )
     assert hits / 2000 > 0.9
+
+
+def test_fit_from_device_resident_values_matches_host():
+    """fit_dense must accept a DenseBatch whose values are already a
+    device array (steady-state refits skip the host staging + upload that
+    dominates the tunnel-rig fit wall) and produce bit-identical state."""
+    from similaritysearchbyrdf_tpu.index.forest import fit_dense
+
+    rng = np.random.default_rng(33)
+    x = rng.normal(size=(700, 24)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ids = np.arange(700, dtype=np.int32)
+    conf = RDFConfig(
+        vector_dim=24, table_num=3, permutation_num=1, family_size=30,
+        partition_bits=2,
+        lsh_table=TableConfig(chain_length=12, bucket_overflow=16),
+        query_batch_size=32, max_candidates=2048, top_k=5, seed=11,
+        coarse_dim=8, coarse_refine=512,
+    )
+    host = RDFForest(conf).fit(DenseBatch(ids, x))
+    dev = RDFForest(conf)
+    dev.model, dev.part_proj = host.model, host.part_proj
+    dev.state = fit_dense(conf, DenseBatch(ids, jnp.asarray(x)),
+                          model=host.model, part_proj=host.part_proj,
+                          nb_pad=host.state.tables.bucket_keys.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(host.state.tables.sorted_keys),
+        np.asarray(dev.state.tables.sorted_keys))
+    np.testing.assert_array_equal(
+        np.asarray(host.state.tables.sorted_ids),
+        np.asarray(dev.state.tables.sorted_ids))
+    np.testing.assert_array_equal(
+        np.asarray(host.state.corpus), np.asarray(dev.state.corpus))
+    a, sa = host.query(x[:8], steps=1, query_ids=np.arange(8))
+    b, sb = dev.query(x[:8], steps=1, query_ids=np.arange(8))
+    np.testing.assert_array_equal(a, b)
