@@ -77,12 +77,55 @@ def run_point(coarse_dim, with_recall=False):
     return res
 
 
+def run_build_floor(min_vps=150_000.0):
+    """Steady-state build-rate floor (VERDICT r3 item 1): best-of-3 warm
+    fits from a DEVICE-RESIDENT corpus must stay above `min_vps`. The
+    device work of the smoke fit is ~60 ms (results/bisect_fit.json ->
+    ~330k v/s); 150k leaves 2x headroom for dispatch jitter while still
+    catching any real fit-path regression (a 2x slowdown trips it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.config import RDFConfig, TableConfig
+    from similaritysearchbyrdf_tpu.index.forest import RDFForest, fit_dense
+    from similaritysearchbyrdf_tpu.vectors import DenseBatch
+
+    conf = RDFConfig(
+        vector_dim=B.DIM, table_num=10, permutation_num=3, family_size=100,
+        partition_bits=3,
+        lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
+        query_batch_size=256, max_candidates=4096, top_k=B.TOP_K, seed=31258,
+        coarse_dim=32, coarse_dtype="int8", coarse_refine=512,
+    )
+    x = B.make_data()
+    ids = np.arange(B.N_CORPUS, dtype=np.int32)
+    forest = RDFForest(conf).fit(DenseBatch(ids, x))
+    nb_pad = forest.state.tables.bucket_keys.shape[1]
+    xd = jnp.asarray(x)
+    xd.block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = fit_dense(conf, DenseBatch(ids, xd), model=forest.model,
+                       part_proj=forest.part_proj, nb_pad=nb_pad)
+        jax.block_until_ready(st.tables.sorted_keys)
+        best = min(best, time.perf_counter() - t0)
+    vps = B.N_CORPUS / best
+    res = {"build_vps_steady": round(vps, 1), "floor": min_vps,
+           "ok": vps >= min_vps}
+    assert vps >= min_vps, res
+    return res
+
+
 if __name__ == "__main__":
     B.wait_for_backend()
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "cd16":
         out = [run_point(16, with_recall=True),
                run_point(32, with_recall=True)]
+    elif len(sys.argv) > 1 and sys.argv[1] == "build":
+        out = [run_build_floor()]
     else:
-        out = [run_point(100), run_point(32), run_point(None)]
+        out = [run_point(100), run_point(32), run_point(None),
+               run_build_floor()]
     print(json.dumps(out))
