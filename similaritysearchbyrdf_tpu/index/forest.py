@@ -1580,15 +1580,29 @@ def _query_groupmax(
     )                                                          # [B, fold, lanes]
     wpr = win // fold
     rs = jnp.where(live, blk // fold, -1)
+    # slot-level rerank (rows_keep == 2 at rpg == 1): the kernel also
+    # emits each row's SECOND-best packed slot, so the refine budget buys
+    # 2 slots from each of refine/2 groups instead of gsl slots from
+    # refine/gsl groups — gsl/2 x the group coverage at the same exact-
+    # gather cost (the exact stage is 60% of the chunk wall at the
+    # shipped deep8m point, results/bisect_fold_gsl8.json)
+    emit2 = rows_keep == 2 and rpg == 1
+    rowpk2 = None
     if jax.default_backend() == "tpu":
-        rowpk = pallas_coarse_rowmax(
+        out = pallas_coarse_rowmax(
             folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift,
-            max_run=_FOLD_MAX_RUN,
+            max_run=_FOLD_MAX_RUN, emit2=emit2,
         )
     else:
-        rowpk = rowmax_fallback(
-            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift
+        out = rowmax_fallback(
+            folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg, mshift=mshift,
+            emit2=emit2,
         )
+    if emit2:
+        rowpk, rowpk2 = out
+        rowpk2 = rowpk2.reshape(b, mb_cap, wpr)
+    else:
+        rowpk = out
     rowpk = rowpk.reshape(b, mb_cap, wpr)
     # mask rows with NO live slot (stale scratch of dead windows; flatten
     # round-up past `end`; aligned head before `start`). Rows straddling a
@@ -1603,6 +1617,8 @@ def _query_groupmax(
     )
     dead = jnp.int32(I32_DEAD)
     rowpk = jnp.where(row_live, rowpk, dead)
+    if rowpk2 is not None:
+        rowpk2 = jnp.where(row_live, rowpk2, dead)
     ngw = win // gsl
     g4 = rowpk.reshape(b, mb_cap, ngw, rpg)
     g1 = jnp.max(g4, axis=-1)                                  # [B, MB, NGW]
@@ -1777,11 +1793,18 @@ def _query_groupmax(
                 cand2 = jnp.where(cand2 == big, -1, cand2)
     else:
         if rows_keep == 2:
-            # second-best ROW of the group (distinct member bits make
-            # packed values unique, so equality identifies the winner row)
-            g2 = jnp.max(
-                jnp.where(g4 == g1[..., None], dead, g4), axis=-1
-            )
+            if rowpk2 is not None:
+                # rpg == 1: a group IS one physical row — the second
+                # candidate is the row's second-best SLOT, emitted by the
+                # kernel (emit2); the row-masking formula below would be
+                # degenerate (a group has no second row)
+                g2 = rowpk2.reshape(b, mb_cap, ngw)
+            else:
+                # second-best ROW of the group (distinct member bits make
+                # packed values unique, equality identifies the winner row)
+                g2 = jnp.max(
+                    jnp.where(g4 == g1[..., None], dead, g4), axis=-1
+                )
             gsel = jnp.concatenate([g1, g2], axis=2)           # [B, MB, 2*NGW]
         else:
             gsel = g1

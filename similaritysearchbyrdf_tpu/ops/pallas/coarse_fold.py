@@ -63,8 +63,8 @@ _QB = 8             # queries per grid step (the out block's second-minor
 #                     dim must be divisible by 8 — Mosaic VMEM tiling)
 
 
-def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
-            grp, wpr, fold, rpg, mshift, max_run=1):
+def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, *rest, grp, wpr, fold,
+            rpg, mshift, max_run=1, emit2=False):
     """One grid step = `_QB` queries x `grp` windows each. Issues every
     (query, window) copy (wpr folded rows each; up to _QB*grp in flight),
     drains, then per query scores every staged slot with ONE int8 MXU
@@ -77,7 +77,17 @@ def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
     `coarse_gather._run_classes` (adjacent windows of one probed range are
     consecutive tier rows) — and a class-c head fetches c*wpr rows in ONE
     descriptor; covered members (class 0, live) skip their DMA. This is
-    the same descriptor-count attack as the lane path's coalesce=True."""
+    the same descriptor-count attack as the lane path's coalesce=True.
+
+    emit2: a second output carries each row's SECOND-best packed value
+    (max over the fold segments excluding the argmax segment) — the
+    slot-level rerank mode (forest rows_keep=2 at rpg==1) reranks the top
+    2 slots of each selected group instead of all gsl, trading exact-
+    gather count for group coverage."""
+    if emit2:
+        out2_ref, scratch, sems = rest
+    else:
+        scratch, sems = rest
     if max_run == 1:
         def issue(c, _):
             qq = c // grp
@@ -166,11 +176,18 @@ def _kernel(idx_ref, qmat_ref, tier_ref, out_ref, scratch, sems, *,
             preferred_element_type=jnp.int32,
         )
         pk = (scores << mshift) | member
-        out_ref[qq:qq + 1, :] = jnp.max(pk, axis=0, keepdims=True)
+        top1 = jnp.max(pk, axis=0, keepdims=True)
+        out_ref[qq:qq + 1, :] = top1
+        if emit2:
+            # packed values are unique per segment (member bits differ),
+            # so equality identifies exactly the argmax segment
+            pk2 = jnp.where(pk == top1, jnp.int32(I32_DEAD), pk)
+            out2_ref[qq:qq + 1, :] = jnp.max(pk2, axis=0, keepdims=True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wpr", "rpg", "mshift", "grp", "max_run")
+    jax.jit,
+    static_argnames=("wpr", "rpg", "mshift", "grp", "max_run", "emit2"),
 )
 def pallas_coarse_rowmax(
     folded: jax.Array,       # i8[L, capf, lanes] slot-folded coarse tier
@@ -183,6 +200,7 @@ def pallas_coarse_rowmax(
     mshift: int,             # member bits (log2 gsl)
     grp: int = 8,
     max_run: int = 1,        # dyadic DMA run classes (1 = per-window copies)
+    emit2: bool = False,     # also return per-row SECOND-best packed value
 ) -> jax.Array:
     """Per-row packed maxima i32[B, MB * wpr] for every candidate window.
     Row j of window m covers slots [blk_start + j*fold, +fold); its output
@@ -226,10 +244,13 @@ def pallas_coarse_rowmax(
         fields.append(cls)
     idx = jnp.stack(fields, axis=-1).astype(jnp.int32)     # [B, MB, 2|3]
     nf = len(fields)
+    one_out = jax.ShapeDtypeStruct((bp, mb * wpr), jnp.int32)
+    one_spec = pl.BlockSpec((_QB, grp * wpr), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, grp=grp, wpr=wpr, fold=fold, rpg=rpg,
-                          mshift=mshift, max_run=mrun),
-        out_shape=jax.ShapeDtypeStruct((bp, mb * wpr), jnp.int32),
+                          mshift=mshift, max_run=mrun, emit2=emit2),
+        out_shape=(one_out, one_out) if emit2 else one_out,
         grid=(bp // _QB, mb // grp),
         in_specs=[
             pl.BlockSpec((_QB, grp, nf), lambda i, j: (i, j, 0),
@@ -238,18 +259,23 @@ def pallas_coarse_rowmax(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),          # tier stays in HBM
         ],
-        out_specs=pl.BlockSpec((_QB, grp * wpr), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=(one_spec, one_spec) if emit2 else one_spec,
         scratch_shapes=[
             pltpu.VMEM((_QB * grp * wpr, lanes), folded.dtype),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )(idx, qmat, folded)
-    if padw:
-        out = out.reshape(bp, mb, wpr)[:, :mb_cap].reshape(
-            bp, mb_cap * wpr
-        )
-    return out[:b] if padb else out
+    outs = out if emit2 else (out,)
+
+    def crop(o):
+        if padw:
+            o = o.reshape(bp, mb, wpr)[:, :mb_cap].reshape(
+                bp, mb_cap * wpr
+            )
+        return o[:b] if padb else o
+
+    outs = tuple(crop(o) for o in outs)
+    return outs if emit2 else outs[0]
 
 
 def rowmax_fallback(
@@ -260,6 +286,7 @@ def rowmax_fallback(
     wpr: int,
     rpg: int,
     mshift: int,
+    emit2: bool = False,
 ) -> jax.Array:
     """XLA path, BIT-IDENTICAL to `pallas_coarse_rowmax` on live rows
     (integer math throughout); dead windows emit I32_DEAD instead of stale
@@ -286,7 +313,12 @@ def rowmax_fallback(
     member = (r_i[:, None] * fold) | s_i[None, :]      # [wpr, fold]
     pk = (scores << mshift) | member[None, None]
     rowpk = jnp.max(pk, axis=3)                        # [B, MB, wpr]
-    rowpk = jnp.where(
-        (row_start >= 0)[:, :, None], rowpk, jnp.int32(I32_DEAD)
-    )
-    return rowpk.reshape(b, mb_cap * wpr)
+    live = (row_start >= 0)[:, :, None]
+    dead = jnp.int32(I32_DEAD)
+    rowpk = jnp.where(live, rowpk, dead)
+    if not emit2:
+        return rowpk.reshape(b, mb_cap * wpr)
+    pk2 = jnp.where(pk == jnp.max(pk, axis=3, keepdims=True), dead, pk)
+    rowpk2 = jnp.where(live, jnp.max(pk2, axis=3), dead)
+    return (rowpk.reshape(b, mb_cap * wpr),
+            rowpk2.reshape(b, mb_cap * wpr))

@@ -394,3 +394,125 @@ def test_pca_tier_save_load_rebuild(tmp_path):
         np.asarray(f.state.coarse_folded))
     ids1, sc1 = loaded.query(q, steps=1, query_ids=np.arange(len(q)))
     np.testing.assert_array_equal(ids0, ids1)
+
+
+def test_rowmax_emit2_fallback_and_kernel_parity(monkeypatch):
+    """emit2: the second output must be each live row's second-best packed
+    value (numpy oracle), and the interpret-mode kernel must match the
+    fallback bit-for-bit."""
+    from jax.experimental import pallas as pl
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_fold as cf
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(cf.pl, "pallas_call", patched)
+    rng = np.random.default_rng(29)
+    l_n, capf, lanes = 3, 256, 128
+    cs, fold = 16, 8
+    b, mb, wpr, rpg = 4, 16, 16, 1      # rpg=1: gsl == fold == 8
+    gsl = rpg * fold
+    mshift = gsl.bit_length() - 1
+    folded = rng.integers(-127, 128, (l_n, capf, lanes), dtype=np.int8)
+    qi8 = rng.integers(-127, 128, (b, cs), dtype=np.int8)
+    qmat = np.zeros((b, fold, lanes), np.int8)
+    for s in range(fold):
+        qmat[:, s, s * cs:(s + 1) * cs] = qi8
+    table = rng.integers(0, l_n, (b, mb)).astype(np.int32)
+    rs = (rng.integers(0, (capf - wpr) // 8 + 1, (b, mb)) * 8).astype(
+        np.int32)
+    rs[:, -1] = -1
+    args = (jnp.asarray(folded), jnp.asarray(qmat), jnp.asarray(table),
+            jnp.asarray(rs))
+    fb1, fb2 = cf.rowmax_fallback(*args, wpr=wpr, rpg=rpg, mshift=mshift,
+                                  emit2=True)
+    k1, k2 = cf.pallas_coarse_rowmax(*args, wpr=wpr, rpg=rpg,
+                                     mshift=mshift, emit2=True)
+    live = np.repeat(rs >= 0, wpr, axis=1)
+    np.testing.assert_array_equal(np.asarray(k1)[live],
+                                  np.asarray(fb1)[live])
+    np.testing.assert_array_equal(np.asarray(k2)[live],
+                                  np.asarray(fb2)[live])
+    # numpy oracle for one live (query, window)
+    fb1 = np.asarray(fb1).reshape(b, mb, wpr)
+    fb2 = np.asarray(fb2).reshape(b, mb, wpr)
+    for bi in range(b):
+        for m in range(mb - 1):
+            rows = folded[table[bi, m], rs[bi, m]:rs[bi, m] + wpr]
+            for r in range(wpr):
+                pks = []
+                for s in range(fold):
+                    seg = rows[r, s * cs:(s + 1) * cs].astype(np.int64)
+                    sc = int(seg @ qi8[bi].astype(np.int64))
+                    pks.append((sc << mshift) | s)
+                pks.sort(reverse=True)
+                assert fb1[bi, m, r] == pks[0]
+                assert fb2[bi, m, r] == pks[1]
+
+
+def test_folded_slot_keep_recall():
+    """rows_keep=2 at gsl==fold (slot-level rerank) must run end-to-end,
+    return valid ids, and be monotone in refine. At smoke scale the
+    selection width barely exceeds the refine budget, so slot-keep cannot
+    show its coverage advantage (that is a Deep-scale property where
+    width >> refine — measured on TPU, results/deep8m_coarse_fold.json);
+    here we assert it stays within a sane band of whole-group rerank at
+    the SAME refine and recovers most of it at double refine."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    base = RDFForest(
+        _conf("folded", coarse_group=8, coarse_refine=1024,
+              coarse_window=128)).fit(batch)
+    ids0, _ = base.query(q, steps=1, query_ids=np.arange(len(q)))
+    r0 = _recall(ids0, gt)
+
+    slot = RDFForest(
+        _conf("folded", coarse_group=8, coarse_refine=1024,
+              coarse_window=128, coarse_rows_keep=2)).fit(batch)
+    ids1, _ = slot.query(q, steps=1, query_ids=np.arange(len(q)))
+    r1 = _recall(ids1, gt)
+    assert (ids1[ids1 >= 0] < len(x)).all()
+    assert r1 >= r0 - 0.2, (r1, r0)
+
+    slot2 = RDFForest(
+        _conf("folded", coarse_group=8, coarse_refine=2048,
+              coarse_window=128, coarse_rows_keep=2)).fit(batch)
+    ids2, _ = slot2.query(q, steps=1, query_ids=np.arange(len(q)))
+    r2 = _recall(ids2, gt)
+    assert r2 >= r1 - 0.02, (r2, r1)
+
+
+def test_rowmax_emit2_lowers_for_tpu():
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+        pallas_coarse_rowmax,
+    )
+
+    rng = np.random.default_rng(19)
+    cs, win, mb, b, gsl = 16, 512, 16, 8, 8
+    fold = 128 // cs
+    wpr = win // fold
+    rpg = gsl // fold
+    mshift = gsl.bit_length() - 1
+    l_n, capf = 3, 1024
+    folded = jnp.asarray(
+        rng.integers(-127, 128, (l_n, capf, 128), dtype=np.int8))
+    qmat = jnp.asarray(
+        rng.integers(-127, 128, (b, fold, 128), dtype=np.int8))
+    table = jnp.asarray(rng.integers(0, l_n, (b, mb)).astype(np.int32))
+    rs = jnp.asarray(
+        (rng.integers(0, max(1, (capf - wpr) // 8), (b, mb)) * 8).astype(
+            np.int32))
+
+    def fn(folded, qmat, table, rs):
+        return pallas_coarse_rowmax(
+            folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=mshift,
+            emit2=True, max_run=8)
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        folded, qmat, table, rs)
+    assert "tpu_custom_call" in exp.mlir_module()
