@@ -31,7 +31,7 @@ probe() {
 probe || exit 1
 echo "[batch50] leg 1: deep8m folded slot-keep points $(date -u +%H:%M:%S)"
 export DEEP_LAYOUT=folded DEEP_OVERFLOW=2000 FOLD_MAX_RUN=8
-export DEEP_POINTS="1,16,12288,512,262144,0,8,2,1;1,16,16384,512,262144,0,8,2,1;1,16,24576,512,262144,0,8,2,1;1,16,12288,512,262144,0,8,1,1;1,16,24576,512,262144,0,8,1,1"
+export DEEP_POINTS="1,16,8192,512,262144,0,8,2,1;1,16,12288,512,262144,0,8,2,1;1,16,16384,512,262144,0,8,2,1;1,16,12288,512,262144,0,8,1,1;1,16,24576,512,262144,0,8,1,1"
 timeout 9000 python scripts/bench_deep8m_coarse.py > /tmp/b50_leg1.log 2>&1
 echo "[batch50] leg1 rc=$? $(date -u +%H:%M:%S)"
 unset DEEP_POINTS FOLD_MAX_RUN DEEP_LAYOUT DEEP_OVERFLOW
