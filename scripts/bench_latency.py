@@ -44,8 +44,13 @@ def timed_curve(run_batch, queries, k):
         q = queries[:b]
         if q.shape[0] < b:
             q = np.pad(q, ((0, b - q.shape[0]), (0, 0)))
-        ids = run_batch(q)
-        jax.block_until_ready(ids)          # compile + warm (exact shape)
+        try:
+            ids = run_batch(q)
+            jax.block_until_ready(ids)      # compile + warm (exact shape)
+        except Exception as e:              # record, keep the curve going
+            out[str(b)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"  B={b}: {out[str(b)]['error']}", flush=True)
+            continue
         # blocked-each: per-request latency
         lats = []
         for _ in range(REPS_BLOCK):
