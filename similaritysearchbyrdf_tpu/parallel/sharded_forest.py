@@ -570,6 +570,7 @@ class ShardedRDFForest:
         probe_mode: str = "reference",
         probe_budget: int = 8,
         window_keep: Optional[int] = None,
+        rows_keep: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         assert self.state is not None, "need to fit the data first"
         k = k or self.conf.top_k
@@ -583,7 +584,10 @@ class ShardedRDFForest:
         )
         bs = self.conf.query_batch_size
         keep = window_keep if window_keep is not None else self.conf.coarse_keep
-        key = (steps, k, multiprobe, exclude, probe_mode, probe_budget, keep)
+        rkeep = (rows_keep if rows_keep is not None
+                 else self.conf.coarse_rows_keep)
+        key = (steps, k, multiprobe, exclude, probe_mode, probe_budget,
+               keep, rkeep)
         if key not in self._query_fns:
             self._query_fns[key] = make_query_fn(
                 self.mesh, self.layout, steps=steps,
@@ -598,7 +602,7 @@ class ShardedRDFForest:
                 has_head=self.state.coarse_head is not None,
                 has_folded=self.state.coarse_folded is not None,
                 coarse_group=self.conf.coarse_group,
-                rows_keep=self.conf.coarse_rows_keep,
+                rows_keep=rkeep,
                 select_mult=self.conf.coarse_select_mult,
             )
         fn = self._query_fns[key]

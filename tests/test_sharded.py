@@ -251,6 +251,12 @@ def test_sharded_folded_groupmax_dominates():
     finite = np.isfinite(sb)
     assert (sa[finite] >= sb[finite] - 1e-5).all()
 
+    # slot-level rerank under SPMD (rows_keep=2 at gsl==fold): must run
+    # through the sharded path and return valid ids
+    c, sc = fold.query(x[:16], steps=1, query_ids=np.arange(16),
+                       rows_keep=2)
+    assert (c[c >= 0] < 1200).all() and (c >= 0).any()
+
     single = RDFForest(fconf)
     single.model = fold.model
     single.part_proj = fold.part_proj
