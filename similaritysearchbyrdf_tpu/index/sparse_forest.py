@@ -117,16 +117,26 @@ def fit_sparse(
         per_row = batch.nnz_pad * conf.table_num * conf.lsh_table.chain_length * 4
         chunk = min(chunk, _pad_to(max(256, (512 << 20) // max(per_row, 1)), 256))
     npad = _pad_to(n, chunk)
-    idx = np.zeros((npad, batch.nnz_pad), dtype=np.int32)
-    val = np.zeros((npad, batch.nnz_pad), dtype=np.float32)
-    idx[:n] = batch.indices
-    val[:n] = batch.values
     row_ids = np.full((npad,), -1, dtype=np.int32)
     row_ids[:n] = batch.ids
     valid = np.zeros((npad,), dtype=bool)
     valid[:n] = True
 
-    idx_d, val_d = jnp.asarray(idx), jnp.asarray(val)
+    if isinstance(batch.indices, jax.Array):
+        # device-resident COO rows (steady-state refits): skip the host
+        # staging + the ~0.5 GB/1M-row upload that dominates the tunnel-
+        # rig fit wall (same rationale as the dense path, bisect_fit)
+        idx_d, val_d = batch.indices, batch.values
+        if idx_d.shape[0] != npad:
+            padr = ((0, npad - idx_d.shape[0]), (0, 0))
+            idx_d = jnp.pad(idx_d, padr)
+            val_d = jnp.pad(val_d, padr)
+    else:
+        idx = np.zeros((npad, batch.nnz_pad), dtype=np.int32)
+        val = np.zeros((npad, batch.nnz_pad), dtype=np.float32)
+        idx[:n] = batch.indices
+        val[:n] = batch.values
+        idx_d, val_d = jnp.asarray(idx), jnp.asarray(val)
     keys = _keys_for_sparse_corpus(
         model, part_proj, idx_d, val_d, jnp.asarray(valid), layout, chunk,
         batch.size,

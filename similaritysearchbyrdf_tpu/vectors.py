@@ -79,8 +79,10 @@ class SparseBatch:
 
     def __post_init__(self) -> None:
         self.ids = np.asarray(self.ids, dtype=np.int32)
-        self.indices = np.asarray(self.indices, dtype=np.int32)
-        self.values = np.asarray(self.values, dtype=np.float32)
+        # device-resident rows pass through (see DenseBatch.__post_init__)
+        if not hasattr(self.indices, "devices"):
+            self.indices = np.asarray(self.indices, dtype=np.int32)
+            self.values = np.asarray(self.values, dtype=np.float32)
         self.lengths = np.asarray(self.lengths, dtype=np.int32)
 
     @property

@@ -231,3 +231,35 @@ def test_sparse_similarity_threshold_filter():
     keep = sc0 >= thr
     np.testing.assert_array_equal(ids1, np.where(keep, ids0, -1))
     assert (sc1[~keep] == -np.inf).all()
+
+
+def test_sparse_fit_from_device_resident_rows():
+    """fit_sparse with device-resident COO rows must produce bit-identical
+    state to host staging (steady-state refit path; mirrors the dense
+    device-resident fit)."""
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.index.sparse_forest import fit_sparse
+
+    rng = np.random.default_rng(44)
+    n, dim, nnz = 600, 64, 8
+    idx = np.stack([rng.choice(dim, size=nnz, replace=False)
+                    for _ in range(n)]).astype(np.int32)
+    val = rng.normal(size=(n, nnz)).astype(np.float32)
+    val /= np.linalg.norm(val, axis=1, keepdims=True)
+    conf = _conf(vector_dim=dim)
+    host_b = SparseBatch(ids=np.arange(n, dtype=np.int32), size=dim,
+                         indices=idx, values=val,
+                         lengths=np.full(n, nnz, np.int32))
+    host = fit_sparse(conf, host_b)
+    dev_b = SparseBatch(ids=np.arange(n, dtype=np.int32), size=dim,
+                        indices=jnp.asarray(idx), values=jnp.asarray(val),
+                        lengths=np.full(n, nnz, np.int32))
+    dev = fit_sparse(conf, dev_b, model=host.model,
+                     part_proj=host.part_proj,
+                     nb_pad=host.tables.bucket_keys.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(host.tables.sorted_keys),
+        np.asarray(dev.tables.sorted_keys))
+    np.testing.assert_array_equal(
+        np.asarray(host.corpus_values), np.asarray(dev.corpus_values))
