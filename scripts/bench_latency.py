@@ -30,7 +30,10 @@ sys.path.insert(0, ".")
 
 from bench import wait_for_backend  # noqa: E402
 
-BATCHES = (1, 8, 64, 256, 1024)
+BATCHES = tuple(
+    int(v) for v in os.environ.get("LAT_BATCHES", "1,8,64,256,1024").split(",")
+)
+ENGINES = os.environ.get("LAT_ENGINES", "forest,flat,ivf").split(",")
 REPS_PIPE = 8
 REPS_BLOCK = 20
 
@@ -141,9 +144,11 @@ def main():
                "engines": {}}
 
     # --- forest ---
-    t0 = time.perf_counter()
-    forest = RDFForest(forest_conf).fit(DenseBatch(ids, x))
-    print(f"forest fit {time.perf_counter()-t0:.0f}s", flush=True)
+    forest = None
+    if "forest" in ENGINES:
+        t0 = time.perf_counter()
+        forest = RDFForest(forest_conf).fit(DenseBatch(ids, x))
+        print(f"forest fit {time.perf_counter()-t0:.0f}s", flush=True)
 
     def run_forest(q):
         b = q.shape[0]
@@ -158,8 +163,9 @@ def main():
         )
         return got
 
-    print("forest:", flush=True)
-    results["engines"]["forest"] = timed_curve(run_forest, queries, k)
+    if "forest" in ENGINES:
+        print("forest:", flush=True)
+        results["engines"]["forest"] = timed_curve(run_forest, queries, k)
     del forest
     import gc; gc.collect()
 
@@ -184,14 +190,17 @@ def main():
                 r_groups=128, refine=128)
             return f_ids
 
-    print("flat:", flush=True)
-    results["engines"]["flat"] = timed_curve(run_flat, queries, k)
+    if "flat" in ENGINES:
+        print("flat:", flush=True)
+        results["engines"]["flat"] = timed_curve(run_flat, queries, k)
 
     # --- ivf ---
-    t0 = time.perf_counter()
-    ivf = IVFFlatIndex(target_cluster=256, nprobe=2, refine=128)
-    ivf.fit(DenseBatch(ids, x))
-    print(f"ivf build {time.perf_counter()-t0:.0f}s", flush=True)
+    ivf = None
+    if "ivf" in ENGINES:
+        t0 = time.perf_counter()
+        ivf = IVFFlatIndex(target_cluster=256, nprobe=2, refine=128)
+        ivf.fit(DenseBatch(ids, x))
+        print(f"ivf build {time.perf_counter()-t0:.0f}s", flush=True)
 
     def run_ivf(q):
         b = q.shape[0]
@@ -200,15 +209,30 @@ def main():
                              nprobe=2)
         return i_ids
 
-    print("ivf:", flush=True)
-    results["engines"]["ivf"] = timed_curve(run_ivf, queries, k)
+    if "ivf" in ENGINES:
+        print("ivf:", flush=True)
+        results["engines"]["ivf"] = timed_curve(run_ivf, queries, k)
 
     path = "results/latency_curve.json"
     merged = {}
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
-    merged[which] = results
+    if which in merged:
+        # merge per-engine/per-B (targeted retries only overwrite what
+        # they measured)
+        old = merged[which].get("engines", {})
+        for eng, curve in results["engines"].items():
+            if curve is None:
+                continue
+            base = old.get(eng) or {}
+            base.update(curve)
+            old[eng] = base
+        merged[which]["engines"] = old
+    else:
+        results["engines"] = {e: c for e, c in results["engines"].items()
+                              if c is not None}
+        merged[which] = results
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps(results))

@@ -1108,6 +1108,9 @@ def _coarse_block_scores(
     use_pallas = (
         start_b is not None and jax.default_backend() == "tpu"
         and bs_block % 8 == 0
+        # sub-8 query chunks fail Mosaic vector-op verification (B=1
+        # latency probes); the XLA gather path is fine at these sizes
+        and table_b2.shape[0] >= 8
     )
     if use_pallas:
         from ..ops.pallas.coarse_gather import pallas_coarse_scores_aligned
