@@ -1815,18 +1815,55 @@ def _query_groupmax(
         width = mb_cap * ngw * keep
         flat = gsel.reshape(b, width)
         rg = min(refine, width)
-        gidx = jnp.broadcast_to(
-            jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
-        )
-        neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1, num_keys=1)
-        selpk = -neg_s[:, :rg]
-        sel = gidx_s[:, :rg]
+        bits_w = max(1, (width - 1).bit_length())
+        score_bits = (cs * 127 * 127).bit_length() + 1   # signed int8 dot
+        q_bits = 32 - bits_w - mshift
+        if _FOLD_PACK_SELECT and score_bits + mshift - q_bits <= 10 \
+                and q_bits >= 8:
+            # SINGLE-OPERAND select sort for the slot-keep path: quantize
+            # the packed (score, member) to the top q_bits, then carry the
+            # MEMBER bits and the flat index in the low bits — unlike the
+            # rows_keep=0 variant the member must survive selection (it
+            # addresses the slot within the group), so it rides between
+            # the quantized score and the index. Sort cost scales with
+            # operand count (CLAUDE.md); this halves the [B, width] wall.
+            sh = score_bits + mshift - q_bits
+            lo = jnp.int32(-(1 << (q_bits - 1)))
+            # dead stays STRICTLY below every live value: the minimum live
+            # pk can quantize exactly to lo, so live clamps to lo+1 and
+            # only dead entries carry lo itself
+            qv = jnp.where(
+                flat == dead, lo,
+                jnp.maximum(jax.lax.shift_right_arithmetic(flat, sh),
+                            lo + 1),
+            )
+            memb = flat & jnp.int32(gsl - 1)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+            pack = (
+                jax.lax.shift_left(qv, bits_w + mshift)
+                | jax.lax.shift_left(memb, bits_w)
+                | gidx
+            )
+            pack_s = ~jax.lax.sort(~pack, dimension=1)[:, :rg]
+            sel = pack_s & jnp.int32((1 << bits_w) - 1)
+            member = jax.lax.shift_right_logical(pack_s, bits_w) & jnp.int32(
+                gsl - 1)
+            sel_valid = jax.lax.shift_right_arithmetic(
+                pack_s, bits_w + mshift) > lo
+        else:
+            gidx = jnp.broadcast_to(
+                jnp.arange(width, dtype=jnp.int32)[None, :], (b, width)
+            )
+            neg_s, gidx_s = jax.lax.sort((-flat, gidx), dimension=1,
+                                         num_keys=1)
+            selpk = -neg_s[:, :rg]
+            sel = gidx_s[:, :rg]
+            member = selpk & jnp.int32(gsl - 1)
+            sel_valid = selpk != dead
         mbi = sel // (ngw * keep)
         gi = sel % ngw
-        member = selpk & jnp.int32(gsl - 1)
         pos = jnp.take_along_axis(blk, mbi, axis=1) + gi * gsl + member
         t2 = jnp.take_along_axis(table_b2, mbi, axis=1)
-        sel_valid = selpk != dead
         cand2 = state.tables.sorted_ids[
             jnp.clip(t2, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
         ]

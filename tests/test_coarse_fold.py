@@ -178,6 +178,20 @@ def test_packed_sorts_match_two_operand_fallback(monkeypatch):
         recs[packed] = _recall(ids, gt)
     assert abs(recs[True] - recs[False]) <= 0.02, recs
 
+    # slot-keep path (rows_keep=2): the packed select must carry the
+    # member bits through selection — parity vs the 2-operand sort
+    kw2 = dict(steps=1, probe_mode="margin", probe_budget=8,
+               coarse_group=8, rows_keep=2)
+    recs2 = {}
+    for packed in (True, False):
+        monkeypatch.setattr(forest_mod, "_FOLD_PACK_SELECT", packed)
+        import jax
+        jax.clear_caches()
+        ids, _ = f.query(q, **kw2)
+        assert (ids[ids >= 0] < len(x)).all()
+        recs2[packed] = _recall(ids, gt)
+    assert abs(recs2[True] - recs2[False]) <= 0.02, recs2
+
 
 def test_folded_default_window_auto_clamps():
     """With coarse_window unset the groupmax path picks the largest pow2
