@@ -175,23 +175,26 @@ def mode_shard_leg():
 
     from similaritysearchbyrdf_tpu.ops.ivf import IVFFlatIndex
     from similaritysearchbyrdf_tpu.ops.exact import exact_search
+    from similaritysearchbyrdf_tpu.utils.datasets import hard_clustered
     from similaritysearchbyrdf_tpu.vectors import DenseBatch
-    from scripts.bench_large import clustered
 
     n, nq = ROWS_PER_SHARD, 1024
-    # hard distribution (same recipe as the hard8m/deep30m corpora): many
-    # clusters, high noise — the regime where IVF recall is honest work
-    x = clustered(n, D, 65536, 0.18, seed=31)
+    # the binding-recall corpus recipe shared with hard8m/deep30m
+    # (overlapping hierarchical centers + heavy-tailed spread + uniform
+    # noise floor, FRESH non-corpus queries). NB a naive clustered() with
+    # noise 0.18/dim is ~uniform on the sphere at 96d (noise norm 1.76 x
+    # signal) — the first cut of this leg measured exactly that mistake.
+    x, queries = hard_clustered(n, D, n_queries=nq, seed=31)
     ids = np.arange(n, dtype=np.int32)
-    queries = x[:nq]
 
-    gt_cache = f"/tmp/deep100m_shard_{n}_gt.npz"
+    gt_cache = f"/tmp/deep100m_shard_{n}_hard_gt.npz"
     try:
         gt = np.load(gt_cache)["gt"]
         assert gt.shape[0] == nq
     except Exception:
         t0 = time.time()
-        gt, _ = exact_search(x, queries, k=10, exclude_self=True)
+        # fresh non-corpus queries: nothing to self-exclude
+        gt, _ = exact_search(x, queries, k=10, exclude_self=False)
         gt = np.asarray(gt)
         np.savez(gt_cache, gt=gt)
         print(f"GT {time.time()-t0:.0f}s", flush=True)
@@ -203,15 +206,15 @@ def mode_shard_leg():
     print(f"build {build_s:.0f}s", flush=True)
 
     out = {"n": n, "dim": D, "nq": nq, "build_s": round(build_s, 1),
-           "corpus": "hard (65536 clusters, noise 0.18)", "points": []}
+           "corpus": "hard_clustered (hierarchical centers, fresh queries)",
+           "points": []}
     st = ivf.state
     hbm = sum(int(np.prod(a.shape)) * a.dtype.itemsize
               for a in (st.sketch, st.corpus, st.row_ids))
     out["per_shard_bytes"] = hbm
     out["hbm_fraction_16g"] = round(hbm / (16 << 30), 3)
     for nprobe in (4, 8, 16, 32, 64):
-        i_ids, _ = ivf.query(queries, k=10,
-                             query_ids=np.arange(nq, dtype=np.int32),
+        i_ids, _ = ivf.query(queries, k=10, exclude_self=False,
                              nprobe=nprobe)
         rec = np.mean([
             len(set(i_ids[i].tolist()) & set(gt[i].tolist())) / 10
@@ -220,8 +223,7 @@ def mode_shard_leg():
         t0 = time.perf_counter()
         reps = 4
         for _ in range(reps):
-            i_ids, _ = ivf.query(queries, k=10,
-                                 query_ids=np.arange(nq, dtype=np.int32),
+            i_ids, _ = ivf.query(queries, k=10, exclude_self=False,
                                  nprobe=nprobe)
         dt = (time.perf_counter() - t0) / reps
         pt = {"nprobe": nprobe, "qps": round(nq / dt, 1),
@@ -253,8 +255,9 @@ def mode_compose():
     b, k = 1024, 10
     gather_bytes = b * k * 8 * PLAN_CHIPS
     ici_s = gather_bytes / 45e9       # v5e ICI ~45 GB/s/link, 1 hop lower bd
-    best = max((p for p in leg["points"] if p["recall@10"] >= 0.9),
-               key=lambda p: p["qps"], default=leg["points"][-1])
+    good = [p for p in leg["points"] if p["recall@10"] >= 0.9]
+    best = (max(good, key=lambda p: p["qps"]) if good
+            else max(leg["points"], key=lambda p: p["recall@10"]))
     out = {
         "claim": ("Deep-100M (100M x 96d) served by a 16-chip v5e slice: "
                   "6.25M rows/shard, shard-local IVF + one ICI all-gather "
