@@ -166,6 +166,7 @@ def main():
     if "forest" in ENGINES:
         print("forest:", flush=True)
         results["engines"]["forest"] = timed_curve(run_forest, queries, k)
+        _write(which, results)
     del forest
     import gc; gc.collect()
 
@@ -193,6 +194,13 @@ def main():
     if "flat" in ENGINES:
         print("flat:", flush=True)
         results["engines"]["flat"] = timed_curve(run_flat, queries, k)
+        _write(which, results)
+    # free the flat arrays before the IVF build: sketch + padded corpus
+    # copies alongside the IVF build transients OOM'd HBM at 8M
+    del sketch
+    del xd
+    del run_flat
+    import gc; gc.collect()
 
     # --- ivf ---
     ivf = None
@@ -212,7 +220,13 @@ def main():
     if "ivf" in ENGINES:
         print("ivf:", flush=True)
         results["engines"]["ivf"] = timed_curve(run_ivf, queries, k)
+        _write(which, results)
 
+    _write(which, results)
+    print(json.dumps(results))
+
+
+def _write(which, results):
     path = "results/latency_curve.json"
     merged = {}
     if os.path.exists(path):
@@ -232,10 +246,11 @@ def main():
     else:
         results["engines"] = {e: c for e, c in results["engines"].items()
                               if c is not None}
-        merged[which] = results
+        merged[which] = dict(results)
+        merged[which]["engines"] = {
+            e: c for e, c in results["engines"].items() if c is not None}
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":
