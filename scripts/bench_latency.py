@@ -171,9 +171,10 @@ def main():
     import gc; gc.collect()
 
     # --- flat ---
-    xd = jnp.asarray(x)
-    sketch, _ = build_flat_sketch(xd, "int8")
-    row_ids_d = jnp.asarray(ids)
+    if "flat" in ENGINES:
+        xd = jnp.asarray(x)
+        sketch, _ = build_flat_sketch(xd, "int8")
+        row_ids_d = jnp.asarray(ids)
 
     if which == "glove":
         def run_flat(q):
@@ -195,10 +196,11 @@ def main():
         print("flat:", flush=True)
         results["engines"]["flat"] = timed_curve(run_flat, queries, k)
         _write(which, results)
-    # free the flat arrays before the IVF build: sketch + padded corpus
-    # copies alongside the IVF build transients OOM'd HBM at 8M
-    del sketch
-    del xd
+    if "flat" in ENGINES:
+        # free the flat arrays before the IVF build: sketch + padded
+        # corpus copies alongside the IVF build transients OOM HBM at 8M
+        del sketch
+        del xd
     del run_flat
     import gc; gc.collect()
 
