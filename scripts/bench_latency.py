@@ -206,18 +206,45 @@ def main():
 
     # --- ivf ---
     ivf = None
+    ivf_state = None
     if "ivf" in ENGINES:
         t0 = time.perf_counter()
-        ivf = IVFFlatIndex(target_cluster=256, nprobe=2, refine=128)
-        ivf.fit(DenseBatch(ids, x))
+        if which == "deep8m":
+            # streamed build at 8M: host corpus, bf16-resident refine tier
+            # (build_ivf's all-f32 device transients OOM alongside this
+            # process's other state; the streamed path is the proven
+            # large-N recipe, results/deep30m.json)
+            from similaritysearchbyrdf_tpu.ops.ivf import (
+                build_ivf_streamed, ivf_topk, ivf_window_budget)
+
+            ivf_state = build_ivf_streamed(x, ids, target_cluster=256)
+            jax.block_until_ready(ivf_state.sketch)
+        else:
+            ivf = IVFFlatIndex(target_cluster=256, nprobe=2, refine=128)
+            ivf.fit(DenseBatch(ids, x))
         print(f"ivf build {time.perf_counter()-t0:.0f}s", flush=True)
 
-    def run_ivf(q):
-        b = q.shape[0]
-        i_ids, _ = ivf.query(q, k=k,
-                             query_ids=np.arange(b, dtype=np.int32),
-                             nprobe=2)
-        return i_ids
+    if ivf_state is not None:
+        from similaritysearchbyrdf_tpu.ops.ivf import (
+            ivf_topk, ivf_window_budget)
+
+        _wb = ivf_window_budget(ivf_state.starts, ivf_state.ends, 2, 64)
+
+        def run_ivf(q):
+            b = q.shape[0]
+            i_ids, _ = ivf_topk(
+                ivf_state.sketch, ivf_state.corpus, ivf_state.row_ids,
+                ivf_state.centroids, ivf_state.starts, ivf_state.ends,
+                jnp.asarray(q), jnp.asarray(np.arange(b, dtype=np.int32)),
+                k, nprobe=2, win=64, wb=_wb, refine=128)
+            return i_ids
+    else:
+        def run_ivf(q):
+            b = q.shape[0]
+            i_ids, _ = ivf.query(q, k=k,
+                                 query_ids=np.arange(b, dtype=np.int32),
+                                 nprobe=2)
+            return i_ids
 
     if "ivf" in ENGINES:
         print("ivf:", flush=True)
