@@ -564,9 +564,11 @@ def ivf_topk(
     blk_dma = jnp.minimum(blk, max(npad - win, 0))
 
     # the DMA kernel addresses windows in 8-row units (start >> 3): a
-    # non-8-multiple win would misalign every window vs its `pos` labels
+    # non-8-multiple win would misalign every window vs its `pos` labels.
+    # Sub-8 query batches fail Mosaic vector-op verification (B=1 latency
+    # probes) — the XLA gather path serves them.
     if (use_pallas and jax.default_backend() == "tpu" and npad >= win
-            and win % 8 == 0):
+            and win % 8 == 0 and queries.shape[0] >= 8):
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
         from ..index.forest import _COARSE_COALESCE, _COARSE_MAX_RUN
