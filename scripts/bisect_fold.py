@@ -137,10 +137,13 @@ def main():
             )
             wpr = win // fold
             rs = jnp.where(live, blk // fold, -1)
-            kern = (pallas_coarse_rowmax
-                    if jax.default_backend() == "tpu" else rowmax_fallback)
-            rowpk = kern(folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg,
-                         mshift=mshift)
+            if jax.default_backend() == "tpu":
+                rowpk = pallas_coarse_rowmax(
+                    folded, qmat, table_b2, rs, wpr=wpr, rpg=rpg,
+                    mshift=mshift, max_run=F._FOLD_MAX_RUN)
+            else:
+                rowpk = rowmax_fallback(folded, qmat, table_b2, rs,
+                                        wpr=wpr, rpg=rpg, mshift=mshift)
             if stage == "kernel":
                 return rowpk.sum() + total.sum()
             rowpk = rowpk.reshape(b, mb_cap, wpr)
