@@ -123,10 +123,11 @@ def main():
         (1, 20, 16384, 512, 262144),
     )
     if os.environ.get("DEEP_POINTS"):
-        # "steps,budget,refine,window,m_cap[,keep[,gsl,rkeep[,smult]]];..."
-        # override for ad-hoc sweeps (keep = two-phase window_keep, lane
-        # layout; gsl/rkeep = coarse_group / coarse_rows_keep and smult =
-        # select_mult dedup over-selection, folded layout)
+        # "steps,budget,refine,window,m_cap[,keep[,gsl,rkeep[,smult[,stage2]]]]"
+        # ;-separated override for ad-hoc sweeps (keep = two-phase
+        # window_keep, lane layout; gsl/rkeep = coarse_group /
+        # coarse_rows_keep, smult = select_mult dedup over-selection and
+        # stage2 = staged-rerank exact budget, folded layout)
         points = tuple(
             tuple(int(v) for v in grp.split(","))
             for grp in os.environ["DEEP_POINTS"].split(";")
@@ -137,10 +138,12 @@ def main():
         gsl = pt[6] if len(pt) > 6 else conf.coarse_group
         rkeep = pt[7] if len(pt) > 7 else conf.coarse_rows_keep
         smult = pt[8] if len(pt) > 8 else 1
+        stage2 = pt[9] if len(pt) > 9 else 0
         kw = dict(steps=steps, query_ids=query_ids, probe_mode="margin",
                   probe_budget=budget, coarse_refine=refine,
                   coarse_window=cw, m_cap=mc, window_keep=keep,
-                  coarse_group=gsl, rows_keep=rkeep, select_mult=smult)
+                  coarse_group=gsl, rows_keep=rkeep, select_mult=smult,
+                  stage2=stage2)
         try:
             forest.query(queries, **kw)                  # compile + warm
             t0 = time.perf_counter()
@@ -167,6 +170,8 @@ def main():
                 point["rows_keep"] = rkeep
                 if smult != 1:
                     point["select_mult"] = smult
+                if stage2:
+                    point["stage2"] = stage2
             if conf.query_batch_size != 64:
                 point["query_batch"] = conf.query_batch_size
             if conf.rerank_dtype != "float32":

@@ -196,6 +196,12 @@ class RDFConfig:
     # (groups select, slots re-rank — contiguous gathers; the default),
     # 1|2 = only the per-group packed winner row(s)
     coarse_rows_keep: int = 0
+    # staged rerank (folded layout, rows_keep=0): int8-rescore every slot
+    # of the selected groups, dedup ids in coarse-score order, and exact-
+    # score only the best `coarse_stage2` unique ids (the exact stage pays
+    # ~20 ns per fetched row — 54% of the shipped Deep-8M chunk). 0 = off
+    # (every selected slot is exactly scored, the r4 behavior)
+    coarse_stage2: int = 0
     # engine selector (TPU extension): "forest" = the reference-semantics
     # DPF index; "flat" = the quantized-flat MXU scan (ops/flat.py) behind
     # the same front-end surface — fastest for HBM-resident dense corpora,

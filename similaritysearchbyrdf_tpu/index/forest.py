@@ -331,6 +331,7 @@ def _build_coarse_tier(
     seed: int,
     dim: Optional[int] = None,   # true vector dim (<= corpus.shape[1])
     proj_mode: str = "random",
+    proj: Optional[np.ndarray] = None,   # persisted projection (load path)
 ) -> Tuple[jax.Array, jax.Array]:
     """Coarse rows replicated per table in BUCKET-SORTED order (padding
     rows = 0), so a query block's coarse rows are one contiguous slice.
@@ -349,7 +350,10 @@ def _build_coarse_tier(
     One-time fit cost: one [N, D] x [D, Cd] matmul + L gathers of N rows."""
     d = dim if dim is not None else corpus.shape[1]
     cd = min(coarse_dim, d)
-    if cd == d:
+    if proj is not None:
+        # persisted projection (checkpoint load) — see _build_folded_tier
+        proj = np.asarray(proj, dtype=np.float32)
+    elif cd == d:
         proj = np.eye(d, dtype=np.float32)
     else:
         proj = _coarse_projection(corpus, d, cd, seed, proj_mode)
@@ -481,6 +485,7 @@ def _build_folded_tier(
     seed: int,
     dim: Optional[int] = None,
     proj_mode: str = "random",
+    proj: Optional[np.ndarray] = None,   # persisted projection (load path)
 ) -> Tuple[jax.Array, jax.Array]:
     """SLOT-FOLDED coarse tier [L, caprows/fold, fold*cs]: same projection,
     quantization and bytes as the lane-packed tier (`_build_coarse_tier` —
@@ -493,7 +498,13 @@ def _build_folded_tier(
         "kernel packs integer scores)", coarse_dtype)
     d = dim if dim is not None else corpus.shape[1]
     cd = min(coarse_dim, d)
-    if cd == d:
+    if proj is not None:
+        # persisted projection (checkpoint load): reusing it keeps the
+        # rebuilt tier bit-identical to the fitted one across backends —
+        # the pca moment matmul is only deterministic on ONE backend
+        # (advisor r4 finding) — and skips the O(N*d^2) recompute
+        proj = np.asarray(proj, dtype=np.float32)
+    elif cd == d:
         proj = np.eye(d, dtype=np.float32)
     else:
         proj = _coarse_projection(corpus, d, cd, seed, proj_mode)
@@ -1500,6 +1511,7 @@ def _query_groupmax(
     group_slots: int = 64,
     rows_keep: int = 1,
     select_mult: int = 1,
+    stage2: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query via the SLOT-FOLDED coarse tier: aligned-window DMA of folded
     rows (fold = 128/cs candidates per 128-lane line — every fetched byte a
@@ -1609,6 +1621,15 @@ def _query_groupmax(
     else:
         rowpk = out
     rowpk = rowpk.reshape(b, mb_cap, wpr)
+    # The kernel's (score << mshift) | member pack must fit int32 on EVERY
+    # folded path (rows_keep 0/1/2 alike) — hoisted above the branch so a
+    # coarse_dim/gsl combination that overflows fails loudly instead of
+    # silently corrupting the select (advisor r4 finding).
+    score_bits = (cs * 127 * 127).bit_length() + 1       # signed int8 dot
+    assert score_bits + mshift <= 32, (
+        "folded groupmax pack overflow: score_bits + mshift > 32",
+        score_bits, mshift,
+    )
     # mask rows with NO live slot (stale scratch of dead windows; flatten
     # round-up past `end`; aligned head before `start`). Rows straddling a
     # boundary keep their max — a fold-granular superset, allowed by the
@@ -1646,18 +1667,11 @@ def _query_groupmax(
         # EFFECTIVE refine at fixed exact-scoring cost for two sorts.
         rgg = max(1, min(rtarget * select_mult, width))
         bits_w = max(1, (width - 1).bit_length())
-        score_bits = (cs * 127 * 127).bit_length() + 1   # signed int8 dot
         sh = max(0, score_bits + mshift - (32 - bits_w))
         # The gate below (sh <= mshift + 8) keeps the dead-window sentinel
-        # strictly below `lo` only because sh <= bits_w, which holds iff the
-        # groupmax kernel's rowpk pack invariant score_bits + mshift <= 32
-        # holds. Assert it so a future coarse_dim/gsl combination that
-        # overflows the pack fails loudly instead of letting dead windows
-        # pass live_sel (advisor r3 finding).
-        assert score_bits + mshift <= 32, (
-            "folded groupmax pack overflow: score_bits + mshift > 32",
-            score_bits, mshift,
-        )
+        # strictly below `lo` only because sh <= bits_w, which holds iff
+        # the groupmax kernel's rowpk pack invariant score_bits + mshift
+        # <= 32 holds — asserted above the rows_keep branch.
         if _FOLD_PACK_SELECT and sh <= mshift + 8:
             # SINGLE-OPERAND select sort: quantize the packed group value
             # to the top 32-bits_w bits (drops sh-mshift score LSBs — ties
@@ -1741,7 +1755,57 @@ def _query_groupmax(
                 jnp.clip(t2r, 0, l_n - 1), jnp.clip(pos, 0, cap - 1)
             ]
         cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
-        if rgg > rtarget:
+        if 0 < stage2 < rgg * gsl:
+            # STAGED RERANK (r5): the exact stage's cost is ~20 ns per
+            # fetched corpus row and was 54% of the shipped Deep-8M chunk
+            # (results/bisect_fold_gsl8_coalesced.json), so cut exact rows
+            # refine -> stage2 by re-scoring every slot of the selected
+            # groups with the SAME int8 coarse dots the rowmax kernel
+            # reduced away: re-gather the groups' folded tier rows
+            # (lane-full 128-wide rows ride the vectorized row-gather fast
+            # path), one batched int8 MXU matmul against the query's
+            # block-diagonal qmat, then dedup ids in coarse-score order
+            # and keep the best `stage2` unique ids for the f32 rerank.
+            # Candidate contract: still a coarse-chosen SUBSET of the
+            # probed buckets, exactly like coarse_refine always was.
+            gbase = jnp.clip(base, 0, capslots - gsl)      # [B, RGG]
+            rowf = gbase // fold
+            tf = jnp.clip(t2, 0, l_n - 1)
+            if rpg > 1:
+                rowf = (
+                    rowf[:, :, None]
+                    + jnp.arange(rpg, dtype=jnp.int32)[None, None, :]
+                ).reshape(b, rgg * rpg)
+                tf = jnp.repeat(tf, rpg, axis=1)
+            frows = jnp.take(
+                folded.reshape(l_n * capf, lanes), tf * capf + rowf,
+                axis=0,
+            )                                              # [B, R2, lanes]
+            sc = jax.lax.dot_general(
+                frows.astype(jnp.int32), qmat.astype(jnp.int32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )                                              # [B, R2, fold]
+            # (row, seg) reshape order == member order == cand2 slot order
+            slot_sc = sc.reshape(b, rgg * gsl)
+            # sort 1: (id asc, -score asc) — each id's best copy leads;
+            # sort 2: unique ids by coarse score desc, truncate to stage2.
+            # Sentinel 2^30 clears every real row index (< npad) and every
+            # negated score (|score| <= cs*127^2 < 2^20).
+            sent = jnp.int32(1 << 30)
+            idk = jnp.where(cand2 >= 0, cand2, sent)
+            negsc = jnp.where(cand2 >= 0, -slot_sc, sent)
+            id_s, neg_s = jax.lax.sort((idk, negsc), dimension=1,
+                                       num_keys=2)
+            dup = jnp.concatenate(
+                [jnp.zeros((b, 1), dtype=bool),
+                 id_s[:, 1:] == id_s[:, :-1]], axis=1,
+            )
+            neg_s = jnp.where(dup | (id_s == sent), sent, neg_s)
+            neg2, id2 = jax.lax.sort((neg_s, id_s), dimension=1,
+                                     num_keys=1)
+            cand2 = jnp.where(neg2 != sent, id2, -1)[:, :stage2]
+        elif rgg > rtarget:
             # dedup by id keeping select-order priority, then truncate to
             # the refine budget: sort so the best-ranked copy of each id
             # leads, mark later copies, then unique-first / rank-ordered
@@ -1818,9 +1882,11 @@ def _query_groupmax(
         flat = gsel.reshape(b, width)
         rg = min(refine, width)
         bits_w = max(1, (width - 1).bit_length())
-        score_bits = (cs * 127 * 127).bit_length() + 1   # signed int8 dot
         q_bits = 32 - bits_w - mshift
-        if _FOLD_PACK_SELECT and score_bits + mshift - q_bits <= 10 \
+        # sh >= 0 in the gate: at tiny widths score_bits + mshift < q_bits
+        # and a NEGATIVE arithmetic shift is implementation-defined — fall
+        # back to the exact 2-operand sort there (advisor r4 finding)
+        if _FOLD_PACK_SELECT and 0 <= score_bits + mshift - q_bits <= 10 \
                 and q_bits >= 8:
             # SINGLE-OPERAND select sort for the slot-keep path: quantize
             # the packed (score, member) to the top q_bits, then carry the
@@ -1915,6 +1981,7 @@ def _query_dense(
     coarse_group: int = 64,
     rows_keep: int = 1,
     select_mult: int = 1,
+    stage2: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched ANN query core. Returns (ids i32[B,k], scores f32[B,k],
     n_candidates i32[B]). ids are user vector ids; -1 pads short results.
@@ -1940,7 +2007,7 @@ def _query_dense(
             multiprobe, exclude_self, refine=coarse_refine,
             probes=probes, probe_valid=probe_valid, h=h,
             window=coarse_window, group_slots=coarse_group,
-            rows_keep=rows_keep, select_mult=select_mult,
+            rows_keep=rows_keep, select_mult=select_mult, stage2=stage2,
         )
     if state.coarse_by_table is not None:
         return _query_dense_coarse(
@@ -1979,7 +2046,7 @@ query_dense = jax.jit(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
         "window_keep", "head_pool", "coarse_group", "rows_keep",
-        "select_mult",
+        "select_mult", "stage2",
     ),
 )
 
@@ -1990,7 +2057,7 @@ query_dense = jax.jit(
         "layout", "steps", "m_cap", "k", "multiprobe", "exclude_self", "chunk",
         "probe_mode", "probe_budget", "coarse_refine", "coarse_window",
         "window_keep", "head_pool", "coarse_group", "rows_keep",
-        "select_mult",
+        "select_mult", "stage2",
     ),
 )
 def query_dense_many(
@@ -2013,6 +2080,7 @@ def query_dense_many(
     coarse_group: int = 64,
     rows_keep: int = 1,
     select_mult: int = 1,
+    stage2: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-query-set search in ONE device program: `lax.map` over
     `chunk`-sized pieces bounds peak memory to a single chunk's buffers
@@ -2030,7 +2098,7 @@ def query_dense_many(
             coarse_refine=coarse_refine, coarse_window=coarse_window,
             window_keep=window_keep, head_pool=head_pool,
             coarse_group=coarse_group, rows_keep=rows_keep,
-            select_mult=select_mult,
+            select_mult=select_mult, stage2=stage2,
         )
 
     ids, scores, total = jax.lax.map(
@@ -2107,6 +2175,7 @@ class RDFForest:
         coarse_group: Optional[int] = None,
         rows_keep: Optional[int] = None,
         select_mult: Optional[int] = None,
+        stage2: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch query; chunks the batch on host to bound device memory.
         Returns (ids [Q,k], scores [Q,k]). coarse_refine / m_cap /
@@ -2119,7 +2188,7 @@ class RDFForest:
             probe_budget=probe_budget, coarse_refine=coarse_refine,
             m_cap=m_cap, coarse_window=coarse_window,
             window_keep=window_keep, coarse_group=coarse_group,
-            rows_keep=rows_keep, select_mult=select_mult,
+            rows_keep=rows_keep, select_mult=select_mult, stage2=stage2,
         )
         return np.asarray(ids), np.asarray(scores)
 
@@ -2139,6 +2208,7 @@ class RDFForest:
         coarse_group: Optional[int] = None,
         rows_keep: Optional[int] = None,
         select_mult: Optional[int] = None,
+        stage2: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """`query` without the final host transfer: returns device arrays so
         multi-tier callers (`storage.persist.TieredForest`) can merge many
@@ -2173,6 +2243,8 @@ class RDFForest:
             rows_keep=(rows_keep if rows_keep is not None
                        else self.conf.coarse_rows_keep),
             select_mult=select_mult or self.conf.coarse_select_mult,
+            stage2=(stage2 if stage2 is not None
+                    else self.conf.coarse_stage2),
         )
         thr = self.conf.similarity_threshold
         if thr > 0.0:

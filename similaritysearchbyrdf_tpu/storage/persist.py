@@ -66,6 +66,12 @@ def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
         corpus=np.asarray(s.corpus).astype(np.float32),
         row_ids=np.asarray(s.row_ids),
     )
+    if s.coarse_proj is not None:
+        # persist the coarse projection: reloading it (instead of
+        # recomputing, which for proj_mode="pca" is only bit-deterministic
+        # on the fitting backend) keeps the rebuilt tier identical to the
+        # fitted one and skips the O(N*d^2) moment recompute at load
+        arrays["coarse_proj"] = np.asarray(s.coarse_proj)
     (np.savez_compressed if compress else np.savez)(path + ".npz", **arrays)
     meta = dict(
         config=json.loads(forest.conf.to_json()),
@@ -132,17 +138,21 @@ def load_forest(path: str) -> RDFForest:
             ids128_view,
         )
 
+        # saved projection (if present): guarantees the rebuilt tier
+        # matches the fitted one even across backends (pca projections
+        # depend on backend matmul precision); legacy saves recompute
+        saved_proj = z["coarse_proj"] if "coarse_proj" in z.files else None
         if conf.coarse_layout == "folded":
             coarse_proj, coarse_folded = _build_folded_tier(
                 corpus, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
-                proj_mode=conf.coarse_proj_mode,
+                proj_mode=conf.coarse_proj_mode, proj=saved_proj,
             )
         else:
             coarse_proj, coarse_by_table = _build_coarse_tier(
                 corpus, tables.sorted_ids, conf.coarse_dim,
                 conf.coarse_dtype, conf.seed, dim=conf.vector_dim,
-                proj_mode=conf.coarse_proj_mode,
+                proj_mode=conf.coarse_proj_mode, proj=saved_proj,
             )
             if conf.coarse_head_pool:
                 coarse_head = build_head_tier(

@@ -40,10 +40,15 @@ class DenseBatch:
 
     def __post_init__(self) -> None:
         self.ids = np.asarray(self.ids, dtype=np.int32)
-        # device-resident values pass through untouched (np.asarray would
-        # force a device->host transfer); fit consumes them directly
+        # device-resident values pass through without a host round trip
+        # (np.asarray would force a device->host transfer); the dtype
+        # normalization the host path applies still happens — as a
+        # device-side cast when needed (a bf16/int array flowing into fit
+        # unchecked would build a wrong-dtype corpus store)
         if not hasattr(self.values, "devices"):
             self.values = np.asarray(self.values, dtype=np.float32)
+        elif self.values.dtype != np.float32:
+            self.values = self.values.astype(np.float32)
         assert self.values.ndim == 2 and self.ids.shape[0] == self.values.shape[0]
 
     @property
@@ -79,10 +84,18 @@ class SparseBatch:
 
     def __post_init__(self) -> None:
         self.ids = np.asarray(self.ids, dtype=np.int32)
-        # device-resident rows pass through (see DenseBatch.__post_init__)
+        # device-resident rows pass through (see DenseBatch.__post_init__);
+        # indices and values are normalized INDEPENDENTLY so a mixed
+        # host/device pair gets the host cast on its host half and a
+        # device cast on the device half
         if not hasattr(self.indices, "devices"):
             self.indices = np.asarray(self.indices, dtype=np.int32)
+        elif self.indices.dtype != np.int32:
+            self.indices = self.indices.astype(np.int32)
+        if not hasattr(self.values, "devices"):
             self.values = np.asarray(self.values, dtype=np.float32)
+        elif self.values.dtype != np.float32:
+            self.values = self.values.astype(np.float32)
         self.lengths = np.asarray(self.lengths, dtype=np.int32)
 
     @property

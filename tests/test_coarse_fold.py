@@ -530,3 +530,41 @@ def test_rowmax_emit2_lowers_for_tpu():
     exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
         folded, qmat, table, rs)
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_staged_rerank_stage2():
+    """Staged rerank (stage2 > 0): exact scoring only the best `stage2`
+    unique ids by int8 coarse slot score. stage2 >= the selected-slot
+    count must return EXACTLY the plain path's top-k (every unique id
+    survives the staging; duplicate copies carry equal exact scores);
+    small stage2 trades recall smoothly and is monotone in stage2."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    f = RDFForest(
+        _conf("folded", coarse_group=8, coarse_refine=1024,
+              coarse_window=128)).fit(batch)
+    kw = dict(steps=1, probe_mode="margin", probe_budget=8,
+              query_ids=np.arange(len(q)))
+    ids0, sc0 = f.query(q, **kw)
+    r0 = _recall(ids0, gt)
+    # stage2 >= rgg*gsl disables staging structurally; a stage2 equal to
+    # the full selected width keeps every unique id -> identical top-k
+    ids_full, sc_full = f.query(q, stage2=1024, **kw)
+    np.testing.assert_array_equal(np.sort(ids_full, 1), np.sort(ids0, 1))
+    np.testing.assert_allclose(
+        np.sort(sc_full, 1), np.sort(sc0, 1), rtol=1e-5)
+    # narrow stage2: valid ids, exact returned scores, sane recall
+    ids_s, sc_s = f.query(q, stage2=256, **kw)
+    assert (ids_s[ids_s >= 0] < len(x)).all()
+    exact = np.einsum("qd,qkd->qk", q, x[np.maximum(ids_s, 0)])
+    valid = ids_s >= 0
+    np.testing.assert_allclose(sc_s[valid], exact[valid], rtol=1e-5)
+    r_s = _recall(ids_s, gt)
+    assert r_s >= r0 - 0.15, (r_s, r0)
+    # monotone in stage2 (wider exact budget can only help, modulo none)
+    ids_m, _ = f.query(q, stage2=512, **kw)
+    assert _recall(ids_m, gt) >= r_s - 0.02
+    # dedup: no duplicate ids in a row's top-k
+    for row in ids_s:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
