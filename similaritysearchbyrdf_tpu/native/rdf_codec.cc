@@ -7,9 +7,11 @@
 // a multithreaded native pass — the framework's runtime-tier equivalent of
 // the reference's DataIO/Serializer layer (SURVEY.md §2.4-5).
 //
-// Wire formats (cites in serializers.py):
-//   dense : packInt(id) packInt(dim) dim x big-endian f64
-//   sparse: packInt(id) packInt(size) packInt(nnz) nnz x packInt(idx)
+// Wire formats (cites in serializers.py; all ints are PLAIN DataOutput
+// 4-byte big-endian — `Serializers.scala` never varint-packs record
+// fields; asserted against spec-derived golden fixtures):
+//   dense : be32(id) be32(dim) dim x big-endian f64
+//   sparse: be32(id) be32(size) be32(nnz) nnz x be32(idx)
 //           nnz x big-endian f64
 //
 // Built into librdf_loader.so (see Makefile), loaded via ctypes.
@@ -45,6 +47,17 @@ inline uint32_t unpack_int(const uint8_t* buf, size_t* off) {
     v = (v << 7) | (b & 0x7F);
     if (!(b & 0x80)) return v;
   }
+}
+
+inline void put_be32(uint32_t v, uint8_t* out) {
+  v = __builtin_bswap32(v);
+  std::memcpy(out, &v, 4);
+}
+
+inline uint32_t get_be32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return __builtin_bswap32(v);
 }
 
 inline void put_be64(double d, uint8_t* out) {
@@ -93,18 +106,9 @@ extern "C" {
 
 uint8_t* rdf_encode_dense_batch(const int32_t* ids, const double* values,
                                 int64_t n, int64_t dim, int64_t* out_len) {
-  // per-record offsets: varint id (<=5B) + varint dim (<=5B) + 8*dim
-  std::vector<int64_t> offs(n + 1, 0);
-  std::vector<uint8_t> hdrs(static_cast<size_t>(n) * 10);
-  std::vector<size_t> hdr_len(n);
-  for (int64_t i = 0; i < n; ++i) {
-    uint8_t* h = hdrs.data() + i * 10;
-    size_t hl = pack_int(static_cast<uint32_t>(ids[i]), h);
-    hl += pack_int(static_cast<uint32_t>(dim), h + hl);
-    hdr_len[i] = hl;
-    offs[i + 1] = offs[i] + static_cast<int64_t>(hl) + 8 * dim;
-  }
-  int64_t total = offs[n];
+  // fixed-size records: be32 id + be32 dim + 8*dim payload
+  const int64_t rec = 8 + 8 * dim;
+  int64_t total = rec * n;
   uint8_t* out = static_cast<uint8_t*>(std::malloc(total));
   if (!out) return nullptr;
   int nt = n_threads();
@@ -112,9 +116,10 @@ uint8_t* rdf_encode_dense_batch(const int32_t* ids, const double* values,
   for (int t = 0; t < nt; ++t) {
     ts.emplace_back([&, t] {
       for (int64_t i = t; i < n; i += nt) {
-        uint8_t* p = out + offs[i];
-        std::memcpy(p, hdrs.data() + i * 10, hdr_len[i]);
-        p += hdr_len[i];
+        uint8_t* p = out + rec * i;
+        put_be32(static_cast<uint32_t>(ids[i]), p);
+        put_be32(static_cast<uint32_t>(dim), p + 4);
+        p += 8;
         const double* row = values + i * dim;
         for (int64_t j = 0; j < dim; ++j) put_be64(row[j], p + 8 * j);
       }
@@ -131,9 +136,10 @@ void* rdf_decode_dense_batch(const uint8_t* buf, int64_t len, int64_t* n,
                              int64_t* dim) {
   auto* b = new DenseBatch();
   size_t off = 0;
-  while (static_cast<int64_t>(off) < len) {
-    uint32_t id = unpack_int(buf, &off);
-    uint32_t d = unpack_int(buf, &off);
+  while (static_cast<int64_t>(off) + 8 <= len) {
+    uint32_t id = get_be32(buf + off);
+    uint32_t d = get_be32(buf + off + 4);
+    off += 8;
     if (b->dim == 0) b->dim = d;
     if (d != static_cast<uint32_t>(b->dim) ||
         static_cast<int64_t>(off) + 8 * static_cast<int64_t>(d) > len) {
@@ -163,21 +169,10 @@ uint8_t* rdf_encode_sparse_batch(const int32_t* ids, int32_t size,
                                  const int32_t* idx, const double* val,
                                  const int32_t* nnz, int64_t n,
                                  int64_t max_nnz, int64_t* out_len) {
-  // headers and index varints are variable — precompute per-record byte
-  // lengths serially (cheap), write payloads in parallel
+  // record length depends only on nnz: 12-byte header + 12 bytes per entry
   std::vector<int64_t> offs(n + 1, 0);
-  for (int64_t i = 0; i < n; ++i) {
-    uint8_t tmp[5];
-    int64_t rec = 0;
-    rec += pack_int(static_cast<uint32_t>(ids[i]), tmp);
-    rec += pack_int(static_cast<uint32_t>(size), tmp);
-    rec += pack_int(static_cast<uint32_t>(nnz[i]), tmp);
-    const int32_t* row_idx = idx + i * max_nnz;
-    for (int32_t j = 0; j < nnz[i]; ++j)
-      rec += pack_int(static_cast<uint32_t>(row_idx[j]), tmp);
-    rec += 8 * static_cast<int64_t>(nnz[i]);
-    offs[i + 1] = offs[i] + rec;
-  }
+  for (int64_t i = 0; i < n; ++i)
+    offs[i + 1] = offs[i] + 12 + 12 * static_cast<int64_t>(nnz[i]);
   int64_t total = offs[n];
   uint8_t* out = static_cast<uint8_t*>(std::malloc(total));
   if (!out) return nullptr;
@@ -187,13 +182,15 @@ uint8_t* rdf_encode_sparse_batch(const int32_t* ids, int32_t size,
     ts.emplace_back([&, t] {
       for (int64_t i = t; i < n; i += nt) {
         uint8_t* p = out + offs[i];
-        p += pack_int(static_cast<uint32_t>(ids[i]), p);
-        p += pack_int(static_cast<uint32_t>(size), p);
-        p += pack_int(static_cast<uint32_t>(nnz[i]), p);
+        put_be32(static_cast<uint32_t>(ids[i]), p);
+        put_be32(static_cast<uint32_t>(size), p + 4);
+        put_be32(static_cast<uint32_t>(nnz[i]), p + 8);
+        p += 12;
         const int32_t* row_idx = idx + i * max_nnz;
         const double* row_val = val + i * max_nnz;
         for (int32_t j = 0; j < nnz[i]; ++j)
-          p += pack_int(static_cast<uint32_t>(row_idx[j]), p);
+          put_be32(static_cast<uint32_t>(row_idx[j]), p + 4 * j);
+        p += 4 * static_cast<int64_t>(nnz[i]);
         for (int32_t j = 0; j < nnz[i]; ++j) put_be64(row_val[j], p + 8 * j);
       }
     });
@@ -209,19 +206,21 @@ void* rdf_decode_sparse_batch(const uint8_t* buf, int64_t len, int64_t* n,
   size_t off = 0;
   std::vector<std::vector<int32_t>> all_idx;
   std::vector<std::vector<double>> all_val;
-  while (static_cast<int64_t>(off) < len) {
-    uint32_t id = unpack_int(buf, &off);
-    uint32_t sz = unpack_int(buf, &off);
-    uint32_t k = unpack_int(buf, &off);
+  while (static_cast<int64_t>(off) + 12 <= len) {
+    uint32_t id = get_be32(buf + off);
+    uint32_t sz = get_be32(buf + off + 4);
+    uint32_t k = get_be32(buf + off + 8);
+    off += 12;
     b->ids.push_back(static_cast<int32_t>(id));
     b->size = sz;
-    std::vector<int32_t> ri(k);
-    for (uint32_t j = 0; j < k; ++j)
-      ri[j] = static_cast<int32_t>(unpack_int(buf, &off));
-    if (static_cast<int64_t>(off) + 8 * static_cast<int64_t>(k) > len) {
+    if (static_cast<int64_t>(off) + 12 * static_cast<int64_t>(k) > len) {
       delete b;
       return nullptr;
     }
+    std::vector<int32_t> ri(k);
+    for (uint32_t j = 0; j < k; ++j)
+      ri[j] = static_cast<int32_t>(get_be32(buf + off + 4 * j));
+    off += 4 * static_cast<size_t>(k);
     std::vector<double> rv(k);
     for (uint32_t j = 0; j < k; ++j) rv[j] = get_be64(buf + off + 8 * j);
     off += 8 * static_cast<size_t>(k);

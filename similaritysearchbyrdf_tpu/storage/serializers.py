@@ -14,11 +14,17 @@ Format notes (cites into the reference):
     on all bytes EXCEPT the last, most-significant group first.
   * scalaIntSerializer (`Serializers.scala:16-26`): 4-byte big-endian int.
   * scalaLongSerializer (`Serializers.scala:28-37`): 8-byte big-endian long.
-  * vectorIDHashPairSerializer (`Serializers.scala:42-55`): two packed ints.
-  * sparse vector (`Serializers.scala:59-81`): packInt(id), packInt(size),
-    packInt(nnz), nnz × packInt(index), nnz × double(value).
-  * dense vector (`Serializers.scala:86-102`): packInt(id), packInt(dim),
-    dim × double(value).
+  * vectorIDHashPairSerializer (`Serializers.scala:42-55`):
+    writeInt(vectorId) + writeLong(hash) — 4-byte int then 8-byte long.
+  * sparse vector (`Serializers.scala:59-81`): writeInt(id), writeInt(size),
+    writeInt(nnz), nnz × writeInt(index), nnz × writeDouble(value).
+  * dense vector (`Serializers.scala:86-102`): writeInt(id), writeInt(dim),
+    dim × writeDouble(value).
+  All integer fields of the record codecs are PLAIN DataOutput 4-byte
+  big-endian ints — the reference's Serializers.scala never varint-packs
+  them (packInt/packLong appear only in the store's own node serializers,
+  e.g. `RandomDrawTreeMap.LN_SERIALIZER:203-238`). Asserted byte-exactly
+  against spec-derived golden fixtures (tests/fixtures/*_golden.bin).
 """
 
 from __future__ import annotations
@@ -104,24 +110,27 @@ def deserialize_long(buf: bytes, offset: int = 0) -> Tuple[int, int]:
 
 
 def serialize_id_hash_pair(vector_id: int, hash_value: int) -> bytes:
-    return pack_int(vector_id) + pack_int(hash_value)
+    """writeInt(vectorId) + writeLong(hash) (`Serializers.scala:42-55`);
+    `hash_value` may be given signed or as the unsigned 64-bit view."""
+    return struct.pack(">i", vector_id) + struct.pack(
+        ">Q", hash_value & 0xFFFFFFFFFFFFFFFF)
 
 
 def deserialize_id_hash_pair(buf: bytes, offset: int = 0) -> Tuple[Tuple[int, int], int]:
-    vid, offset = unpack_int(buf, offset)
-    h, offset = unpack_int(buf, offset)
-    return (vid, h), offset
+    vid = struct.unpack_from(">i", buf, offset)[0]
+    h = struct.unpack_from(">q", buf, offset + 4)[0]
+    return (vid, h), offset + 12
 
 
 def serialize_sparse_vector(
     vector_id: int, size: int, indices: np.ndarray, values: np.ndarray
 ) -> bytes:
     out = bytearray()
-    out += pack_int(vector_id)
-    out += pack_int(size)
-    out += pack_int(len(indices))
+    out += struct.pack(">i", vector_id)
+    out += struct.pack(">i", size)
+    out += struct.pack(">i", len(indices))
     for i in indices:
-        out += pack_int(int(i))
+        out += struct.pack(">i", int(i))
     for v in values:
         out += struct.pack(">d", float(v))
     return bytes(out)
@@ -130,12 +139,11 @@ def serialize_sparse_vector(
 def deserialize_sparse_vector(
     buf: bytes, offset: int = 0
 ) -> Tuple[Tuple[int, int, np.ndarray, np.ndarray], int]:
-    vid, offset = unpack_int(buf, offset)
-    size, offset = unpack_int(buf, offset)
-    nnz, offset = unpack_int(buf, offset)
-    idx = np.empty(nnz, dtype=np.int32)
-    for i in range(nnz):
-        idx[i], offset = unpack_int(buf, offset)
+    vid, size, nnz = struct.unpack_from(">iii", buf, offset)
+    offset += 12
+    idx = np.frombuffer(buf, dtype=">i4", count=nnz, offset=offset).astype(
+        np.int32)
+    offset += 4 * nnz
     vals = np.frombuffer(buf, dtype=">f8", count=nnz, offset=offset).astype(np.float64)
     offset += 8 * nnz
     return (vid, size, idx, vals), offset
@@ -143,8 +151,8 @@ def deserialize_sparse_vector(
 
 def serialize_dense_vector(vector_id: int, values: np.ndarray) -> bytes:
     out = bytearray()
-    out += pack_int(vector_id)
-    out += pack_int(len(values))
+    out += struct.pack(">i", vector_id)
+    out += struct.pack(">i", len(values))
     for v in values:
         out += struct.pack(">d", float(v))
     return bytes(out)
@@ -153,8 +161,8 @@ def serialize_dense_vector(vector_id: int, values: np.ndarray) -> bytes:
 def deserialize_dense_vector(
     buf: bytes, offset: int = 0
 ) -> Tuple[Tuple[int, np.ndarray], int]:
-    vid, offset = unpack_int(buf, offset)
-    dim, offset = unpack_int(buf, offset)
+    vid, dim = struct.unpack_from(">ii", buf, offset)
+    offset += 8
     vals = np.frombuffer(buf, dtype=">f8", count=dim, offset=offset).astype(np.float64)
     offset += 8 * dim
     return (vid, vals), offset
