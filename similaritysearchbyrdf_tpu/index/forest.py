@@ -1118,12 +1118,11 @@ def _coarse_block_scores(
         )
     else:
         lg_b, seg_b, q_seg = table_b2, None, None
+    # sub-8 query chunks are padded to 8 dead rows inside the kernel
+    # wrapper (B=1 serving runs the DMA kernel, not the XLA fallback)
     use_pallas = (
         start_b is not None and jax.default_backend() == "tpu"
         and bs_block % 8 == 0
-        # sub-8 query chunks fail Mosaic vector-op verification (B=1
-        # latency probes); the XLA gather path is fine at these sizes
-        and table_b2.shape[0] >= 8
     )
     if use_pallas:
         from ..ops.pallas.coarse_gather import pallas_coarse_scores_aligned

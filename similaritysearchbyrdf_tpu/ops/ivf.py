@@ -565,10 +565,10 @@ def ivf_topk(
 
     # the DMA kernel addresses windows in 8-row units (start >> 3): a
     # non-8-multiple win would misalign every window vs its `pos` labels.
-    # Sub-8 query batches fail Mosaic vector-op verification (B=1 latency
-    # probes) — the XLA gather path serves them.
+    # Sub-8 query batches are padded to 8 dead rows INSIDE the kernel
+    # wrapper (B=1 serving stays on the kernel path, VERDICT r4 item 2).
     if (use_pallas and jax.default_backend() == "tpu" and npad >= win
-            and win % 8 == 0 and queries.shape[0] >= 8):
+            and win % 8 == 0):
         from .pallas.coarse_gather import pallas_coarse_scores_aligned
 
         from ..index.forest import _COARSE_COALESCE, _COARSE_MAX_RUN

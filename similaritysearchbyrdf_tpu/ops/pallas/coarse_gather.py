@@ -428,6 +428,19 @@ def pallas_coarse_scores_aligned(
     coalesce: bool = False,            # run-coalesced DMA (fewer descriptors)
     max_run: int = 8,                  # largest dyadic run class (pow2)
 ) -> jax.Array:
+    """Jitted entry — see `_scores_aligned_impl` for the format contract
+    (kept unjitted so the sub-8 padding recursion traces inline instead of
+    creating a nested jit-cache entry)."""
+    return _scores_aligned_impl(
+        coarse_by_table, q_low, table_b2, blk_start, win, grp, live,
+        groups, seg_b, drain, coalesce, max_run,
+    )
+
+
+def _scores_aligned_impl(
+    coarse_by_table, q_low, table_b2, blk_start, win, grp=64, live=None,
+    groups=1, seg_b=None, drain="per_copy", coalesce=False, max_run=8,
+) -> jax.Array:
     """Coarse scores f32[B, MB, win] for aligned windows (window flatten).
     Windows marked dead in `live` are neither copied nor scored validly —
     the caller must mask their scores (it already does, by position).
@@ -444,6 +457,31 @@ def pallas_coarse_scores_aligned(
     PER-DESCRIPTOR DMA-engine floor the static-drain probe identified."""
     l, caprows, cd = coarse_by_table.shape
     b, mb_cap = table_b2.shape
+    if b < 8:
+        # sub-8 query batches fail Mosaic vector-op verification (the B=1
+        # serving probes): pad the query axis to 8 with DEAD rows (live =
+        # False, so their windows issue no DMA; the static drain fetches
+        # clipped real rows whose scores are discarded by the slice) and
+        # crop after. This keeps single-query serving on the kernel path
+        # instead of the XLA gather fallback (VERDICT r4 item 2).
+        pb = 8 - b
+        out = _scores_aligned_impl(
+            coarse_by_table,
+            jnp.pad(q_low, ((0, pb * groups), (0, 0))),
+            jnp.pad(table_b2, ((0, pb), (0, 0))),
+            jnp.pad(blk_start, ((0, pb), (0, 0))),
+            win, grp=grp,
+            live=jnp.pad(
+                live if live is not None
+                else jnp.ones((b, mb_cap), bool),
+                ((0, pb), (0, 0)),
+            ),
+            groups=groups,
+            seg_b=(jnp.pad(seg_b, ((0, pb), (0, 0)))
+                   if seg_b is not None else None),
+            drain=drain, coalesce=coalesce, max_run=max_run,
+        )
+        return out[:b]
     grp = min(grp, mb_cap)
     # the unpacked kernel scores the whole group against ALL B queries
     # before the one-hot column select: keep that [grp*win, B] f32 buffer

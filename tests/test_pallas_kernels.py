@@ -671,3 +671,93 @@ def test_gmax_qlane_lowers_for_tpu():
 
     exp = jax.export.export(jax.jit(f), platforms=["tpu"])(sk, q)
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_pallas_coarse_aligned_sub8_batch_lowers_for_tpu():
+    """B=1 and other sub-8 query batches must lower on the KERNEL path
+    (the wrapper pads the query axis to 8 dead rows — VERDICT r4 item 2:
+    single-query serving previously fell back to the XLA gather). Covers
+    coalesced and per-copy drains, unpacked and lane-packed tiers."""
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    rng = np.random.default_rng(12)
+    l, cap, cd, win = 3, 256, 64, 16
+    mb_cap = 16
+    for b in (1, 3):
+        for coalesce in (False, True):
+            cbt = jnp.asarray(
+                rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+            )
+            q = jnp.asarray(rng.normal(size=(b, cd)).astype(np.float32))
+            tb = jnp.asarray(
+                rng.integers(0, l, size=(b, mb_cap), dtype=np.int32))
+            bs = jnp.asarray(
+                (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8)
+                .astype(np.int32)
+            )
+            live = jnp.asarray(rng.random(size=(b, mb_cap)) > 0.4)
+
+            def fn(cbt, q, tb, bs, live, coalesce=coalesce):
+                return cg.pallas_coarse_scores_aligned(
+                    cbt, q, tb, bs, win, live=live, coalesce=coalesce
+                )
+
+            exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+                cbt, q, tb, bs, live
+            )
+            assert "tpu_custom_call" in exp.mlir_module()
+    # lane-packed tier (G=2 tables per row), B=1
+    g = 2
+    cbt = jnp.asarray(
+        rng.integers(-100, 100, size=(l, cap, g * cd)).astype(np.int8))
+    q = jnp.asarray(rng.normal(size=(1 * g, g * cd)).astype(np.float32))
+    tb = jnp.asarray(rng.integers(0, l, size=(1, mb_cap), dtype=np.int32))
+    bs = jnp.asarray(
+        (rng.integers(0, (cap - win) // 8, size=(1, mb_cap)) * 8)
+        .astype(np.int32))
+    live = jnp.asarray(rng.random(size=(1, mb_cap)) > 0.4)
+    seg = jnp.asarray(rng.integers(0, g, size=(1, mb_cap), dtype=np.int32))
+
+    def fnp(cbt, q, tb, bs, live, seg):
+        return cg.pallas_coarse_scores_aligned(
+            cbt, q, tb, bs, win, live=live, groups=g, seg_b=seg,
+            coalesce=True,
+        )
+
+    exp = jax.export.export(jax.jit(fnp), platforms=["tpu"])(
+        cbt, q, tb, bs, live, seg
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_pallas_coarse_aligned_sub8_batch_values(monkeypatch):
+    """Interpret-mode value check: the padded sub-8 path returns the same
+    scores as the XLA gather fallback formulation."""
+    from similaritysearchbyrdf_tpu.ops.pallas import coarse_gather as cg
+
+    _interpret_pallas(monkeypatch, cg)
+    rng = np.random.default_rng(13)
+    l, cap, cd, win, mb_cap, b = 2, 128, 32, 16, 8, 1
+    cbt = rng.integers(-100, 100, size=(l, cap, cd)).astype(np.int8)
+    q = rng.normal(size=(b, cd)).astype(np.float32)
+    tb = rng.integers(0, l, size=(b, mb_cap)).astype(np.int32)
+    bs = (rng.integers(0, (cap - win) // 8, size=(b, mb_cap)) * 8).astype(
+        np.int32)
+    live = np.ones((b, mb_cap), bool)
+    out = np.asarray(cg.pallas_coarse_scores_aligned(
+        jnp.asarray(cbt), jnp.asarray(q), jnp.asarray(tb), jnp.asarray(bs),
+        win, live=jnp.asarray(live),
+    ))
+    assert out.shape == (b, mb_cap, win)
+    # reference: bf16 dot of the windows' rows (kernel math — round the
+    # query through bf16 exactly as the kernel does; int8 rows are exact
+    # in bf16)
+    qb = np.asarray(jnp.asarray(q[0]).astype(jnp.bfloat16).astype(
+        jnp.float32))
+    for m in range(mb_cap):
+        rows = cbt[tb[0, m], bs[0, m]:bs[0, m] + win].astype(np.float32)
+        want = rows @ qb
+        np.testing.assert_allclose(
+            out[0, m], want, rtol=0.02, atol=0.5)
