@@ -5,6 +5,8 @@ isolated stage timings — the bisect_query.py lesson).
 
 Run:  python scripts/bisect_fold.py [N [D]]            (default 8M x 96)
 Env:  FOLD_WIN / FOLD_MCAP / FOLD_REFINE / FOLD_BUDGET / FOLD_B / FOLD_GSL
+      FOLD_STAGE2 (staged-rerank exact budget; adds regather/slotscore/
+      slotsort stages and truncates the exact stage to stage2 rows)
 Writes results/bisect_fold.json.
 """
 
@@ -53,6 +55,7 @@ def main():
     refine = int(os.environ.get("FOLD_REFINE", "12288"))
     budget = int(os.environ.get("FOLD_BUDGET", "16"))
     gsl = int(os.environ.get("FOLD_GSL", "64"))
+    stage2 = int(os.environ.get("FOLD_STAGE2", "0"))
     steps = 1
 
     conf = RDFConfig(
@@ -199,6 +202,43 @@ def main():
             cand2 = jnp.where(sel_valid & (cand2 >= 0), cand2, -1)
             if stage == "idgather":
                 return cand2.sum() + total.sum()
+            if 0 < stage2 < rgg * gsl:
+                # staged rerank (forest._query_groupmax stage2 path)
+                capf = folded.shape[1]
+                gbase = jnp.clip(base, 0, capslots - gsl)
+                rowf = gbase // fold
+                tf = jnp.clip(t2, 0, l_n - 1)
+                if rpg > 1:
+                    rowf = (rowf[:, :, None]
+                            + jnp.arange(rpg, dtype=jnp.int32)[None, None]
+                            ).reshape(b, rgg * rpg)
+                    tf = jnp.repeat(tf, rpg, axis=1)
+                frows = jnp.take(
+                    folded.reshape(l_n * capf, lanes), tf * capf + rowf,
+                    axis=0)
+                if stage == "regather":
+                    return frows.sum() + total.sum()
+                sc = jax.lax.dot_general(
+                    frows.astype(jnp.int32), qmat.astype(jnp.int32),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                slot_sc = sc.reshape(b, rgg * gsl)
+                if stage == "slotscore":
+                    return slot_sc.sum() + total.sum()
+                sent = jnp.int32(1 << 30)
+                idk = jnp.where(cand2 >= 0, cand2, sent)
+                negsc = jnp.where(cand2 >= 0, -slot_sc, sent)
+                id_s, neg_s = jax.lax.sort((idk, negsc), dimension=1,
+                                           num_keys=2)
+                dupm = jnp.concatenate(
+                    [jnp.zeros((b, 1), dtype=bool),
+                     id_s[:, 1:] == id_s[:, :-1]], axis=1)
+                neg_s = jnp.where(dupm | (id_s == sent), sent, neg_s)
+                neg2, id2 = jax.lax.sort((neg_s, id_s), dimension=1,
+                                         num_keys=1)
+                cand2 = jnp.where(neg2 != sent, id2, -1)[:, :stage2]
+                if stage == "slotsort":
+                    return cand2.sum() + total.sum()
             cand2 = F._exclude_self(cand2, row_ids, qi)
             exact = rr.score_candidates(corpus, cand2, qq)
             if stage == "score":
@@ -210,9 +250,14 @@ def main():
 
     prev = 0.0
     outd = {"n": N, "dim": D, "b": B, "win": win, "m_cap": m_cap,
-            "refine": refine, "budget": budget, "gsl": gsl}
+            "refine": refine, "budget": budget, "gsl": gsl,
+            "stage2": stage2}
     stages = ("hash", "lookup", "blocks", "kernel", "groups", "select",
               "idgather", "score", "full")
+    if stage2:
+        stages = ("hash", "lookup", "blocks", "kernel", "groups", "select",
+                  "idgather", "regather", "slotscore", "slotsort", "score",
+                  "full")
     if os.environ.get("BISECT_STAGES"):
         stages = tuple(os.environ["BISECT_STAGES"].split(","))
     for stage in stages:

@@ -1,8 +1,8 @@
-"""Bisect the smoke-bench forest regression: time the exact bench.py forest
-query program at coarse_dim=100 (round-1 default, 14,987 qps in BENCH_r01)
-vs coarse_dim=32 (lane-packed G=4, current default) in ONE process.
+"""Smoke-shape regression guards: forest/flat QUERY qps floors and the
+steady-state BUILD rate floor, plus the original coarse_dim bisect points.
 
-Run: timeout 1800 python scripts/check_smoke_regress.py
+Run: timeout 1800 python scripts/check_smoke_regress.py          # all
+     timeout 1800 python scripts/check_smoke_regress.py floors   # guards only
 """
 import json
 import os
@@ -117,6 +117,47 @@ def run_build_floor(min_vps=150_000.0):
     return res
 
 
+def run_query_floors(min_flat=140_000.0, min_forest=15_000.0):
+    """Query-side qps floors (VERDICT r4 item 4): the bench.py flat and
+    forest query programs at the smoke shape must stay above the floors.
+    r4 measured flat 159.7k / forest 16.8k (BENCH_r04) — the floors leave
+    ~12% headroom, so drift is tolerated but a real ~20% regression trips
+    the assert. Run on TPU as part of the standard batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.flat import (
+        build_flat_sketch, flat_topk)
+
+    res_forest = run_point(32)
+    x = B.make_data()
+    ids = np.arange(B.N_CORPUS, dtype=np.int32)
+    queries = x[:B.N_QUERY]
+    qids = ids[:B.N_QUERY]
+    xd = jnp.asarray(x)
+    sketch, _ = build_flat_sketch(xd, "int8")
+    row_ids_d = jnp.asarray(ids)
+    pad = (-B.N_QUERY) % 1024
+    qfd = jnp.asarray(np.pad(queries, ((0, pad), (0, 0))))
+    qfid = jnp.asarray(np.pad(qids, (0, pad), constant_values=-1))
+    f_ids, _ = flat_topk(sketch, xd, row_ids_d, qfd, qfid, B.TOP_K,
+                         refine=128)
+    jax.block_until_ready(f_ids)
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        f_ids, _ = flat_topk(sketch, xd, row_ids_d, qfd, qfid, B.TOP_K,
+                             refine=128)
+    jax.block_until_ready(f_ids)
+    flat_s = (time.perf_counter() - t0) / reps * (B.N_QUERY / qfd.shape[0])
+    flat_qps = B.N_QUERY / flat_s
+    res = {"flat_qps": round(flat_qps, 1), "flat_floor": min_flat,
+           "forest_qps": res_forest["qps"], "forest_floor": min_forest,
+           "ok": flat_qps >= min_flat and res_forest["qps"] >= min_forest}
+    assert res["ok"], res
+    return res
+
+
 if __name__ == "__main__":
     B.wait_for_backend()
     import sys
@@ -125,7 +166,9 @@ if __name__ == "__main__":
                run_point(32, with_recall=True)]
     elif len(sys.argv) > 1 and sys.argv[1] == "build":
         out = [run_build_floor()]
+    elif len(sys.argv) > 1 and sys.argv[1] == "floors":
+        out = [run_query_floors(), run_build_floor()]
     else:
         out = [run_point(100), run_point(32), run_point(None),
-               run_build_floor()]
+               run_build_floor(), run_query_floors()]
     print(json.dumps(out))
