@@ -38,7 +38,29 @@ REPS_PIPE = 8
 REPS_BLOCK = 20
 
 
-def timed_curve(run_batch, queries, k):
+def measure_rtt(reps=30):
+    """Dispatch round trip of a no-op device program (tiny jitted add on a
+    resident array, blocked each call): on this rig that is the remote
+    tunnel RTT (~30 ms), on a locally attached chip it is the dispatch
+    overhead. Subtracting its p50 from blocked-each latencies isolates the
+    serving latency a production (host-attached) deployment would see —
+    VERDICT r4 item 8."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    jax.block_until_ready(f(x))
+    lats = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    return lats[len(lats) // 2]
+
+
+def timed_curve(run_batch, queries, k, rtt_ms=0.0):
     """run_batch(qpad [B, D]) -> ids; returns per-B dict."""
     import jax
 
@@ -68,10 +90,16 @@ def timed_curve(run_batch, queries, k):
             ids = run_batch(q)
         jax.block_until_ready(ids)
         pipe_s = (time.perf_counter() - t0) / REPS_PIPE
+        p50 = lats[len(lats) // 2]
         out[str(b)] = {
-            "blocked_ms_p50": round(lats[len(lats) // 2], 3),
+            "blocked_ms_p50": round(p50, 3),
             "blocked_ms_min": round(lats[0], 3),
-            "blocked_qps": round(b / (lats[len(lats) // 2] / 1e3), 1),
+            "blocked_qps": round(b / (p50 / 1e3), 1),
+            # dispatch-corrected serving latency (blocked p50 minus the
+            # measured no-op round trip; floored at the pipelined device
+            # time, which a single request can never beat)
+            "blocked_ms_p50_minus_rtt": round(
+                max(p50 - rtt_ms, pipe_s * 1e3), 3),
             "pipelined_ms": round(pipe_s * 1e3, 3),
             "pipelined_qps": round(b / pipe_s, 1),
         }
@@ -137,10 +165,16 @@ def main():
     ids = np.arange(n, dtype=np.int32)
     queries = x[:1024].copy()
     k = 10
+    rtt_ms = measure_rtt()
+    print(f"no-op dispatch p50: {rtt_ms:.1f} ms", flush=True)
     results = {"corpus": which, "n": n, "dim": d,
-               "note": ("blocked-each includes the remote-tunnel dispatch "
-                        "RTT (~30 ms on this rig); pipelined is device "
-                        "throughput. p50 of %d reps." % REPS_BLOCK),
+               "rtt_ms": round(rtt_ms, 3),
+               "note": ("blocked-each includes the dispatch round trip "
+                        "(rtt_ms, measured: no-op program, p50) — the "
+                        "remote tunnel on this rig; "
+                        "blocked_ms_p50_minus_rtt is the host-attached "
+                        "serving estimate, floored at the pipelined "
+                        "device time. p50 of %d reps." % REPS_BLOCK),
                "engines": {}}
 
     # --- forest ---
@@ -165,7 +199,7 @@ def main():
 
     if "forest" in ENGINES:
         print("forest:", flush=True)
-        results["engines"]["forest"] = timed_curve(run_forest, queries, k)
+        results["engines"]["forest"] = timed_curve(run_forest, queries, k, rtt_ms)
         _write(which, results)
     del forest
     import gc; gc.collect()
@@ -194,7 +228,7 @@ def main():
 
     if "flat" in ENGINES:
         print("flat:", flush=True)
-        results["engines"]["flat"] = timed_curve(run_flat, queries, k)
+        results["engines"]["flat"] = timed_curve(run_flat, queries, k, rtt_ms)
         _write(which, results)
     if "flat" in ENGINES:
         # free the flat arrays before the IVF build: sketch + padded
@@ -248,7 +282,7 @@ def main():
 
     if "ivf" in ENGINES:
         print("ivf:", flush=True)
-        results["engines"]["ivf"] = timed_curve(run_ivf, queries, k)
+        results["engines"]["ivf"] = timed_curve(run_ivf, queries, k, rtt_ms)
         _write(which, results)
 
     _write(which, results)

@@ -105,6 +105,49 @@ def main():
             s8 = jnp.maximum(s8[:h], s8[h:])
         out_ref[:] = s8
 
+    # --- r5 second assault (VERDICT item 5): the i16/i8 trees above die
+    # in the TPU backend compile (HTTP 500, not a Mosaic verification
+    # error) — bisect WHICH ingredient kills it by separating (a) the
+    # narrow-dtype tree ops, (b) the narrow OUTPUT store, (c) the i32->
+    # narrow convert width, and try bf16 (the dtype the VPU natively
+    # retiles) as the narrow tree currency. ---
+
+    def k_tree_bf16(q_ref, sk_ref, out_ref):
+        s = mm(q_ref, sk_ref)
+        h = s.shape[0] // 2
+        s = jnp.maximum(s[:h], s[h:])               # level 1 in i32
+        sb = s.astype(jnp.bfloat16)                 # 2x lanes per vreg
+        while sb.shape[0] > BLOCK_N // G:
+            h = sb.shape[0] // 2
+            sb = jnp.maximum(sb[:h], sb[h:])
+        out_ref[:] = sb                             # bf16 out
+
+    def k_tree_i16_out32(q_ref, sk_ref, out_ref):
+        # i16 TREE, i32 STORE — isolates whether the narrow OUT block
+        # (not the i16 vector ops) is what kills tree_i16
+        s = mm(q_ref, sk_ref)
+        h = s.shape[0] // 2
+        s = jnp.maximum(s[:h], s[h:])
+        s16 = (s >> 6).astype(jnp.int16)
+        while s16.shape[0] > BLOCK_N // G:
+            h = s16.shape[0] // 2
+            s16 = jnp.maximum(s16[:h], s16[h:])
+        out_ref[:] = s16.astype(jnp.int32)
+
+    def k_tree_i16_lateconv(q_ref, sk_ref, out_ref):
+        # i32 tree down to 2 levels above the goal, THEN one narrow
+        # convert on the small [4*rows, B] slab and a short i16 tail —
+        # isolates the big-vector i32->i16 convert as the suspect
+        s = mm(q_ref, sk_ref)
+        while s.shape[0] > 4 * (BLOCK_N // G):
+            h = s.shape[0] // 2
+            s = jnp.maximum(s[:h], s[h:])
+        s16 = (s >> 6).astype(jnp.int16)
+        while s16.shape[0] > BLOCK_N // G:
+            h = s16.shape[0] // 2
+            s16 = jnp.maximum(s16[:h], s16[h:])
+        out_ref[:] = s16.astype(jnp.int32)
+
     interp = os.environ.get("GMAX_INTERPRET", "0") == "1"
 
     def build(kernel, out_dtype, out_rows, accum):
@@ -135,7 +178,15 @@ def main():
         "tree_half": (k_tree_half, jnp.int32, BLOCK_N // G, False),
         "tree_i16": (k_tree_i16, jnp.int16, BLOCK_N // G, False),
         "tree_i8": (k_tree_i8, jnp.int8, BLOCK_N // G, False),
+        "tree_bf16": (k_tree_bf16, jnp.bfloat16, BLOCK_N // G, False),
+        "tree_i16_out32": (k_tree_i16_out32, jnp.int32,
+                           BLOCK_N // G, False),
+        "tree_i16_lateconv": (k_tree_i16_lateconv, jnp.int32,
+                              BLOCK_N // G, False),
     }
+    if os.environ.get("GMAX_VARIANTS"):
+        keep = os.environ["GMAX_VARIANTS"].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     # numpy reference on the first block
     sk0 = np.asarray(sketch[:BLOCK_N]).astype(np.int32)
@@ -169,6 +220,15 @@ def main():
             elif name == "tree_i8":
                 np.testing.assert_array_equal(
                     rn[: BLOCK_N // G], (half0 >> 14).astype(np.int8))
+            elif name == "tree_bf16":
+                # bf16 rounds to 8-bit mantissa; compare with tolerance
+                np.testing.assert_allclose(
+                    rn[: BLOCK_N // G].astype(np.float64), half0,
+                    rtol=1 / 128)
+            elif name in ("tree_i16_out32", "tree_i16_lateconv"):
+                np.testing.assert_array_equal(
+                    rn[: BLOCK_N // G],
+                    (half0 >> 6).astype(np.int16).astype(np.int32))
             t0 = time.perf_counter()
             reps = 4
             for _ in range(reps):

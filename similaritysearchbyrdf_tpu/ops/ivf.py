@@ -224,6 +224,17 @@ def build_ivf_heads(sketch: jax.Array, row_ids: jax.Array,
             / jnp.maximum(m.sum(axis=1), 1.0)).astype(jnp.bfloat16)
 
 
+def default_train_sample(n: int, k: int) -> Optional[int]:
+    """Large-N Lloyd default (VERDICT r4 item 6): full-corpus Lloyd costs
+    iters*N assignment matmul traffic and dominated the 8M build; training
+    on max(1M, 32 rows/cluster) sampled rows + ONE full assignment pass is
+    the standard IVF recipe (no measurable recall change at S >= 32
+    rows/cluster). Below 2M rows the full Lloyd is already cheap."""
+    if n <= 2_000_000:
+        return None
+    return min(n, max(1_000_000, 32 * k))
+
+
 def build_ivf(
     corpus: jax.Array,       # f32[N, D] (unpadded ok)
     row_ids: np.ndarray,     # i32[N]
@@ -232,17 +243,20 @@ def build_ivf(
     seed: int = 0,
     sketch_dtype: str = "int8",
     k: Optional[int] = None,
-    train_sample: Optional[int] = None,
+    train_sample: "Optional[int] | str" = "auto",
 ) -> IVFState:
     """Cluster the corpus and lay both tiers out cluster-ordered, every
     cluster padded to an 8-row multiple so each cluster is a whole number
     of DMA-alignable windows. `train_sample`: run Lloyd on that many
     uniformly-sampled rows and only assign the full corpus once (big-N
-    build speedup; None = train on everything)."""
+    build speedup; None = train on everything; "auto" = the
+    `default_train_sample` large-N policy)."""
     n = corpus.shape[0]
     corpus_p = _pad_lanes(jnp.asarray(corpus, jnp.float32))
     if k is None:
         k = int(np.clip(n // target_cluster, 16, 65536))
+    if train_sample == "auto":
+        train_sample = default_train_sample(n, k)
     if train_sample is not None and train_sample < n:
         centroids, assign = kmeans_sampled(
             corpus_p, k, train_sample, iters=iters, seed=seed)
@@ -644,7 +658,7 @@ class IVFFlatIndex:
     def __init__(self, target_cluster: int = 256, nprobe: int = 32,
                  win: int = 256, refine: int = 128, iters: int = 8,
                  query_batch: int = 1024, seed: int = 0,
-                 train_sample: Optional[int] = None,
+                 train_sample: "Optional[int] | str" = "auto",
                  wb: Optional[int] = None,
                  head_pool: int = 0, keep: int = 0):
         self.target_cluster = target_cluster

@@ -213,8 +213,11 @@ def pallas_coarse_rowmax(
     assert wpr % 8 == 0, wpr
     grp = min(grp, mb_cap)
     # VMEM: scratch _QB*grp*wpr*lanes i8 + out _QB*grp*wpr i32 (≤ ~6 MB);
-    # the out block minor (grp*wpr) must stay a 128 multiple
+    # the out block minor (grp*wpr) must stay a 128 multiple — RAISE grp
+    # to the floor for small windows (win 64 at fold 8 → wpr 8 needs
+    # grp 16; the window axis pads with dead windows below)
     floor_grp = max(1, 128 // wpr)
+    grp = max(grp, floor_grp)
     while grp > floor_grp and _QB * grp * wpr * (lanes + 4) > (6 << 20):
         grp //= 2
     assert (grp * wpr) % 128 == 0, (grp, wpr)

@@ -568,3 +568,40 @@ def test_staged_rerank_stage2():
     for row in ids_s:
         live = row[row >= 0]
         assert len(set(live.tolist())) == len(live)
+
+
+def test_rowmax_small_window_lowers_for_tpu():
+    """win=64 at fold=8 (wpr=8) requires the kernel to RAISE grp to the
+    128-multiple floor (the smoke-shape folded config; batch-61 leg-1
+    failure) — and a window count smaller than that floor must pad."""
+    import jax.export
+
+    from similaritysearchbyrdf_tpu.ops.pallas.coarse_fold import (
+        pallas_coarse_rowmax,
+    )
+
+    rng = np.random.default_rng(17)
+    cs, gsl = 16, 8
+    fold = 128 // cs
+    win = 64
+    wpr = win // fold                        # 8 -> floor_grp 16
+    rpg = gsl // fold
+    mshift = gsl.bit_length() - 1
+    for b, mb in [(8, 64), (8, 9)]:          # mb 9 < floor_grp: pads
+        l_n, capf = 3, 1024
+        folded = jnp.asarray(
+            rng.integers(-127, 128, (l_n, capf, 128), dtype=np.int8))
+        qmat = jnp.asarray(
+            rng.integers(-127, 128, (b, fold, 128), dtype=np.int8))
+        table = jnp.asarray(rng.integers(0, l_n, (b, mb)).astype(np.int32))
+        rs = jnp.asarray(
+            (rng.integers(0, (capf - wpr) // 8, (b, mb)) * 8).astype(
+                np.int32))
+
+        def fn(folded, qmat, table, rs):
+            return pallas_coarse_rowmax(
+                folded, qmat, table, rs, wpr=wpr, rpg=rpg, mshift=mshift)
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            folded, qmat, table, rs)
+        assert "tpu_custom_call" in exp.mlir_module()
