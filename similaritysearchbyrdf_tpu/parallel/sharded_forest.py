@@ -425,6 +425,7 @@ def _local_query(
     coarse_group: int = 64,
     rows_keep: int = 0,
     select_mult: int = 1,
+    stage2: int = 0,
 ):
     # the shard-local search IS the single-chip pipeline (classic, margin
     # probes, the table-ordered coarse tier, the two-phase pruned window
@@ -438,7 +439,7 @@ def _local_query(
         probe_budget=probe_budget, coarse_refine=coarse_refine,
         coarse_window=coarse_window, window_keep=window_keep,
         head_pool=head_pool, coarse_group=coarse_group, rows_keep=rows_keep,
-        select_mult=select_mult,
+        select_mult=select_mult, stage2=stage2,
     )
 
     # ICI merge: all-gather each shard's top-k, then a replicated merge —
@@ -478,6 +479,7 @@ def make_query_fn(
     coarse_group: int = 64,
     rows_keep: int = 0,
     select_mult: int = 1,
+    stage2: int = 0,
 ):
     """Compile the sharded query step for a mesh. The returned function maps
     (state, queries [B, D], query_ids [B]) → (ids [B, k], scores [B, k],
@@ -519,6 +521,7 @@ def make_query_fn(
             coarse_group=coarse_group,
             rows_keep=rows_keep,
             select_mult=select_mult,
+            stage2=stage2,
         ),
         mesh=mesh,
         in_specs=(state_specs, P(), P()),
@@ -604,6 +607,7 @@ class ShardedRDFForest:
                 coarse_group=self.conf.coarse_group,
                 rows_keep=rkeep,
                 select_mult=self.conf.coarse_select_mult,
+                stage2=self.conf.coarse_stage2,
             )
         fn = self._query_fns[key]
         nb = (q + bs - 1) // bs
