@@ -39,7 +39,12 @@ from .bloom import BloomFilter
 # ---------------------------------------------------------------------------
 
 
-def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
+_WRAP_MAGIC = b"RDFX"
+
+
+def save_forest(forest: RDFForest, path: str, compress: bool = True,
+                password: "bytes | None" = None,
+                checksum: bool = False) -> None:
     """Serialize config + model + tables + corpus to `<path>.npz` /
     `<path>.json`.
 
@@ -49,7 +54,14 @@ def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
     ~3-4x larger on typical float corpora but markedly faster to write,
     the right trade for short-lived spill generations on fast local disk.
     `load_forest` reads either transparently (npz records the encoding
-    per member)."""
+    per member).
+
+    `password` / `checksum` mirror the store's XTEA-encryption and CRC32
+    flags (`Store.java:296-316`, `EncryptionXTEA.java`): the npz byte
+    stream is wrapped by `storage.crypto.wrap_record` and written with a
+    RDFX feature header; `load_forest` must be called with matching
+    options (mismatches raise `WrongConfigError`, the reference's
+    WrongConfig contract, `Store.java:150-174`)."""
     assert forest.state is not None, "nothing to save: fit first"
     s = forest.state
     arrays = dict(
@@ -72,7 +84,21 @@ def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
         # on the fitting backend) keeps the rebuilt tier identical to the
         # fitted one and skips the O(N*d^2) moment recompute at load
         arrays["coarse_proj"] = np.asarray(s.coarse_proj)
-    (np.savez_compressed if compress else np.savez)(path + ".npz", **arrays)
+    if password is not None or checksum:
+        import io
+
+        from .crypto import wrap_record
+
+        buf = io.BytesIO()
+        (np.savez_compressed if compress else np.savez)(buf, **arrays)
+        flags = (1 if password is not None else 0) | (2 if checksum else 0)
+        with open(path + ".npz", "wb") as f:
+            f.write(_WRAP_MAGIC + bytes([flags])
+                    + wrap_record(buf.getvalue(), password=password,
+                                  checksum=checksum))
+    else:
+        (np.savez_compressed if compress else np.savez)(path + ".npz",
+                                                        **arrays)
     meta = dict(
         config=json.loads(forest.conf.to_json()),
         family=s.model.family,
@@ -84,11 +110,38 @@ def save_forest(forest: RDFForest, path: str, compress: bool = True) -> None:
         json.dump(meta, f)
 
 
-def load_forest(path: str) -> RDFForest:
+def load_forest(path: str, password: "bytes | None" = None,
+                checksum: bool = False) -> RDFForest:
     with open(path + ".json") as f:
         meta = json.load(f)
     conf = RDFConfig.from_json(json.dumps(meta["config"]))
-    z = np.load(path + ".npz")
+    with open(path + ".npz", "rb") as f:
+        head = f.read(5)
+        if head[:4] == _WRAP_MAGIC:
+            import io
+
+            from .crypto import WrongConfigError, unwrap_record
+
+            flags = head[4]
+            if bool(flags & 1) != (password is not None):
+                raise WrongConfigError(
+                    "store was %screated with encryption; password %s"
+                    % ("" if flags & 1 else "not ",
+                       "missing" if flags & 1 else "given"))
+            if bool(flags & 2) != checksum:
+                raise WrongConfigError(
+                    "store was %screated with CRC32 checksum"
+                    % ("" if flags & 2 else "not "))
+            z = np.load(io.BytesIO(unwrap_record(
+                f.read(), password=password, checksum=checksum)),
+                allow_pickle=False)
+        else:
+            if password is not None or checksum:
+                from .crypto import WrongConfigError
+
+                raise WrongConfigError(
+                    "password/checksum given, but store is not wrapped")
+            z = np.load(path + ".npz")
     model = HashModel(
         proj=jnp.asarray(z["proj"]),
         perm=jnp.asarray(z["perm"]),
