@@ -64,8 +64,14 @@ _COARSE_COALESCE = _os.environ.get("FOREST_COALESCE", "1") == "1"
 # largest dyadic DMA run class for the window kernels (8/16/32): bigger
 # runs mean fewer descriptors when probed ranges span many windows
 _COARSE_MAX_RUN = int(_os.environ.get("COARSE_MAX_RUN", "8"))
+# Default 16 (was 8): approx_max_k's PartialReduce is near-degenerate by
+# k = width/8 — the r5 smoke bisect measured the [1024, 4096] -> 512
+# select at 13.9 ms of a 47.1 ms chunk (results/bisect_smoke.json), the
+# same pathology CLAUDE.md records at [64, 65536] -> 8192. k <= width/16
+# is the profitable regime; the boundary case (m2 * 16 == W) stays on
+# approx, which keeps the tuned 1.2M operating point unchanged.
 _SELECT_APPROX_FACTOR = int(_os.environ.get("FOREST_SELECT_APPROX_FACTOR",
-                                            "8"))
+                                            "16"))
 # folded groupmax path: single-operand packed sorts for the group select
 # and the select_mult dedup (sort cost scales with operand count); both
 # fall back to the exact 2-operand sorts when the bit budget does not fit
