@@ -156,11 +156,11 @@ def main():
             lsh_table=TableConfig(chain_length=32, bucket_overflow=2000),
             query_batch_size=64, max_candidates=262144, top_k=10,
             coarse_dim=16, coarse_dtype="int8", coarse_layout="folded",
-            coarse_refine=12288, coarse_window=512,
-            rerank_dtype="bfloat16",
+            coarse_refine=14336, coarse_window=512, coarse_group=8,
+            coarse_stage2=4096,
         )
         forest_kw = dict(steps=1, multiprobe=True, probe_mode="margin",
-                         probe_budget=16, select_mult=2)
+                         probe_budget=16, coarse_group=8, stage2=4096)
 
     ids = np.arange(n, dtype=np.int32)
     queries = x[:1024].copy()
