@@ -63,7 +63,12 @@ def main():
     k = int(np.clip(N // 256, 16, 65536))
     out["k"] = k
     xd = _pad_lanes(jnp.asarray(x))
-    valid = jnp.ones((N,), bool)
+    # _kmeans_assign needs a chunk-multiple row count (kmeans pads
+    # internally; the assign-only jit does not)
+    chunk = 65536
+    npad2 = (N + chunk - 1) // chunk * chunk
+    xd = jnp.pad(xd, ((0, npad2 - N), (0, 0))) if npad2 != N else xd
+    valid = jnp.zeros((npad2,), bool).at[:N].set(True)
 
     # --- phase timings ---
     rng = np.random.default_rng(0xC1)
@@ -72,19 +77,19 @@ def main():
     cent0 = xd.astype(jnp.bfloat16)[init_rows]
 
     t0 = time.perf_counter()
-    a = IV._kmeans_assign(xd, cent0, 65536)
+    a = IV._kmeans_assign(xd, cent0, chunk)
     jax.block_until_ready(a)
     out["phases"]["assign_full_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     cent1, a1 = IV._kmeans_iter(xd.astype(jnp.bfloat16), cent0, valid,
-                                65536)
+                                chunk)
     jax.block_until_ready(cent1)
     out["phases"]["iter_full_s"] = round(time.perf_counter() - t0, 2)
     del cent1, a1, a
     gc.collect()
 
-    s = 1_000_000
+    s = min(1_000_000, N // 2)
     sel = np.sort(np.random.default_rng(1).choice(N, size=s, replace=False)
                   ).astype(np.int32)
     xs = xd[jnp.asarray(sel)]
@@ -96,8 +101,8 @@ def main():
     del xs
 
     t0 = time.perf_counter()
-    a_final = IV._kmeans_assign(xd, cent_s, 65536)
-    a_np = np.asarray(a_final)
+    a_final = IV._kmeans_assign(xd, cent_s, chunk)
+    a_np = np.asarray(a_final)[:N]
     out["phases"]["assign_final_s"] = round(time.perf_counter() - t0, 2)
     del a_final
 
@@ -115,15 +120,21 @@ def main():
             ivf_topk, ivf_window_budget)
         qd = jnp.asarray(queries)
         qid = jnp.arange(NQ, dtype=jnp.int32)
-        wb = ivf_window_budget(state, 1, 128)
-        kw = dict(k=10, nprobe=1, win=128, wb=wb, refine=128,
-                  exclude_self=True)
-        ids, _ = ivf_topk(state, qd, qid, **kw)
+        wb = ivf_window_budget(state.starts, state.ends, 1, 128)
+
+        def run():
+            ids, _ = ivf_topk(
+                state.sketch, state.corpus, state.row_ids,
+                state.centroids, state.starts, state.ends, qd, qid,
+                10, nprobe=1, win=128, wb=wb, refine=128)
+            return ids
+
+        ids = run()
         jax.block_until_ready(ids)
         t0 = time.perf_counter()
         reps = 4
         for _ in range(reps):
-            ids, _ = ivf_topk(state, qd, qid, **kw)
+            ids = run()
         jax.block_until_ready(ids)
         dt = (time.perf_counter() - t0) / reps
         ids_np = np.asarray(ids)
@@ -147,7 +158,10 @@ def main():
         out["points"].append(pt)
         del state
         gc.collect()
-        with open("results/bisect_ivf_build.json", "w") as f:
+        dest = ("results/bisect_ivf_build.json"
+                if jax.default_backend() == "tpu"
+                else "/tmp/bisect_ivf_build_cpu.json")
+        with open(dest, "w") as f:
             json.dump(out, f, indent=1)
 
     print(json.dumps(out), flush=True)
