@@ -92,7 +92,7 @@ def main():
         family_size=100,
         partition_bits=3,
         lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
-        query_batch_size=256,
+        query_batch_size=1024,
         max_candidates=4096,
         top_k=TOP_K,
         seed=31258,
@@ -106,6 +106,14 @@ def main():
         coarse_dtype="int8",
         coarse_refine=512,
     )
+    # r5 operating point (results/tune_smoke_forest.json +
+    # results/bisect_smoke.json): margin-directed probing (budget 16,
+    # recall 0.9822 vs reference probing's 0.9816 at fewer probed
+    # buckets) and the select-policy fix (approx_max_k only at
+    # m2 <= width/16 — the old [1024,4096]->512 approx select was the
+    # degenerate k=width/8 PartialReduce, 13.9 ms of a 47.1 ms chunk)
+    # lift the forest leg 16.8k -> ~27k qps.
+    probe_kw = dict(probe_mode="margin", probe_budget=16)
 
     x = make_data()
     ids = np.arange(N_CORPUS, dtype=np.int32)
@@ -172,7 +180,7 @@ def main():
             layout=forest.layout, steps=steps, m_cap=conf.max_candidates,
             k=TOP_K, multiprobe=True, exclude_self=True,
             chunk=conf.query_batch_size, coarse_refine=conf.coarse_refine,
-            coarse_window=conf.coarse_window,
+            coarse_window=conf.coarse_window, **probe_kw,
         )
         got_ids, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
         jax.block_until_ready(got_ids)                       # compile + warm

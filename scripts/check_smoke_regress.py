@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as B  # noqa: E402
 
 
-def run_point(coarse_dim, with_recall=False):
+def run_point(coarse_dim, with_recall=False, probe_mode="reference",
+              probe_budget=8, query_batch=256):
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +29,8 @@ def run_point(coarse_dim, with_recall=False):
         vector_dim=B.DIM, table_num=10, permutation_num=3, family_size=100,
         partition_bits=3,
         lsh_table=TableConfig(chain_length=32, bucket_overflow=500),
-        query_batch_size=256, max_candidates=4096, top_k=B.TOP_K, seed=31258,
+        query_batch_size=query_batch, max_candidates=4096, top_k=B.TOP_K,
+        seed=31258,
         coarse_dim=coarse_dim, coarse_dtype="int8", coarse_refine=512,
     )
     x = B.make_data()
@@ -45,7 +47,8 @@ def run_point(coarse_dim, with_recall=False):
     kw = dict(layout=forest.layout, steps=0, m_cap=conf.max_candidates,
               k=B.TOP_K, multiprobe=True, exclude_self=True,
               chunk=conf.query_batch_size, coarse_refine=conf.coarse_refine,
-              coarse_window=conf.coarse_window)
+              coarse_window=conf.coarse_window, probe_mode=probe_mode,
+              probe_budget=probe_budget)
     got, _, _ = query_dense_many(forest.state, qd, qid_d, **kw)
     jax.block_until_ready(got)
     reps = 4
@@ -117,19 +120,21 @@ def run_build_floor(min_vps=150_000.0):
     return res
 
 
-def run_query_floors(min_flat=140_000.0, min_forest=15_000.0):
+def run_query_floors(min_flat=140_000.0, min_forest=24_000.0):
     """Query-side qps floors (VERDICT r4 item 4): the bench.py flat and
     forest query programs at the smoke shape must stay above the floors.
-    r4 measured flat 159.7k / forest 16.8k (BENCH_r04) — the floors leave
-    ~12% headroom, so drift is tolerated but a real ~20% regression trips
-    the assert. Run on TPU as part of the standard batch."""
+    r5 measured flat 159.7k / forest 27.0k @ 0.9822 (margin-16 probes +
+    the select-policy fix, results/tune_smoke_forest.json) — the floors
+    leave ~11% headroom, so drift is tolerated but a real regression
+    trips the assert. Run on TPU as part of the standard batch."""
     import jax
     import jax.numpy as jnp
 
     from similaritysearchbyrdf_tpu.ops.flat import (
         build_flat_sketch, flat_topk)
 
-    res_forest = run_point(32)
+    res_forest = run_point(32, probe_mode="margin", probe_budget=16,
+                           query_batch=1024)
     x = B.make_data()
     ids = np.arange(B.N_CORPUS, dtype=np.int32)
     queries = x[:B.N_QUERY]
