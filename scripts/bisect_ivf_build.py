@@ -41,7 +41,31 @@ def clustered_corpus():
     return x.astype(np.float32)
 
 
+def _merge_out(out):
+    """Merge into results/bisect_ivf_build.json (modes run in separate
+    processes — one process holding the phase arrays plus two full builds
+    OOMs 16 GB HBM, the multi-engine-bench lesson)."""
+    import jax
+
+    dest = ("results/bisect_ivf_build.json"
+            if jax.default_backend() == "tpu"
+            else "/tmp/bisect_ivf_build_cpu.json")
+    try:
+        with open(dest) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        prior = {}
+    prior.update({k: v for k, v in out.items()
+                  if k not in ("phases", "points")})
+    prior.setdefault("phases", {}).update(out.get("phases", {}))
+    prior.setdefault("points", [])
+    prior["points"] += out.get("points", [])
+    with open(dest, "w") as f:
+        json.dump(prior, f, indent=1)
+
+
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "phases"
     wait_for_backend()
     import jax
     import jax.numpy as jnp
@@ -62,6 +86,23 @@ def main():
 
     k = int(np.clip(N // 256, 16, 65536))
     out["k"] = k
+
+    if mode in ("sampled", "full"):
+        tag, ts = (("sampled_auto", "auto") if mode == "sampled"
+                   else ("full", None))
+        t0 = time.perf_counter()
+        state = IV.build_ivf(jnp.asarray(x), np.arange(N, dtype=np.int32),
+                             target_cluster=256, iters=6, seed=0,
+                             train_sample=ts)
+        jax.block_until_ready(state.sketch)
+        build_s = round(time.perf_counter() - t0, 1)
+        pt = headline_point(state, queries, gt_sets, tag)
+        pt["build_s"] = build_s
+        out["points"].append(pt)
+        _merge_out(out)
+        print(json.dumps(out), flush=True)
+        return
+
     xd = _pad_lanes(jnp.asarray(x))
     # _kmeans_assign needs a chunk-multiple row count (kmeans pads
     # internally; the assign-only jit does not)
@@ -113,58 +154,43 @@ def main():
     del xd, cent_s, cent0
     gc.collect()
     print("phases:", json.dumps(out["phases"]), flush=True)
-
-    # --- full vs sampled builds, headline point each ---
-    def headline(state, tag):
-        from similaritysearchbyrdf_tpu.ops.ivf import (
-            ivf_topk, ivf_window_budget)
-        qd = jnp.asarray(queries)
-        qid = jnp.arange(NQ, dtype=jnp.int32)
-        wb = ivf_window_budget(state.starts, state.ends, 1, 128)
-
-        def run():
-            ids, _ = ivf_topk(
-                state.sketch, state.corpus, state.row_ids,
-                state.centroids, state.starts, state.ends, qd, qid,
-                10, nprobe=1, win=128, wb=wb, refine=128)
-            return ids
-
-        ids = run()
-        jax.block_until_ready(ids)
-        t0 = time.perf_counter()
-        reps = 4
-        for _ in range(reps):
-            ids = run()
-        jax.block_until_ready(ids)
-        dt = (time.perf_counter() - t0) / reps
-        ids_np = np.asarray(ids)
-        rec = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i]
-                                       if v >= 0))
-                  for i in range(NQ)) / (NQ * 10)
-        pt = {"train": tag, "nprobe": 1, "win": 128, "refine": 128,
-              "qps": round(NQ / dt), "recall@10": round(rec, 4)}
-        print(tag, json.dumps(pt), flush=True)
-        return pt
-
-    for tag, ts in (("sampled_auto", "auto"), ("full", None)):
-        t0 = time.perf_counter()
-        state = IV.build_ivf(jnp.asarray(x), np.arange(N, dtype=np.int32),
-                             target_cluster=256, iters=6, seed=0,
-                             train_sample=ts)
-        jax.block_until_ready(state.sketch)
-        build_s = round(time.perf_counter() - t0, 1)
-        pt = headline(state, tag)
-        pt["build_s"] = build_s
-        out["points"].append(pt)
-        del state
-        gc.collect()
-        dest = ("results/bisect_ivf_build.json"
-                if jax.default_backend() == "tpu"
-                else "/tmp/bisect_ivf_build_cpu.json")
-        with open(dest, "w") as f:
-            json.dump(out, f, indent=1)
-
+    _merge_out(out)
     print(json.dumps(out), flush=True)
+
+
+def headline_point(state, queries, gt_sets, tag):
+    import jax
+    import jax.numpy as jnp
+
+    from similaritysearchbyrdf_tpu.ops.ivf import (
+        ivf_topk, ivf_window_budget)
+
+    qd = jnp.asarray(queries)
+    qid = jnp.arange(NQ, dtype=jnp.int32)
+    wb = ivf_window_budget(state.starts, state.ends, 1, 128)
+
+    def run():
+        ids, _ = ivf_topk(
+            state.sketch, state.corpus, state.row_ids,
+            state.centroids, state.starts, state.ends, qd, qid,
+            10, nprobe=1, win=128, wb=wb, refine=128)
+        return ids
+
+    ids = run()
+    jax.block_until_ready(ids)
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        ids = run()
+    jax.block_until_ready(ids)
+    dt = (time.perf_counter() - t0) / reps
+    ids_np = np.asarray(ids)
+    rec = sum(len(gt_sets[i] & set(int(v) for v in ids_np[i] if v >= 0))
+              for i in range(NQ)) / (NQ * 10)
+    pt = {"train": tag, "nprobe": 1, "win": 128, "refine": 128,
+          "qps": round(NQ / dt), "recall@10": round(rec, 4)}
+    print(tag, json.dumps(pt), flush=True)
+    return pt
 
 
 if __name__ == "__main__":
