@@ -48,13 +48,18 @@ def measure_rtt(reps=30):
     import jax
     import jax.numpy as jnp
 
+    import numpy as _np
+
     x = jnp.ones((8, 128), jnp.float32)
-    f = jax.jit(lambda v: v + 1.0)
-    jax.block_until_ready(f(x))
+    f = jax.jit(lambda v: (v + 1.0).sum())
+    float(f(x))                     # compile + warm
     lats = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        # fetch the scalar: block_until_ready alone resolves locally on
+        # the tunnel client (measured 0.0 ms) — only a device->host read
+        # forces the full dispatch round trip a blocked request pays
+        float(f(x))
         lats.append((time.perf_counter() - t0) * 1e3)
     lats.sort()
     return lats[len(lats) // 2]
