@@ -122,6 +122,10 @@ def main():
     deep_forest = forest_points(load("results/deep8m.json"))
     if os.path.exists("results/deep8m_coarse.json"):
         deep_forest += forest_points(load("results/deep8m_coarse.json"))
+    if os.path.exists("results/deep8m_coarse_fold.json"):
+        # folded tier + staged rerank frontier (r4/r5)
+        deep_forest += forest_points(
+            load("results/deep8m_coarse_fold.json"))
     deep_flat = []
     for p in load("results/flat.json")["points"]:
         if p["corpus"].startswith("deep"):
