@@ -1,7 +1,7 @@
 // Native batch codecs for the reference wire formats.
 //
 // The per-record codecs (`storage/serializers.py`) are bit-compatible with
-// the reference's `utils/Serializers.scala` + `DataIO.packInt`, but encoding
+// the reference's `utils/Serializers.scala` record formats, but encoding
 // a million-row corpus record-at-a-time in Python is minutes of work. These
 // batch codecs produce the IDENTICAL byte stream (concatenated records) with
 // a multithreaded native pass — the framework's runtime-tier equivalent of
@@ -23,31 +23,6 @@
 #include <vector>
 
 namespace {
-
-// MapDB packInt: 7-bit groups, MSB-first, continuation bit on all but the
-// last byte (`DataIO.java:60-130`).
-inline size_t pack_int(uint32_t v, uint8_t* out) {
-  size_t n = 0;
-  bool started = false;
-  for (int shift = 28; shift > 0; shift -= 7) {
-    uint8_t g = (v >> shift) & 0x7F;
-    if (g || started) {
-      out[n++] = 0x80 | g;
-      started = true;
-    }
-  }
-  out[n++] = v & 0x7F;
-  return n;
-}
-
-inline uint32_t unpack_int(const uint8_t* buf, size_t* off) {
-  uint32_t v = 0;
-  for (;;) {
-    uint8_t b = buf[(*off)++];
-    v = (v << 7) | (b & 0x7F);
-    if (!(b & 0x80)) return v;
-  }
-}
 
 inline void put_be32(uint32_t v, uint8_t* out) {
   v = __builtin_bswap32(v);
