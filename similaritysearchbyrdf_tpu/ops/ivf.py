@@ -168,11 +168,20 @@ def kmeans_sampled(
     xs = x[jnp.asarray(sel)]
     centroids, _ = kmeans(xs, jnp.ones((s,), bool), k, iters=iters,
                           seed=seed, chunk=chunk)
+    del xs
+    # assignment pass WITHOUT a second whole-corpus copy: a padded f32
+    # duplicate of an 8M x 128 corpus is +4.1 GB and OOM'd 16 GB HBM
+    # alongside the caller's tiers (batch-65 finding) — chunk from the
+    # original rows instead, padding only the tail chunk
     chunk = min(chunk, n)
-    npad2 = (n + chunk - 1) // chunk * chunk
-    xp = jnp.pad(x, ((0, npad2 - n), (0, 0))) if npad2 != n else x
-    assign = _kmeans_assign(xp, centroids, chunk)
-    return centroids, assign[:n]
+    parts = []
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        xc = x[s0:s1]
+        if s1 - s0 < chunk:
+            xc = jnp.pad(xc, ((0, chunk - (s1 - s0)), (0, 0)))
+        parts.append(_kmeans_assign(xc, centroids, chunk)[: s1 - s0])
+    return centroids, jnp.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +262,10 @@ def build_ivf(
     `default_train_sample` large-N policy)."""
     n = corpus.shape[0]
     corpus_p = _pad_lanes(jnp.asarray(corpus, jnp.float32))
+    # drop the unpadded device reference (callers usually pass an inline
+    # jnp.asarray temp): at Deep scale that is ~3 GB of HBM the rest of
+    # the build would otherwise carry dead
+    corpus = None
     if k is None:
         k = int(np.clip(n // target_cluster, 16, 65536))
     if train_sample == "auto":
