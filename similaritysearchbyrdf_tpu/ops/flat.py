@@ -233,8 +233,18 @@ def build_flat_sketch(
         raise ValueError(f"unsupported flat sketch dtype: {dtype}")
     amax = float(jnp.max(jnp.abs(corpus)))
     scale = 127.0 / max(amax, 1e-30)
-    q = jnp.clip(jnp.round(corpus * scale), -127, 127).astype(jnp.int8)
+    # fused quantize: eager op-by-op dispatch materializes TWO full-size
+    # f32 temporaries (mul, round) — at 8M x 128 that is +8.2 GB and the
+    # difference between fitting and OOMing a 16 GB chip next to the
+    # cluster-ordered tiers (batch-65 finding); one jit emits a single
+    # read-f32/write-i8 pass
+    q = _quantize_int8(corpus, jnp.float32(scale))
     return _pad_lanes(q), scale
+
+
+@jax.jit
+def _quantize_int8(corpus: jax.Array, scale: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(corpus * scale), -127, 127).astype(jnp.int8)
 
 
 def _exact_refine(corpus, row_ids, queries, cand, pre_valid, query_ids, k,
