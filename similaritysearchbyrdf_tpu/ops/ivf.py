@@ -234,11 +234,16 @@ def build_ivf_heads(sketch: jax.Array, row_ids: jax.Array,
 
 
 def default_train_sample(n: int, k: int) -> Optional[int]:
-    """Large-N Lloyd default (VERDICT r4 item 6): full-corpus Lloyd costs
-    iters*N assignment matmul traffic and dominated the 8M build; training
-    on max(1M, 32 rows/cluster) sampled rows + ONE full assignment pass is
-    the standard IVF recipe (no measurable recall change at S >= 32
-    rows/cluster). Below 2M rows the full Lloyd is already cheap."""
+    """Opt-in sampled-Lloyd policy: train on max(1M, 32 rows/cluster)
+    sampled rows + ONE full assignment (the standard IVF recipe). NOT
+    the default: the r5 build bisect (results/bisect_ivf_build.json)
+    measured full-corpus Lloyd at 3.3 s/ITERATION at 8M x 96 / 31k
+    clusters — ~20 s of device work in a 275 s build that is otherwise
+    upload- and remote-compile-dominated — while the sampled recipe
+    pays an EXTRA compile for the sample-shape kmeans (cold: ~140 s on
+    this rig) and a recall sliver (0.9971 vs 0.9998 at the headline
+    point), measuring NET SLOWER (315.9 vs 275.6 s cold). Use it when
+    k or iters grow enough that Lloyd device work actually dominates."""
     if n <= 2_000_000:
         return None
     return min(n, max(1_000_000, 32 * k))
@@ -252,14 +257,15 @@ def build_ivf(
     seed: int = 0,
     sketch_dtype: str = "int8",
     k: Optional[int] = None,
-    train_sample: "Optional[int] | str" = "auto",
+    train_sample: "Optional[int] | str" = None,
 ) -> IVFState:
     """Cluster the corpus and lay both tiers out cluster-ordered, every
     cluster padded to an 8-row multiple so each cluster is a whole number
     of DMA-alignable windows. `train_sample`: run Lloyd on that many
     uniformly-sampled rows and only assign the full corpus once (big-N
-    build speedup; None = train on everything; "auto" = the
-    `default_train_sample` large-N policy)."""
+    build speedup when Lloyd dominates; None = train on everything —
+    the measured-faster default on this rig; "auto" = the
+    `default_train_sample` policy)."""
     n = corpus.shape[0]
     corpus_p = _pad_lanes(jnp.asarray(corpus, jnp.float32))
     # drop the unpadded device reference (callers usually pass an inline
@@ -671,7 +677,7 @@ class IVFFlatIndex:
     def __init__(self, target_cluster: int = 256, nprobe: int = 32,
                  win: int = 256, refine: int = 128, iters: int = 8,
                  query_batch: int = 1024, seed: int = 0,
-                 train_sample: "Optional[int] | str" = "auto",
+                 train_sample: "Optional[int] | str" = None,
                  wb: Optional[int] = None,
                  head_pool: int = 0, keep: int = 0):
         self.target_cluster = target_cluster
