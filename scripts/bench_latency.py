@@ -159,7 +159,7 @@ def main():
             vector_dim=d, table_num=10, permutation_num=3, family_size=100,
             partition_bits=3,
             lsh_table=TableConfig(chain_length=32, bucket_overflow=2000),
-            query_batch_size=64, max_candidates=262144, top_k=10,
+            query_batch_size=128, max_candidates=262144, top_k=10,
             coarse_dim=16, coarse_dtype="int8", coarse_layout="folded",
             coarse_refine=14336, coarse_window=512, coarse_group=8,
             coarse_stage2=4096,
