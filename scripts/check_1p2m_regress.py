@@ -47,8 +47,8 @@ def main():
 
     orig_kernel = cg.pallas_coarse_scores_aligned
 
-    def no_live_kernel(cbt, q, t, b, w, grp=64, live=None):
-        return orig_kernel(cbt, q, t, b, w, grp=grp, live=None)
+    def no_live_kernel(cbt, q, t, b, w, grp=64, live=None, **kwargs):
+        return orig_kernel(cbt, q, t, b, w, grp=grp, live=None, **kwargs)
 
     def timed(label):
         ids, _, _ = query_dense_many(state, qd, qids, **kw)
