@@ -605,3 +605,25 @@ def test_rowmax_small_window_lowers_for_tpu():
         exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
             folded, qmat, table, rs)
         assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_staged_rerank_stage2_rpg2():
+    """stage2 slot-score ordering at rpg > 1 (gsl=16, fold=8): the
+    [B, rgg*rpg, fold] rescore flatten must match cand2's (row, seg)
+    slot order — verified by the stage2 >= full-width equivalence (any
+    order mismatch would mis-assign scores to ids, and the score-ordered
+    dedup would surface different ids than the plain path)."""
+    x, q, gt = _corpus()
+    batch = DenseBatch(np.arange(len(x), dtype=np.int64), x)
+    f = RDFForest(
+        _conf("folded", coarse_group=16, coarse_refine=1024,
+              coarse_window=128)).fit(batch)
+    kw = dict(steps=1, probe_mode="margin", probe_budget=8,
+              query_ids=np.arange(len(q)))
+    ids0, sc0 = f.query(q, **kw)
+    ids_full, sc_full = f.query(q, stage2=1024, **kw)
+    np.testing.assert_array_equal(np.sort(ids_full, 1), np.sort(ids0, 1))
+    ids_s, _ = f.query(q, stage2=256, **kw)
+    r0 = _recall(ids0, gt)
+    r_s = _recall(ids_s, gt)
+    assert r_s >= r0 - 0.15, (r_s, r0)
